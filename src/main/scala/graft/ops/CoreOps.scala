@@ -1,0 +1,376 @@
+package graft.ops
+
+import graft.Tables
+import graft.velib.{EnrichJob, GoldAlerts, Serving}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parity operators (SURVEY.md §2) as driver-checkable queries over the
+  * testdata. Naming: q<nn>_<operator>. Every query ends in a deterministic
+  * global ORDER BY mirrored in the oracle; every floating-point aggregate
+  * uses the exact-decimal-sum idiom so Spark and DuckDB produce
+  * bit-identical doubles regardless of addition order.
+  */
+object CoreOps {
+
+  private val seq_ = col("seq")
+
+  /** W1: latest-per-key dedup (reference `velib_alerte.py:44-49`). */
+  def q01LatestPerStation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("station_code"))
+      .orderBy(col("last_reported").desc, seq_.desc)
+    EventsAdapter.silver(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("station_code", "station_name", "bikes_available",
+        "docks_available", "last_reported")
+      .orderBy("station_code")
+  }
+
+  /** W3+W4: the latent enrichment — lag net_flow + trailing-1h mean. */
+  def q03NetFlowMovingAvg(spark: SparkSession, dir: String): DataFrame =
+    EnrichJob.enrich(EventsAdapter.silver(spark, dir), seq_)
+      .select("station_code", "last_reported", "bikes_available", "net_flow",
+        "moving_avg_1h", "baseline_avg")
+      .orderBy("station_code", "last_reported", "bikes_available")
+
+  /** Gold alerts job (P6-P9, W1 over enrichment). */
+  def q05GoldAlerts(spark: SparkSession, dir: String): DataFrame =
+    GoldAlerts.alerts(
+        EnrichJob.enrich(EventsAdapter.silver(spark, dir), seq_),
+        seq_, "INTERVAL 72 HOURS", GoldAlerts.relativeRule)
+      .orderBy(col("bikes").asc, col("station_code").asc)
+
+  /** Flagship serving query `/alerts/critical`: J1+J2+W2+A1+A2+O1. */
+  def criticalChain(spark: SparkSession, dir: String, horizon: String): DataFrame = {
+    val silver = EventsAdapter.silver(spark, dir)
+    val enriched = EnrichJob.enrich(silver, seq_)
+    val gold = GoldAlerts.alerts(enriched, seq_, horizon, GoldAlerts.relativeRule)
+    Serving.criticalAlerts(gold, enriched, seq_,
+      targetFilter = col("bikes") <= col("baseline_avg"))
+  }
+
+  def q02CriticalSparklines(spark: SparkSession, dir: String): DataFrame =
+    criticalChain(spark, dir, "INTERVAL 72 HOURS")
+
+  /** A4+J3+A6: `/health/pipeline` global stats + zombie reconciliation. */
+  def q08Health(spark: SparkSession, dir: String): DataFrame = {
+    val silver = EventsAdapter.silver(spark, dir)
+    val enriched = EnrichJob.enrich(silver, seq_)
+    // GBFS-shaped nested dimension built from `customer` (P14 explode path).
+    val nested = Tables.customer(spark, dir)
+      .agg(collect_list(struct(col("c_custkey").as("station_id"),
+        col("c_name").as("name"))).as("stations"))
+      .select(struct(col("stations")).as("data"))
+    val asOfDate = to_date(lit("2024-01-30"))
+    Serving.healthPipeline(enriched, nested, asOfDate)
+  }
+
+  /** J1: semi-join reduction (IN-subquery, reference `api.py:54`). */
+  def q06SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val targets = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(targets), Seq("o_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** J2+A2: inner equi-join + multi-key hash agg with exact decimal sums. */
+  def q07JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(28, 2))).cast("double")
+          .as("total_spent"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4: broadcast dimension enrichment (events x customer). */
+  def q09DimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_name"),
+        col("c_mktsegment"))
+    Tables.events(spark, dir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+      .orderBy("event_id")
+  }
+
+  /** A6: conditional aggregation (reference `api.py:72-74` folded in). */
+  def q10ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") <= 1, 1).otherwise(0)).as("n_low"),
+        sum(when(col("value") > 10, 1).otherwise(0)).as("n_high"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+
+  /** P2-analog: JSON field extraction + aggregation over `events.props`. */
+  def q11JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** P14: explode/unnest — whitespace tokenization + global word counts. */
+  def q12ExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+
+  /** O1/O4: global sort + top-k limit. */
+  def q16TopKGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(50)
+
+  /** TPC-H Q1-shaped pricing summary over lineitem (A2-A4 at bench scale). */
+  def q13PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast("double")
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped: 3-way join, grouped revenue, global top-10. */
+  def q14ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "AUTOMOBILE")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast("double")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: 5-way join through region->nation->customer->orders->
+    * lineitem, revenue per nation. Dims broadcast; fact joins shuffle on
+    * their keys.
+    */
+  def q15RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_latest_per_station" -> (q01LatestPerStation _),
+    "q02_critical_sparklines" -> (q02CriticalSparklines _),
+    "q03_net_flow_moving_avg" -> (q03NetFlowMovingAvg _),
+    "q05_gold_alerts" -> (q05GoldAlerts _),
+    "q06_semi_join" -> (q06SemiJoin _),
+    "q07_join_agg" -> (q07JoinAgg _),
+    "q08_health" -> (q08Health _),
+    "q09_dim_join" -> (q09DimJoin _),
+    "q10_conditional_agg" -> (q10ConditionalAgg _),
+    "q11_json_extract" -> (q11JsonExtract _),
+    "q12_explode_tokens" -> (q12ExplodeTokens _),
+    "q13_pricing_summary" -> (q13PricingSummary _),
+    "q14_shipping_priority" -> (q14ShippingPriority _),
+    "q15_revenue_by_nation" -> (q15RevenueByNation _),
+    "q16_topk_global" -> (q16TopKGlobal _)
+  )
+
+  import EventsAdapter.{silverSql, enrichedSql, goldSql}
+
+  val oracle: Map[String, String] = Map(
+    "q01_latest_per_station" ->
+      s"""WITH $silverSql
+         |SELECT station_code, station_name, bikes_available, docks_available,
+         |       last_reported
+         |FROM (SELECT *, row_number() OVER (PARTITION BY station_code
+         |        ORDER BY last_reported DESC, seq DESC) AS rnk FROM silver)
+         |WHERE rnk = 1 ORDER BY station_code""".stripMargin,
+
+    "q02_critical_sparklines" ->
+      s"""WITH $silverSql, $enrichedSql, $goldSql,
+         |targets AS (
+         |  SELECT station_code, station_name, bikes, alert_level FROM gold
+         |  WHERE bikes <= baseline_avg
+         |),
+         |hist AS (
+         |  SELECT * FROM enriched
+         |  WHERE station_code IN (SELECT station_code FROM targets)
+         |),
+         |trends AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY station_code
+         |      ORDER BY last_reported DESC, seq DESC) AS rnk
+         |    FROM hist) WHERE rnk <= 5
+         |)
+         |SELECT t.station_code, tg.station_name, tg.bikes AS current_bikes,
+         |       tg.alert_level,
+         |       LIST(t.bikes_available ORDER BY t.last_reported ASC, t.rnk ASC)
+         |         AS sparkline_data
+         |FROM trends t JOIN targets tg ON t.station_code = tg.station_code
+         |GROUP BY t.station_code, tg.station_name, tg.bikes, tg.alert_level
+         |ORDER BY current_bikes ASC, t.station_code ASC""".stripMargin,
+
+    "q03_net_flow_moving_avg" ->
+      s"""WITH $silverSql, $enrichedSql
+         |SELECT station_code, last_reported, bikes_available, net_flow,
+         |       moving_avg_1h, baseline_avg
+         |FROM enriched
+         |ORDER BY station_code, last_reported, bikes_available""".stripMargin,
+
+    "q05_gold_alerts" ->
+      s"""WITH $silverSql, $enrichedSql, $goldSql
+         |SELECT station_code, station_name, bikes, trend, avg_1h,
+         |       baseline_avg, last_reported, alert_level
+         |FROM gold ORDER BY bikes ASC, station_code ASC""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_join_agg" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |         AS total_spent,
+        |       max(o_orderdate) AS last_order
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_health" ->
+      s"""WITH $silverSql, $enrichedSql,
+         |s AS (
+         |  SELECT max(last_reported) AS latest_data_point,
+         |         count(DISTINCT station_code) AS active_stations_today,
+         |         CAST(SUM(CAST(bikes_available AS DECIMAL(28,6))) AS DOUBLE)
+         |           AS total_bikes_available,
+         |         CAST(SUM(CAST(docks_available AS DECIMAL(28,6))) AS DOUBLE)
+         |           AS total_docks_available,
+         |         SUM(CASE WHEN bikes_available = 0 THEN 1 ELSE 0 END)
+         |           AS empty_readings,
+         |         SUM(CASE WHEN bikes_available > 0 AND bikes_available <= 3
+         |             THEN 1 ELSE 0 END) AS low_readings
+         |  FROM enriched WHERE date = DATE '2024-01-30'
+         |),
+         |r AS (SELECT count(*) AS total_expected_stations FROM customer)
+         |SELECT s.*, r.total_expected_stations,
+         |       r.total_expected_stations - s.active_stations_today
+         |         AS zombie_stations
+         |FROM s CROSS JOIN r""".stripMargin,
+
+    "q09_dim_join" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment, value
+        |FROM events LEFT JOIN (SELECT c_custkey AS user_id, c_name,
+        |    c_mktsegment FROM customer) USING (user_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q10_conditional_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       SUM(CASE WHEN value <= 1 THEN 1 ELSE 0 END) AS n_low,
+        |       SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS n_high,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q12_explode_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q16_topk_global" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 50""".stripMargin,
+
+    "q13_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q14_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'AUTOMOBILE'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q15_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft.velib
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Silver transformation: raw JSON payload -> typed, date-partitioned
+  * records. Reproduces the reference's streaming silver job
+  * (`src/assets/silver.py:13-83`) Spark-natively: the parse chain is a
+  * pure DataFrame function shared by the batch and streaming paths, so the
+  * streaming job is just `readStream -> parse -> writeStream`.
+  */
+object SilverJob {
+
+  /** P1-P5 (SURVEY.md §2.2): binary/string payload -> struct -> flat columns
+    * with event-time derivations. Works on any frame with a `value` column
+    * holding the JSON document (Kafka delivers binary; file source string).
+    */
+  def parseRaw(df: DataFrame): DataFrame =
+    df.select(from_json(col("value").cast("string"), Schemas.rawStatus).as("data"))
+      .select("data.*")
+      .withColumn("last_reported", to_timestamp(col("duedate")))
+      .withColumn("date", to_date(col("last_reported")))
+
+  /** Streaming form (S4/S8, T1-T3): file-source stand-in for the Kafka
+    * topic — JSON-lines files where each line is one status record wrapped
+    * as `value`. `Trigger.AvailableNow` + checkpoint gives the reference's
+    * drain-then-stop, exactly-once behavior (`silver.py:53,58,63`).
+    */
+  def runStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputPath: String,
+      checkpoint: String): Long = {
+    val raw = spark.readStream
+      .schema("value STRING")
+      .text(inputDir)
+    val parsed = parseRaw(raw)
+    val q = parsed.writeStream
+      .format("parquet")
+      .option("path", outputPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+  }
+
+  /** Kafka-shaped producer projection (S3): typed columns -> (key, value)
+    * binary pair, key = stationcode for per-station partition affinity
+    * (reference `bronze.py:52-55`). The caller appends
+    * `.write.format("kafka")` in a real deployment; tests write files.
+    */
+  def toWire(df: DataFrame): DataFrame =
+    df.select(
+      col("stationcode").cast("binary").as("key"),
+      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+}

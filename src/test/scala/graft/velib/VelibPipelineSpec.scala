@@ -1,0 +1,95 @@
+package graft.velib
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Unit tests for the reconstructed velib semantics (SURVEY.md §5.2):
+  * net_flow first-row policy, moving_avg_1h range-frame boundary, W1
+  * tie-breaking, alert rules.
+  */
+class VelibPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // station_code, station_name, bikes_available, docks_available,
+  // last_reported, seq
+  private lazy val silver = Seq(
+    // station A: 10:00 -> 5, 10:30 -> 3, 11:00 -> 3 (exactly 1h after first),
+    // 11:00:00.000001 -> 7 (just outside frame of nothing; ties with none)
+    ("A", "Alpha", 5, 10, ts("2024-01-01 10:00:00"), 1L),
+    ("A", "Alpha", 3, 12, ts("2024-01-01 10:30:00"), 2L),
+    ("A", "Alpha", 3, 12, ts("2024-01-01 11:00:00"), 3L),
+    // station B: single reading -> net_flow null
+    ("B", "Beta", 0, 20, ts("2024-01-01 10:45:00"), 4L),
+    // station C: tie on last_reported, seq breaks it
+    ("C", "Gamma", 9, 1, ts("2024-01-01 10:45:00"), 5L),
+    ("C", "Gamma", 2, 1, ts("2024-01-01 10:45:00"), 6L)
+  ).toDF("station_code", "station_name", "bikes_available",
+    "docks_available", "last_reported", "seq")
+
+  private lazy val enriched = EnrichJob.enrich(silver, col("seq")).cache()
+
+  test("net_flow: lag per station; first reading per station is null") {
+    val a = enriched.filter($"station_code" === "A")
+      .orderBy("last_reported", "seq")
+      .select("net_flow").as[Option[Int]].collect()
+    assert(a.toSeq == Seq(None, Some(-2), Some(0)))
+    val b = enriched.filter($"station_code" === "B")
+      .select("net_flow").as[Option[Int]].collect()
+    assert(b.toSeq == Seq(None))
+  }
+
+  test("moving_avg_1h: trailing range frame INCLUDES the exactly-1h-old row") {
+    val last = enriched.filter($"station_code" === "A" && $"seq" === 3)
+      .select("moving_avg_1h").as[Double].head()
+    // frame at 11:00 covers 10:00 (exactly 3600s old), 10:30, 11:00
+    assert(math.abs(last - (5 + 3 + 3) / 3.0) < 1e-12)
+  }
+
+  test("moving_avg_1h: equal timestamps are RANGE peers (all included)") {
+    val c = enriched.filter($"station_code" === "C")
+      .select("moving_avg_1h").as[Double].collect().toSet
+    assert(c == Set((9 + 2) / 2.0)) // both rows see both peers
+  }
+
+  test("gold alerts: W1 latest wins by (ts, seq); rules bikes<3 && trend<=0") {
+    val gold = GoldAlerts.alerts(enriched, col("seq"), "INTERVAL 4 HOURS")
+    val rows = gold.select("station_code", "bikes", "alert_level")
+      .collect().map { case Row(c: String, b: Int, l: String) => (c, b, l) }
+      .toSet
+    // A: latest bikes=3 -> not <3 -> no alert.
+    // B: single reading bikes=0 but trend null -> filtered (SQL semantics).
+    // C: tie broken by seq desc -> bikes=2, trend=2-9=-7<=0 -> WARNING_LOW.
+    assert(rows == Set(("C", 2, "WARNING_LOW")))
+  }
+
+  test("criticalAlerts: sparkline ordered by time, semi-join keeps targets only") {
+    val gold = GoldAlerts.alerts(enriched, col("seq"), "INTERVAL 4 HOURS")
+    val out = Serving.criticalAlerts(gold, enriched, col("seq"))
+    val r = out.collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("station_code") == "C")
+    // time-ordered; equal timestamps break by recency rank (most recent
+    // reading last is unknowable on a tie, so rank order is the contract —
+    // mirrored in the oracle SQL's `ORDER BY last_reported ASC, rnk ASC`)
+    assert(row.getSeq[Int](row.fieldIndex("sparkline_data")) == Seq(2, 9))
+  }
+
+  test("healthPipeline: counts, sums, zombie reconciliation") {
+    val nested = Seq(1).toDF("x").select(
+      struct(collect_list(struct(lit("A").as("station_id"))).as("stations"))
+        .as("data"))
+    val h = Serving.healthPipeline(
+      enriched, nested, to_date(lit("2024-01-01"))).collect().head
+    assert(h.getAs[Long]("active_stations_today") == 3L)
+    assert(h.getAs[Long]("total_expected_stations") == 1L)
+    assert(h.getAs[Long]("zombie_stations") == -2L)
+    assert(h.getAs[Double]("total_bikes_available") == 22.0)
+    assert(h.getAs[Long]("empty_readings") == 1L)
+  }
+}
