@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over `documents`
+  * (SURVEY.md §7 step E): token counting, language-ID heuristic, quality
+  * scoring, document fingerprinting. Everything is built from codegen'd
+  * built-in functions (split / higher-order array fns / regexp_count /
+  * md5) — no UDFs — so the whole stage stays inside WholeStageCodegen and
+  * scales linearly with input splits: per-row work only, no shuffle except
+  * the final presentation sort.
+  */
+object TextOps {
+
+  /** English function-word markers used by the lang-ID and quality ops. */
+  private val enMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val frMarkers = Seq("le", "la", "les", "et", "de", "un")
+  private val deMarkers = Seq("der", "die", "das", "und", "ist", "ein")
+  private val esMarkers = Seq("el", "los", "las", "es", "un", "una")
+
+  private def markerCount(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit(_)): _*)))
+
+  private def sqlMarkerCount(markers: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+
+  /** Token counting: whitespace tokens, word-regex tokens, BPE-ish subword
+    * segments, CJK chars. Regexes restricted to the common Java/RE2 subset
+    * (no lookaround) so the oracle is dialect-identical.
+    */
+  def t01TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("n_words"),
+      regexp_count(col("text"),
+        lit("[A-Z]?[a-z]{1,4}|[A-Z]+|[0-9]|[^A-Za-z0-9 ]")).as("n_subwords"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("n_cjk")
+    ).orderBy("doc_id")
+
+  /** Language-ID: function-word frequency heuristic + CJK-script check.
+    * Deterministic priority on ties; 'und' when no marker fires.
+    */
+  def t02LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val sEn = markerCount(t, enMarkers)
+    val sFr = markerCount(t, frMarkers)
+    val sDe = markerCount(t, deMarkers)
+    val sEs = markerCount(t, esMarkers)
+    val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    val best = greatest(sEn, sFr, sDe, sEs)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      sEn.as("score_en"), sFr.as("score_fr"), sDe.as("score_de"),
+      sEs.as("score_es"), sZh.as("score_zh"),
+      when(sZh > 0, "zh")
+        .when(best === 0, "und")
+        .when(sEn === best, "en")
+        .when(sEs === best, "es")
+        .when(sDe === best, "de")
+        .otherwise("fr").as("detected_lang")
+    ).orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/alpha ratios folded into one score.
+    * Single-division doubles and a fixed expression tree keep every value
+    * bit-identical to the oracle.
+    */
+  def t03Quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val nChars = length(col("text"))
+    val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val stop = markerCount(t, enMarkers)
+    val stopRatio = stop.cast("double") / nTok
+    val alphaRatio = alphaChars.cast("double") / nChars
+    val avgTokLen =
+      (nChars - nTok + 1).cast("double") / nTok // chars minus separators
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), nTok.as("n_tokens"), alphaRatio.as("alpha_ratio"),
+      stopRatio.as("stopword_ratio"), avgTokLen.as("avg_token_len"),
+      (lenScore * 0.4 + alphaRatio * 0.3 + stopRatio * 0.3)
+        .as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: 5-char shingles -> md5 -> min/max sketch +
+    * distinct-shingle cardinality; a compact rolling-hash-style signature.
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(length(text)-4, 1))," +
+            " i -> md5(substring(text, i, 5)))")).as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).as("n_distinct_shingles"),
+        array_min(col("hs")).as("min_hash"),
+        array_max(col("hs")).as("max_hash"))
+      .withColumn("fingerprint", md5(concat(col("min_hash"), col("max_hash"))))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_counts" -> (t01TokenCounts _),
+    "t02_langid" -> (t02LangId _),
+    "t03_quality" -> (t03Quality _),
+    "t04_fingerprint" -> (t04Fingerprint _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_counts" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_measured,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+        |  len(regexp_extract_all(text,
+        |    '[A-Z]?[a-z]{1,4}|[A-Z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_subwords,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_langid" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS t,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS score_zh
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, labeled_lang,
+         |    ${sqlMarkerCount(enMarkers)} AS score_en,
+         |    ${sqlMarkerCount(frMarkers)} AS score_fr,
+         |    ${sqlMarkerCount(deMarkers)} AS score_de,
+         |    ${sqlMarkerCount(esMarkers)} AS score_es,
+         |    score_zh
+         |  FROM s
+         |)
+         |SELECT doc_id, labeled_lang, score_en, score_fr, score_de, score_es,
+         |  score_zh,
+         |  CASE WHEN score_zh > 0 THEN 'zh'
+         |       WHEN greatest(score_en, score_fr, score_de, score_es) = 0
+         |         THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es)
+         |         THEN 'en'
+         |       WHEN score_es = greatest(score_en, score_fr, score_de, score_es)
+         |         THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es)
+         |         THEN 'de'
+         |       ELSE 'fr' END AS detected_lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t03_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    CAST(na AS DOUBLE) / nc AS alpha_ratio,
+         |    CAST(${sqlMarkerCount(enMarkers)} AS DOUBLE) / len(t)
+         |      AS stopword_ratio,
+         |    CAST(nc - len(t) + 1 AS DOUBLE) / len(t) AS avg_token_len,
+         |    least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) AS len_score
+         |  FROM b
+         |)
+         |SELECT doc_id, n_tokens, alpha_ratio, stopword_ratio, avg_token_len,
+         |  len_score * 0.4 + alpha_ratio * 0.3 + stopword_ratio * 0.3
+         |    AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text)-4, 1)),
+        |      i -> md5(substring(text, i, 5)))) AS hs
+        |  FROM documents
+        |)
+        |SELECT doc_id, len(hs) AS n_distinct_shingles,
+        |  list_min(hs) AS min_hash, list_max(hs) AS max_hash,
+        |  md5(list_min(hs) || list_max(hs)) AS fingerprint
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}
