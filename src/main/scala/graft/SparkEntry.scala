@@ -18,13 +18,13 @@ object SparkEntry {
     // full-span horizon to guarantee a non-empty alert set.
     ops.CoreOps.criticalChain(spark, "/root/testdata/sf0.001", "INTERVAL 720 HOURS")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 step E). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreOps.queries
+    ops.CoreOps.queries ++ ops.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.CoreOps.oracle
+    ops.CoreOps.oracle ++ ops.TextOps.oracle
 }

@@ -33,8 +33,8 @@ object CoreOps {
   def q03NetFlowMovingAvg(spark: SparkSession, dir: String): DataFrame =
     EnrichJob.enrich(EventsAdapter.silver(spark, dir), seq_)
       .select("station_code", "last_reported", "bikes_available", "net_flow",
-        "moving_avg_1h", "baseline_avg")
-      .orderBy("station_code", "last_reported", "bikes_available")
+        "moving_avg_1h", "baseline_avg", "seq")
+      .orderBy("station_code", "last_reported", "seq")
 
   /** Gold alerts job (P6-P9, W1 over enrichment). */
   def q05GoldAlerts(spark: SparkSession, dir: String): DataFrame =
@@ -245,8 +245,9 @@ object CoreOps {
          |)
          |SELECT t.station_code, tg.station_name, tg.bikes AS current_bikes,
          |       tg.alert_level,
-         |       LIST(t.bikes_available ORDER BY t.last_reported ASC, t.rnk ASC)
-         |         AS sparkline_data
+         |       string_agg(CAST(CAST(t.bikes_available AS DECIMAL(28,6))
+         |           AS VARCHAR), ','
+         |         ORDER BY t.last_reported ASC, t.rnk ASC) AS sparkline_data
          |FROM trends t JOIN targets tg ON t.station_code = tg.station_code
          |GROUP BY t.station_code, tg.station_name, tg.bikes, tg.alert_level
          |ORDER BY current_bikes ASC, t.station_code ASC""".stripMargin,
@@ -254,9 +255,9 @@ object CoreOps {
     "q03_net_flow_moving_avg" ->
       s"""WITH $silverSql, $enrichedSql
          |SELECT station_code, last_reported, bikes_available, net_flow,
-         |       moving_avg_1h, baseline_avg
+         |       moving_avg_1h, baseline_avg, seq
          |FROM enriched
-         |ORDER BY station_code, last_reported, bikes_available""".stripMargin,
+         |ORDER BY station_code, last_reported, seq""".stripMargin,
 
     "q05_gold_alerts" ->
       s"""WITH $silverSql, $enrichedSql, $goldSql
@@ -290,10 +291,11 @@ object CoreOps {
          |           AS total_bikes_available,
          |         CAST(SUM(CAST(docks_available AS DECIMAL(28,6))) AS DOUBLE)
          |           AS total_docks_available,
-         |         SUM(CASE WHEN bikes_available = 0 THEN 1 ELSE 0 END)
-         |           AS empty_readings,
-         |         SUM(CASE WHEN bikes_available > 0 AND bikes_available <= 3
-         |             THEN 1 ELSE 0 END) AS low_readings
+         |         CAST(SUM(CASE WHEN bikes_available = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS empty_readings,
+         |         CAST(SUM(CASE WHEN bikes_available > 0
+         |             AND bikes_available <= 3
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS low_readings
          |  FROM enriched WHERE date = DATE '2024-01-30'
          |),
          |r AS (SELECT count(*) AS total_expected_stations FROM customer)
@@ -310,14 +312,17 @@ object CoreOps {
 
     "q10_conditional_agg" ->
       """SELECT event_type, count(*) AS n,
-        |       SUM(CASE WHEN value <= 1 THEN 1 ELSE 0 END) AS n_low,
-        |       SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS n_high,
+        |       CAST(SUM(CASE WHEN value <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_low,
+        |       CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_high,
         |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q11_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
         |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -43,10 +43,16 @@ object Serving {
       .groupBy(col("station_code"), col("station_name"), col("bikes"),
         col("alert_level"))
       .agg(
-        sort_array(collect_list(struct(
-          col("last_reported"), trends("rank"),
-          col("bikes_available")))).getField("bikes_available")
-          .as("sparkline_data"))
+        // Serialized to a scalar CSV (not an array column) so any
+        // row-hash/sort-based comparator can handle the result; decimal
+        // cast fixes the double->string rendering across engines.
+        array_join(
+          transform(
+            sort_array(collect_list(struct(
+              col("last_reported"), trends("rank"),
+              col("bikes_available")))).getField("bikes_available"),
+            x => x.cast(DecimalType(28, 6)).cast("string")),
+          ",").as("sparkline_data"))
       .withColumnRenamed("bikes", "current_bikes")
       .orderBy(col("current_bikes").asc, col("station_code").asc)
   }

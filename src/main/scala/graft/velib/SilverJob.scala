@@ -45,7 +45,9 @@ object SilverJob {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+    // AvailableNow may split the drain into several micro-batches
+    // (maxFilesPerTrigger); lastProgress alone would undercount.
+    q.recentProgress.map(_.numInputRows).sum
   }
 
   /** Kafka-shaped producer projection (S3): typed columns -> (key, value)

@@ -77,7 +77,7 @@ class VelibPipelineSpec extends SparkTestBase {
     // time-ordered; equal timestamps break by recency rank (most recent
     // reading last is unknowable on a tie, so rank order is the contract —
     // mirrored in the oracle SQL's `ORDER BY last_reported ASC, rnk ASC`)
-    assert(row.getSeq[Int](row.fieldIndex("sparkline_data")) == Seq(2, 9))
+    assert(row.getAs[String]("sparkline_data") == "2.000000,9.000000")
   }
 
   test("healthPipeline: counts, sums, zombie reconciliation") {
