@@ -1,0 +1,291 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines over `documents`
+  * (SURVEY.md §7 step E; `BASELINE.json` north star): exact hash dedup,
+  * MinHash signatures, MinHash+LSH banded near-dup join with exact
+  * Jaccard verification, SimHash fingerprints, and blocked n-gram Jaccard.
+  *
+  * Cross-engine determinism: every hash is `md5` (identical in Spark and
+  * DuckDB), every minimum is a lexicographic string min, and every ratio is
+  * a single double division of exact integer counts — so results are
+  * bit-identical across engines.
+  *
+  * 100 TB posture: no O(n^2) stage anywhere — candidate generation is a
+  * shuffle-join on LSH band keys (each doc emits `bands` rows; only
+  * same-bucket docs ever meet), and the exact-Jaccard verify runs only on
+  * the candidate pairs. Per-doc signature computation is embarrassingly
+  * parallel scan work (higher-order array functions, no shuffle).
+  */
+object DedupOps {
+
+  /** 8-char shingle set of `text`. 5-char shingles (TextOps.t04) are too
+    * coarse for this small-vocabulary corpus: background Jaccard ~0.17
+    * floods the LSH bands with false candidates; at 8 chars background
+    * drops to ~0.04 while planted near-dups stay >= 0.83 (measured on
+    * sf0.1).
+    */
+  private val ShingleLen = 8
+  private val shingles =
+    s"array_distinct(transform(sequence(1, greatest(length(text)-${ShingleLen - 1}, 1))," +
+      s" i -> substring(text, i, $ShingleLen)))"
+
+  private val shinglesSql =
+    s"list_distinct(list_transform(generate_series(1, greatest(length(text)-${ShingleLen - 1}, 1))," +
+      s" i -> substring(text, i, $ShingleLen)))"
+
+  // 5 bands x 3 rows: planted pairs (J>=0.83) collide w.p. 1-(1-J^3)^5
+  // ~ 0.985+; background (J~0.04) w.p. ~3e-4 — O(n) candidates, not O(n^2).
+  private val NumHashes = 15
+  private val BandRows = 3
+  private val P = 1000000007L
+
+  /** One 60-bit integer hash per shingle (a single md5 per shingle); the
+    * 16 minhash functions are a universal-hash family (a_i*x + b_i) mod p
+    * over that base hash — 16x cheaper than 16 independent md5 passes.
+    * Spark `conv(hex,16,10)` and DuckDB `CAST('0x'||hex AS BIGINT)` parse
+    * the same 15-hex-char prefix to the same integer.
+    */
+  private val baseHash =
+    s"transform($shingles, s -> " +
+      s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P)"
+
+  private val baseHashSql =
+    s"list_transform($shinglesSql, s -> " +
+      s"CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P)"
+
+  private def hashA(i: Int): Long = 37L + 61L * i
+  private def hashB(i: Int): Long = 91L + 53L * i
+
+  /** MinHash i over a precomputed base-hash array column `hx`. */
+  private def mh(i: Int): String =
+    s"array_min(transform(hx, h -> (${hashA(i)} * h + ${hashB(i)}) % $P))"
+
+  private def mhSql(i: Int): String =
+    s"list_min(list_transform(hx, h -> (${hashA(i)} * h + ${hashB(i)}) % $P))"
+
+  /** Band key j: md5 over the '-'-joined BandRows minhash values. */
+  private def band(j: Int, f: Int => String): String = {
+    val parts = (j * BandRows until (j + 1) * BandRows).map(f)
+    s"md5(concat_ws('-', ${parts.mkString(", ")}))"
+  }
+
+  private def bandSql(j: Int): String = {
+    val parts = (j * BandRows until (j + 1) * BandRows).map(mhSql)
+    s"md5(concat_ws('-', ${parts.mkString(", ")}))"
+  }
+
+  private val numBands = NumHashes / BandRows
+
+  /** Exact dedup (hash-groupBy): the corpus unioned with a shifted copy of
+    * itself (so true duplicates exist), grouped by content hash, keeping
+    * the smallest doc_id. At scale this is one hash-partitioned shuffle on
+    * a 32-char key — the canonical exact-dedup plan.
+    */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.union(copies)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy("text_hash")
+  }
+
+  /** MinHash signatures + LSH band keys per document. */
+  def d02MinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sig =
+      s"md5(concat_ws('-', ${(0 until NumHashes).map(mh).mkString(", ")}))"
+    val bandCols = (0 until numBands).map(j =>
+      expr(band(j, mh)).as(s"band$j"))
+    Tables.documents(spark, dir)
+      .withColumn("hx", expr(baseHash))
+      .select(col("doc_id") +: expr(sig).as("signature") +: bandCols: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Banded LSH candidate pairs (doc_a < doc_b, distinct across bands). */
+  private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bandArr = (0 until numBands).map(j => band(j, mh))
+      .mkString("array(", ", ", ")")
+    // cached: the self-join below would otherwise recompute the whole
+    // shingle->hash->minhash chain for both sides
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("hx", expr(baseHash))
+      .select(col("doc_id"), posexplode(expr(bandArr)).as(Seq("band", "key")))
+      .cache()
+    val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection with exact-Jaccard verification:
+    * shingle -> minhash -> band -> bucket-join -> explode-join Jaccard,
+    * keeping pairs with J >= 0.8. Only candidate pairs (not all pairs)
+    * reach the verify stage.
+    */
+  def d03LshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(spark, dir)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(shingles)).as("sh"))
+    // set size straight off the (already-distinct) shingle array: no
+    // explode+groupBy round trip
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(s"size($shingles)").cast("long").as("n_sh"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 16 hex-position majority votes over per-token md5 digests ->
+    * 16-bit fingerprint. Near-identical token multisets collapse to the
+    * same signature; at scale, grouping on the signature (or signature
+    * bands) is a pure hash shuffle.
+    */
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    // per-token digests computed ONCE into a column; the 16 bit
+    // expressions below only fold over it
+    def bit(j: Int): String =
+      s"CASE WHEN 2 * aggregate(th, 0L, (acc, h) -> acc + " +
+        s"(instr('0123456789abcdef', substring(h, $j, 1)) - 1)) > " +
+        s"15 * size(th) THEN '1' ELSE '0' END"
+    val sig = (1 to 16).map(bit).mkString("concat(", ", ", ")")
+    Tables.documents(spark, dir)
+      .withColumn("th", expr("transform(split(text, ' '), t -> md5(t))"))
+      .select(col("doc_id"), expr(sig).as("simhash"),
+        size(col("th")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocked token-3-gram Jaccard: block on a 40-char prefix (cheap
+    * equality blocker), compare blocked pairs by word-trigram overlap.
+    */
+  def d05NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ngrams =
+      "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-2, 1))," +
+        " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+    // cached: both sides of the blocked self-join reuse the ngram arrays
+    val g = Tables.documents(spark, dir).select(
+      col("doc_id"), substring(col("text"), 1, 40).as("blk"),
+      expr(ngrams).as("ng"))
+      .cache()
+    val pairs = g.select(col("doc_id").as("doc_a"), col("blk"), col("ng").as("ng_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("blk"), col("ng").as("ng_b")), Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+    pairs.select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ng_a"), col("ng_b"))).cast("long").as("n_common"),
+        size(col("ng_a")).cast("long").as("n_a"),
+        size(col("ng_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_minhash_signatures" -> (d02MinhashSignatures _),
+    "d03_lsh_near_dup" -> (d03LshNearDup _),
+    "d04_simhash" -> (d04Simhash _),
+    "d05_ngram_jaccard" -> (d05NgramJaccard _)
+  )
+
+  private val bandsSqlList = (0 until numBands).map(bandSql)
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |)
+        |SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        |       min(doc_id) AS keeper_doc_id
+        |FROM u GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "d02_minhash_signatures" ->
+      s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents)
+         |SELECT doc_id,
+         |  md5(concat_ws('-', ${(0 until NumHashes).map(mhSql).mkString(", ")}))
+         |    AS signature,
+         |  ${bandsSqlList.zipWithIndex
+              .map { case (b, j) => s"$b AS band$j" }.mkString(",\n  ")}
+         |FROM hxt ORDER BY doc_id""".stripMargin,
+
+    "d03_lsh_near_dup" ->
+      s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, unnest([${bandsSqlList.mkString(", ")}]) AS key,
+         |         unnest([${(0 until numBands).mkString(", ")}]) AS band
+         |  FROM hxt
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id
+         |),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_common, za.n_sh AS n_a, zb.n_sh AS n_b,
+         |       CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)
+         |         AS jaccard
+         |FROM common
+         |JOIN sizes za ON za.doc_id = doc_a
+         |JOIN sizes zb ON zb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d04_simhash" -> {
+      def bitSql(j: Int): String =
+        s"CASE WHEN 2 * list_sum(list_transform(string_split(text, ' '), " +
+          s"t -> strpos('0123456789abcdef', substring(md5(t), $j, 1)) - 1)) > " +
+          s"15 * len(string_split(text, ' ')) THEN '1' ELSE '0' END"
+      s"""SELECT doc_id,
+         |  ${(1 to 16).map(bitSql).mkString(" || ")} AS simhash,
+         |  len(string_split(text, ' ')) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d05_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS blk,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS ng
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.ng, b.ng)) AS n_common,
+        |         len(a.ng) AS n_a, len(b.ng) AS n_b
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, n_common, n_a, n_b,
+        |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        |FROM p
+        |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors;
+  * SURVEY.md §7 step E): brute-force cosine top-k as the exactness
+  * baseline, a sign-LSH bucketed ANN as the scale path, and
+  * embedding-cosine near-dup pairs.
+  *
+  * Cross-engine determinism: each vector is quantized once to scaled
+  * integers (round(x*1e6), identical in both engines since float->double
+  * is exact), dot products and squared norms are then exact integer sums
+  * (order-independent), and the final cosine is a single fixed double
+  * expression tree — so cosines, and thus rankings, are bit-identical
+  * vs the oracle.
+  *
+  * 100 TB posture: the query set is broadcast (top-k search is a
+  * broadcast-nested-loop over the candidate scan — no shuffle of the big
+  * side; the per-partition top-k then combines via the window's single
+  * shuffle of k*|queries| rows). The ANN variant buckets both sides by
+  * sign-LSH key first, so each vector only meets its bucket — the same
+  * plan shape an IVF coarse quantizer would give, with the bucket id
+  * as the partition key.
+  */
+object SimOps {
+
+  /** Vectors are quantized ONCE per row to scaled integers
+    * (round(x*1e6) as BIGINT); every later dot product is then a pure
+    * integer zip_with+aggregate (higher-order functions — no UDF,
+    * SURVEY.md §2.9): order-independent, exact, and ~1e-6 cosine error
+    * that is IDENTICAL in both engines (a per-pair double->decimal path
+    * would be 16x more per-element work in the pair loop).
+    */
+  private val quantize =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+
+  /** Integer dot product of two quantized arrays. */
+  private def dotSq(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** cosine(q, v): the 1e6 scale cancels between dot and norms. */
+  private val cosine: Column =
+    col("dot").cast("double") /
+      (sqrt(col("qnorm").cast("double")) * sqrt(col("vnorm").cast("double")))
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("qv", expr(quantize))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("label"),
+        expr(dotSq("qv", "qv")).as("vnorm"))
+
+  /** Brute-force cosine top-10 for each query vector (vec_id % 50 = 0). */
+  def s01KnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("qid"), col("qv").as("qemb"),
+      col("vnorm").as("qnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Sign-LSH bucket key: sign bits of the first `bits` components.
+    * An axis-aligned random-projection LSH — the scale path that turns
+    * all-pairs search into a per-bucket search.
+    */
+  private def signKey(arr: String, bits: Int): String =
+    (1 to bits).map(i =>
+      s"CASE WHEN CAST(element_at($arr, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+
+  private def signKeySql(arr: String, bits: Int): String =
+    (1 to bits).map(i =>
+      s"CASE WHEN CAST($arr[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+
+  /** Bucketed ANN: top-5 per query among same-bucket vectors only. */
+  def s02LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+      .withColumn("bucket", expr(signKey("embedding", 4)))
+    val q = v.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("qid"), col("qv").as("qemb"),
+      col("vnorm").as("qnorm"), col("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cosine"), col("bucket"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding-cosine near-dup: same-bucket pairs with cosine >= 0.35. */
+  def s03EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // cached: both sides of the bucket self-join reuse the quantized rows
+    val v = vectors(spark, dir)
+      .withColumn("bucket", expr(signKey("embedding", 4)))
+      .cache()
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      col("qv").as("emb_a"), col("vnorm").as("qnorm"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+      col("qv").as("emb_b"), col("vnorm").as("vnorm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(dotSq("emb_a", "emb_b")))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("bucket"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_bruteforce" -> (s01KnnBruteforce _),
+    "s02_lsh_ann" -> (s02LshAnn _),
+    "s03_embed_neardup" -> (s03EmbedNearDup _)
+  )
+
+  /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
+  private val unnestSql =
+    """u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, SUM(x * x) AS normsq
+      |  FROM u GROUP BY vec_id
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s01_knn_bruteforce" ->
+      s"""WITH $unnestSql,
+         |d AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |         SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "s02_lsh_ann" ->
+      s"""WITH $unnestSql,
+         |e AS (
+         |  SELECT vec_id, ${signKeySql("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |         SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  JOIN e eq ON eq.vec_id = q.vec_id
+         |  JOIN e ev ON ev.vec_id = v.vec_id AND ev.bucket = eq.bucket
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine,
+         |       (SELECT bucket FROM e WHERE e.vec_id = qid) AS bucket
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "s03_embed_neardup" ->
+      s"""WITH $unnestSql,
+         |e AS (
+         |  SELECT vec_id, ${signKeySql("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |),
+         |d AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         SUM(a.x * b.x) AS dot
+         |  FROM u a JOIN u b USING (i)
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.bucket = ea.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id
+         |),
+         |c AS (
+         |  SELECT id_a, id_b, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.normsq AS DOUBLE)) * sqrt(CAST(nb.normsq AS DOUBLE)))
+         |      AS cosine,
+         |    (SELECT bucket FROM e WHERE e.vec_id = id_a) AS bucket
+         |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |)
+         |SELECT id_a, id_b, cosine, bucket FROM c
+         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  )
+}

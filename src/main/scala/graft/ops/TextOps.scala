@@ -33,12 +33,12 @@ object TextOps {
   def t01TokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      length(col("text")).as("n_chars_measured"),
-      size(split(col("text"), " ")).as("n_ws_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("n_words"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("n_words"),
       regexp_count(col("text"),
-        lit("[A-Z]?[a-z]{1,4}|[A-Z]+|[0-9]|[^A-Za-z0-9 ]")).as("n_subwords"),
-      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("n_cjk")
+        lit("[A-Z]?[a-z]{1,4}|[A-Z]+|[0-9]|[^A-Za-z0-9 ]")).cast("long").as("n_subwords"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long").as("n_cjk")
     ).orderBy("doc_id")
 
   /** Language-ID: function-word frequency heuristic + CJK-script check.
@@ -54,8 +54,9 @@ object TextOps {
     val best = greatest(sEn, sFr, sDe, sEs)
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang").as("labeled_lang"),
-      sEn.as("score_en"), sFr.as("score_fr"), sDe.as("score_de"),
-      sEs.as("score_es"), sZh.as("score_zh"),
+      sEn.cast("long").as("score_en"), sFr.cast("long").as("score_fr"),
+      sDe.cast("long").as("score_de"), sEs.cast("long").as("score_es"),
+      sZh.cast("long").as("score_zh"),
       when(sZh > 0, "zh")
         .when(best === 0, "und")
         .when(sEn === best, "en")
@@ -81,7 +82,7 @@ object TextOps {
       (nChars - nTok + 1).cast("double") / nTok // chars minus separators
     val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
     Tables.documents(spark, dir).select(
-      col("doc_id"), nTok.as("n_tokens"), alphaRatio.as("alpha_ratio"),
+      col("doc_id"), nTok.cast("long").as("n_tokens"), alphaRatio.as("alpha_ratio"),
       stopRatio.as("stopword_ratio"), avgTokLen.as("avg_token_len"),
       (lenScore * 0.4 + alphaRatio * 0.3 + stopRatio * 0.3)
         .as("quality_score")
@@ -98,7 +99,7 @@ object TextOps {
           "transform(sequence(1, greatest(length(text)-4, 1))," +
             " i -> md5(substring(text, i, 5)))")).as("hs"))
       .select(col("doc_id"),
-        size(col("hs")).as("n_distinct_shingles"),
+        size(col("hs")).cast("long").as("n_distinct_shingles"),
         array_min(col("hs")).as("min_hash"),
         array_max(col("hs")).as("max_hash"))
       .withColumn("fingerprint", md5(concat(col("min_hash"), col("max_hash"))))
