@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7 step E). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.TextOps.queries ++
-      ops.DedupOps.queries ++ ops.SimOps.queries
+      ops.DedupOps.queries ++ ops.SimOps.queries ++ ops.RelOps.queries ++
+      ops.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracle ++ ops.TextOps.oracle ++
-      ops.DedupOps.oracle ++ ops.SimOps.oracle
+      ops.DedupOps.oracle ++ ops.SimOps.oracle ++ ops.RelOps.oracle ++
+      ops.MediaOps.oracle
 }

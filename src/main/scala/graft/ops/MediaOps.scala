@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal row: an opaque binary payload plus typed metadata — the
+  * schema shape a 100 TB image/audio/video corpus would use (payload from
+  * object storage or inlined; metadata columns prunable without touching
+  * payload bytes).
+  */
+case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoded/feature-extracted output of the stub decoder. */
+case class MediaFeatures(
+    doc_id: Long,
+    kind: String,
+    n_bytes: Long,
+    mean_byte: Double,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    histo4: Array[Long])
+
+/** Multimodal-column operators (SURVEY.md §7 step E / builder brief):
+  * image/audio/video as opaque `binary` columns with typed metadata.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`StubCodec`) — but the Spark-side
+  * plumbing is real: binary payload column, schema, partition-preserving
+  * `mapPartitions` with batch iteration (the Scala twin of `mapInPandas`:
+  * one iterator per partition, vectorizable batch shape), and typed
+  * `Dataset[MediaFeatures]` output.
+  *
+  * m01 keeps the metadata path fully relational (oracle-checked): payload
+  * built with `encode`, lengths/headers/shape fields derived with
+  * codegen'd built-ins — the plan a metadata-only scan should have
+  * (payload column pruned when untouched).
+  */
+object MediaOps {
+
+  /** Deterministic fake decoder: derives "decoded" properties purely from
+    * payload bytes. A real deployment swaps this object for a JNI/codec
+    * call with the same signature; everything around it is unchanged.
+    */
+  object StubCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = row.payload
+      val n = bytes.length.toLong
+      val mean =
+        if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / n
+      // fake dimensions from the first payload bytes (stable, codec-free)
+      val b0 = if (n > 0) bytes(0) & 0xff else 0
+      val b1 = if (n > 1) bytes(1) & 0xff else 0
+      val width = 64 + (b0 % 8) * 32
+      val height = 64 + (b1 % 8) * 32
+      val nFrames = if (row.kind == "video") 1 + (n % 240).toInt else 1
+      val histo = Array.fill(4)(0L)
+      bytes.foreach(b => histo((b & 0xff) / 64) += 1)
+      MediaFeatures(row.doc_id, row.kind, n, mean, width, height, nFrames, histo)
+    }
+  }
+
+  /** documents.text masqueraded as a binary payload with a media kind. */
+  private def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Relational metadata extraction over binary payloads (oracle-checked):
+    * byte length, hex header, hash-derived shape fields. No decode — the
+    * payload stays opaque; at scale this plan reads only the columns it
+    * projects.
+    */
+  def m01MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("header_hex"),
+        (expr("CAST(conv(substring(md5(payload), 1, 4), 16, 10) AS BIGINT)")
+          % 1856 + 64).as("pseudo_width"),
+        (expr("CAST(conv(substring(md5(payload), 5, 4), 16, 10) AS BIGINT)")
+          % 1024 + 64).as("pseudo_height"))
+      .orderBy("doc_id")
+
+  /** Batched stub decode + feature extraction via mapPartitions: the
+    * partition-preserving narrow transform a real decoder would run in
+    * (no shuffle; each task decodes its own split's rows).
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Driver-checkable wrapper (rows-only check: mapPartitions decode is
+    * not SQL-expressible, so no oracle entry — the driver records a
+    * weaker rows>0 check for it).
+    */
+  def m02MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(mediaTable(spark, dir).as[MediaRow])
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("mean_byte"),
+        col("width"), col("height"), col("n_frames"),
+        expr("concat_ws(',', transform(histo4, x -> CAST(x AS STRING)))")
+          .as("histo4_csv"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling over "video" payloads: every 100th byte as a frame
+    * marker via higher-order functions (the relational skeleton of
+    * frame-extraction: pos list -> per-pos slice).
+    */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("kind") === "video")
+      .select(col("doc_id"),
+        expr("transform(sequence(1, greatest(length(payload), 1), 100)," +
+          " p -> hex(substring(payload, p, 2)))").as("frames"))
+      .select(col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        concat_ws(",", col("frames")).as("frames_hex"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta" -> (m01MediaMeta _),
+    "m02_media_features" -> (m02MediaFeatures _),
+    "m03_frame_sample" -> (m03FrameSample _)
+  )
+
+  /** m02 intentionally absent: mapPartitions decode has no SQL oracle. */
+  val oracle: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         encode(text) AS payload, text
+        |  FROM documents
+        |)
+        |SELECT doc_id, kind,
+        |       octet_length(payload) AS n_bytes,
+        |       hex(substring(text, 1, 4)) AS header_hex,
+        |       CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) % 1856 + 64
+        |         AS pseudo_width,
+        |       CAST('0x' || substring(md5(text), 5, 4) AS BIGINT) % 1024 + 64
+        |         AS pseudo_height
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "m03_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(length(text), 1), 100),
+        |      p -> hex(substring(text, p, 2))) AS frames
+        |  FROM m
+        |)
+        |SELECT doc_id, len(frames) AS n_frames,
+        |       array_to_string(frames, ',') AS frames_hex
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}

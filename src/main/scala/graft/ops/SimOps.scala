@@ -66,8 +66,8 @@ object SimOps {
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
-        col("cosine"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -100,8 +100,8 @@ object SimOps {
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
-        col("cosine"), col("bucket"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"), col("bucket"))
       .orderBy("qid", "rank")
   }
 

