@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JVM/codegen/parquet-reader paths so the first timed query
+    // isn't charged for session initialization.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try Tables.events(spark, sfDir).limit(1).collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
