@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM inner loops for the two hot per-row kernels. Called from generated
+  * code (one static call per row, loop inside) — this keeps whole-stage
+  * codegen intact while avoiding per-element Catalyst interpretation,
+  * which profiling showed dominates d03/s0x at bench scale (SURVEY.md §4
+  * nominated a custom expression as exactly this fallback).
+  *
+  * Values are BIT-IDENTICAL to the built-in formulations they replace
+  * (and to the DuckDB oracle): same md5, same 15-hex-char prefix parse,
+  * same (a_i*x + b_i) mod p family, same int64 dot product.
+  */
+object GraftHash {
+  val P = 1000000007L
+  val NumHashes = 15
+  val ShingleLen = 8
+
+  /** MinHash signature over ShingleLen-char shingles of `text`:
+    * element j = min over shingles of ((37+61j)*x + (91+53j)) mod P,
+    * x = first 15 hex chars of md5(shingle) mod P. Equivalent to the
+    * array_min(transform(...)) chain in DedupOps' oracle SQL (multiset
+    * min == set min, so no distinct pass is needed).
+    */
+  def signature(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val n = math.max(len - (ShingleLen - 1), 1)
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val sh = s.substring(i, math.min(i + ShingleLen, len))
+      md.reset()
+      val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var x = 0L
+      var k = 0
+      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+      x = ((x << 4) | ((d(7) & 0xf0L) >> 4)) % P
+      var j = 0
+      while (j < NumHashes) {
+        val g = ((37L + 61L * j) * x + (91L + 53L * j)) % P
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** int64 dot product of two equal-length long arrays. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
+/** graft_minhash(text) -> array<bigint> of GraftHash.NumHashes minhashes. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash needs a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.signature(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.signature($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** graft_long_dot(array<bigint>, array<bigint>) -> bigint. */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_long_dot needs two array<bigint> arguments, " +
+        s"got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_long_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration (idempotent) so `expr("graft_minhash(...)")`
+  * resolves; `GraftExtensions` is the spark.sql.extensions deployment
+  * path for the same functions.
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> ((es: Seq[Expression]) => MinHashSig(es.head)),
+    "graft_long_dot" -> ((es: Seq[Expression]) => LongDot(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name), builder))
+    }
+}

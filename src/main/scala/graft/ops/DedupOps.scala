@@ -39,20 +39,16 @@ object DedupOps {
 
   // 5 bands x 3 rows: planted pairs (J>=0.83) collide w.p. 1-(1-J^3)^5
   // ~ 0.985+; background (J~0.04) w.p. ~3e-4 — O(n) candidates, not O(n^2).
-  private val NumHashes = 15
+  private val NumHashes = graft.functions.GraftHash.NumHashes // 15
   private val BandRows = 3
-  private val P = 1000000007L
+  private val P = graft.functions.GraftHash.P
 
   /** One 60-bit integer hash per shingle (a single md5 per shingle); the
     * 16 minhash functions are a universal-hash family (a_i*x + b_i) mod p
     * over that base hash — 16x cheaper than 16 independent md5 passes.
-    * Spark `conv(hex,16,10)` and DuckDB `CAST('0x'||hex AS BIGINT)` parse
-    * the same 15-hex-char prefix to the same integer.
+    * DuckDB `CAST('0x'||hex AS BIGINT)` parses the same 15-hex-char
+    * prefix as GraftHash.signature's byte-wise fold.
     */
-  private val baseHash =
-    s"transform($shingles, s -> " +
-      s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P)"
-
   private val baseHashSql =
     s"list_transform($shinglesSql, s -> " +
       s"CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P)"
@@ -60,9 +56,13 @@ object DedupOps {
   private def hashA(i: Int): Long = 37L + 61L * i
   private def hashB(i: Int): Long = 91L + 53L * i
 
-  /** MinHash i over a precomputed base-hash array column `hx`. */
-  private def mh(i: Int): String =
-    s"array_min(transform(hx, h -> (${hashA(i)} * h + ${hashB(i)}) % $P))"
+  /** MinHash i off the codegen'd signature column `sig`
+    * (graft.functions.MinHashSig): same values as
+    * array_min(transform(hx, h -> (a_i*h + b_i) % p)) — the form the
+    * oracle SQL keeps — but one JVM pass per row instead of 15
+    * interpreted array traversals.
+    */
+  private def mh(i: Int): String = s"element_at(sig, ${i + 1})"
 
   private def mhSql(i: Int): String =
     s"list_min(list_transform(hx, h -> (${hashA(i)} * h + ${hashB(i)}) % $P))"
@@ -100,8 +100,9 @@ object DedupOps {
       s"md5(concat_ws('-', ${(0 until NumHashes).map(mh).mkString(", ")}))"
     val bandCols = (0 until numBands).map(j =>
       expr(band(j, mh)).as(s"band$j"))
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("hx", expr(baseHash))
+      .withColumn("sig", expr("graft_minhash(text)"))
       .select(col("doc_id") +: expr(sig).as("signature") +: bandCols: _*)
       .orderBy("doc_id")
   }
@@ -112,8 +113,9 @@ object DedupOps {
       .mkString("array(", ", ", ")")
     // cached: the self-join below would otherwise recompute the whole
     // shingle->hash->minhash chain for both sides
+    graft.functions.GraftFunctions.register(spark)
     val keyed = Tables.documents(spark, dir)
-      .withColumn("hx", expr(baseHash))
+      .withColumn("sig", expr("graft_minhash(text)"))
       .select(col("doc_id"), posexplode(expr(bandArr)).as(Seq("band", "key")))
       .cache()
     val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
@@ -131,20 +133,23 @@ object DedupOps {
     */
   def d03LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val cand = lshCandidates(spark, dir)
+    // verify on the candidate pairs only: join the (cached) per-doc
+    // shingle ARRAYS to each side and take a hash-based array_intersect —
+    // candidates are O(n), so this beats re-exploding the corpus into a
+    // (doc, shingle) join twice
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(shingles)).as("sh"))
-    // set size straight off the (already-distinct) shingle array: no
-    // explode+groupBy round trip
-    val sizes = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(s"size($shingles)").cast("long").as("n_sh"))
-    val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_id"), expr(shingles).as("sh_arr"))
+      .cache()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.8)

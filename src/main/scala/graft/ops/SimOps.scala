@@ -37,20 +37,26 @@ object SimOps {
   private val quantize =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
 
-  /** Integer dot product of two quantized arrays. */
+  /** Integer dot product of two quantized arrays — the codegen'd
+    * graft_long_dot kernel (graft.functions.LongDot): same values as
+    * aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +) but one JVM loop
+    * per pair instead of interpreted per-element lambdas.
+    */
   private def dotSq(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    s"graft_long_dot($a, $b)"
 
   /** cosine(q, v): the 1e6 scale cancels between dot and norms. */
   private val cosine: Column =
     col("dot").cast("double") /
       (sqrt(col("qnorm").cast("double")) * sqrt(col("vnorm").cast("double")))
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("qv", expr(quantize))
       .select(col("vec_id"), col("embedding"), col("qv"), col("label"),
         expr(dotSq("qv", "qv")).as("vnorm"))
+  }
 
   /** Brute-force cosine top-10 for each query vector (vec_id % 50 = 0). */
   def s01KnnBruteforce(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The codegen'd kernels must be value-identical to the built-in HOF
+  * formulations they replaced (which is what the DuckDB oracle still
+  * states).
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_minhash equals the conv(md5)/universal-hash HOF chain") {
+    GraftFunctions.register(spark)
+    val p = GraftHash.P
+    val texts = Seq("the quick brown fox jumps", "ab", "x" * 200, "déjà vu ok")
+      .toDF("text")
+    val hx = s"transform(array_distinct(transform(sequence(1, " +
+      s"greatest(length(text)-7, 1)), i -> substring(text, i, 8))), " +
+      s"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $p)"
+    val mhs = (0 until GraftHash.NumHashes).map(i =>
+      s"array_min(transform($hx, h -> ((${37 + 61 * i} * h + ${91 + 53 * i}) % $p)))")
+    val both = texts.selectExpr(
+      "graft_minhash(text) AS fast",
+      mhs.mkString("array(", ", ", ") AS slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_long_dot equals aggregate(zip_with(...)) and is codegen-safe") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 2L), Seq(3L, 9L, -1L))).toDF("a", "b")
+    val r = df.selectExpr("graft_long_dot(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS slow")
+    assert(r.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(r.select("fast").as[Long].collect().toSeq == Seq(32L, -23L))
+  }
+
+  test("GraftExtensions injects working builders for every function") {
+    // (a session-level spark.sql.extensions round trip would need a fresh
+    // JVM — getOrCreate would hand back the suite session — so exercise
+    // the injection hook and the builders directly)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val dot = GraftFunctions.all.toMap.apply("graft_long_dot")(Seq(
+      Literal.create(Seq(2L, 3L)), Literal.create(Seq(10L, 1L))))
+    assert(dot.eval(null) == 23L)
+    val sig = GraftFunctions.all.toMap.apply("graft_minhash")(Seq(
+      Literal.create("hello world")))
+    assert(sig.dataType.simpleString == "array<bigint>")
+    assert(sig.eval(null).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData].numElements() ==
+      GraftHash.NumHashes)
+  }
+}
