@@ -125,7 +125,47 @@ object RelOps {
       .orderBy("custkey")
   }
 
+  /** Distinct-cardinality sketch (HLL++): the shuffle-light scale path for
+    * A4's COUNT(DISTINCT) (SURVEY.md §2.4). No oracle — sketch estimates
+    * are engine-specific, so the driver records a rows-only check; the
+    * exact answer rides along for in-result sanity comparison.
+    */
+  def w06ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Skew-salted aggregation: the manual two-stage plan for a hot
+    * grouping key — stage 1 aggregates on (key, salt) spreading a skewed
+    * key over 16 reducers, stage 2 merges partials per key. Results are
+    * identical to a direct groupBy (the oracle states the direct form);
+    * at 100 TB this is the fallback when AQE skew handling can't split a
+    * single monster hash-agg key.
+    */
+  def w07SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(28, 6))).as("psum"),
+        min(col("value")).as("pmin"),
+        max(col("value")).as("pmax"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).cast("long").as("n"),
+        sum(col("psum")).cast("double").as("sum_value"),
+        min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w06_approx_distinct" -> (w06ApproxDistinct _),
+    "w07_salted_agg" -> (w07SaltedAgg _),
     "w01_tumbling_agg" -> (w01TumblingAgg _),
     "w02_sessionization" -> (w02Sessionization _),
     "w03_asof_join" -> (w03AsofJoin _),
@@ -134,6 +174,13 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w07_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |         AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "w01_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         |       count(*) AS n,

@@ -106,11 +106,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF with a log-free idf ratio ((N+1)/(df+1): Spark's log and
+    * DuckDB's ln may differ in the last ulp, a ratio cannot), top-3 terms
+    * per document. Plan: one explode + three hash aggregations sharing
+    * the token/doc keys + broadcast scalar doc count + window top-k.
+    */
+  def t05Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_count"))
+    val totals = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(totals, Seq("doc_id"))
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf_count").cast("double") / col("n_tokens")) *
+          ((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "token", "tf_count", "df", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_langid" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
-    "t04_fingerprint" -> (t04Fingerprint _)
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_tfidf" -> (t05Tfidf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +198,28 @@ object TextOps {
          |  len_score * 0.4 + alpha_ratio * 0.3 + stopword_ratio * 0.3
          |    AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t05_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, token, count(*) AS tf_count
+        |       FROM tok GROUP BY doc_id, token),
+        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |x AS (
+        |  SELECT tf.doc_id, tf.token, tf_count, df,
+        |         (CAST(tf_count AS DOUBLE) / n_tokens) *
+        |         (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+        |  FROM tf JOIN tot USING (doc_id) JOIN dfreq USING (token)
+        |  CROSS JOIN nd
+        |)
+        |SELECT doc_id, token, tf_count, df, tfidf, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token ASC) AS rnk FROM x)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH h AS (

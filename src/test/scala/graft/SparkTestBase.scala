@@ -10,6 +10,8 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_warehouse_${sys.props.getOrElse("user.name", "u")}")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.velib.EnrichJob
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source-side coverage: the GBFS-style nested JSON dimension read
+  * (SURVEY.md S2/S12/P14), the dimension-enrichment join (J4), and
+  * shuffle-free bucketed co-located joins (the 100 TB fact-fact path).
+  */
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("S12+P14: multiLine nested JSON -> explode -> dimension join (J4)") {
+    val dir = Files.createTempDirectory("graft_gbfs")
+    val json =
+      """{"data": {"stations": [
+        |  {"station_id": "A", "name": "Alpha", "capacity": 20, "lat": 48.8, "lon": 2.3},
+        |  {"station_id": "B", "name": "Beta",  "capacity": 30, "lat": 48.9, "lon": 2.4},
+        |  {"station_id": "Z", "name": "Zombie", "capacity": 10, "lat": 48.7, "lon": 2.2}
+        |]}, "last_updated": 1700000000}""".stripMargin
+    Files.writeString(dir.resolve("station_information.json"), json)
+    val nested = spark.read.option("multiLine", true).json(dir.toString)
+    val dim = nested.select(explode(col("data.stations")).as("s"))
+      .select(col("s.station_id").as("station_id"), col("s.name").as("name"),
+        col("s.capacity").as("capacity"))
+    assert(dim.count() == 3)
+
+    val status = Seq(("A", "stale-name", 5), ("B", "stale-name", 2),
+      ("A", "stale-name", 7))
+      .toDF("station_code", "station_name", "bikes_available")
+    val enriched = EnrichJob.withDimension(status, dim)
+    val names = enriched.select("station_code", "station_name")
+      .distinct().as[(String, String)].collect().toMap
+    assert(names == Map("A" -> "Alpha", "B" -> "Beta"))
+    // a station missing from the dimension keeps a null name (left join)
+    val orphan = EnrichJob.withDimension(
+      Seq(("X", "n", 1)).toDF("station_code", "station_name", "bikes_available"),
+      dim)
+    assert(orphan.select("station_name").first().isNullAt(0))
+  }
+
+  test("bucketed co-located join: no shuffle exchange in the plan") {
+    val db = "graft_bucketed_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      graft.Tables.orders(spark, sf0001)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"$db.orders_b")
+      graft.Tables.customer(spark, sf0001)
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"$db.customer_b")
+      // broadcast off so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val physical = j.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join should be shuffle-free, got:\n$physical")
+      assert(j.count() ==
+        graft.Tables.orders(spark, sf0001).join(
+          graft.Tables.customer(spark, sf0001),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
