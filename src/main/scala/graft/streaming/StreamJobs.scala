@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Typed rows for the custom-state example. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserMaxState(user_id: Long, max_value: Double, n: Long)
 
 /** Streaming-native analytics (SURVEY.md §2.8 T4/T5 upgrade): the
   * reference does all time-windowing in batch; these transforms run the
@@ -51,4 +56,35 @@ object StreamJobs {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup by event id: first occurrence wins, state
+    * bounded by the watermark (late duplicates beyond 10 minutes age out
+    * of the dedup state — the only way dedup state stays finite on an
+    * unbounded stream).
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  /** Custom keyed state (SURVEY.md §2.8 T6 upgrade): running per-user
+    * max/count via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset API a bespoke streaming accumulator uses when
+    * windowed aggs can't express it.
+    */
+  def runningUserMax(events: Dataset[UserEvent]): Dataset[UserMaxState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[UserEvent],
+         state: GroupState[UserMaxState]) => {
+          val prev = state.getOption
+            .getOrElse(UserMaxState(uid, Double.NegativeInfinity, 0L))
+          var mx = prev.max_value
+          var n = prev.n
+          rows.foreach { r => if (r.value > mx) mx = r.value; n += 1 }
+          val next = UserMaxState(uid, mx, n)
+          state.update(next)
+          Iterator(next)
+        })
+  }
 }

@@ -54,6 +54,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("dedupedStream: duplicate event ids across batches emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.dedupedStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(rows.take(3): _*) // exact duplicates of earlier events
+    mem.addData(Ev(6, ts("2024-01-01 12:42:00"), 1, "a", 6.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup")
+    assert(got.count() == 6) // 5 originals + 1 new; re-sends dropped
+    assert(got.select("event_id").distinct().count() == 6)
+  }
+
+  test("runningUserMax: flatMapGroupsWithState carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamJobs.runningUserMax(mem.toDS())
+      .writeStream.format("memory").queryName("usermax")
+      .outputMode("update").start()
+    mem.addData(UserEvent(1, 5.0), UserEvent(1, 3.0), UserEvent(2, 7.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, 9.0), UserEvent(2, 1.0))
+    q.processAllAvailable(); q.stop()
+    // last update per user reflects all batches
+    val last = spark.table("usermax")
+      .groupBy("user_id")
+      .agg(max("n").as("n"), max("max_value").as("mx"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last == Set((1L, 3L, 9.0), (2L, 2L, 7.0)))
+  }
+
   test("runStream: AvailableNow drains all files once; checkpoint restart is exactly-once") {
     val dir = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
