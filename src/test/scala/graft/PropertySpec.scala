@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.GraftHash
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based coverage (SURVEY.md §5.3). Kernel properties are pure;
+  * the Spark-backed dedup property keeps the iteration count small.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))))
+
+  property("minhash signature has NumHashes elements in [0, P)") =
+    Prop.forAll(asciiText) { s =>
+      val sig = GraftHash.signature(UTF8String.fromString(s))
+      sig.numElements() == GraftHash.NumHashes &&
+        (0 until sig.numElements()).forall { i =>
+          val v = sig.getLong(i); v >= 0 && v < GraftHash.P
+        }
+    }
+
+  property("appending a suffix never raises any minhash (shingle subset)") =
+    // only meaningful once `a` holds at least one full shingle: shorter
+    // texts hash their padded remainder, which the suffix rewrites
+    Prop.forAll(asciiText, asciiText) { (a, suffix) =>
+      import org.scalacheck.Prop.propBoolean
+      (a.length >= GraftHash.ShingleLen) ==> {
+        val s1 = GraftHash.signature(UTF8String.fromString(a))
+        val s2 = GraftHash.signature(UTF8String.fromString(a + suffix))
+        (0 until GraftHash.NumHashes).forall(i => s2.getLong(i) <= s1.getLong(i))
+      }
+    }
+
+  property("identical texts have identical signatures (dedup soundness)") =
+    Prop.forAll(asciiText) { s =>
+      val a = GraftHash.signature(UTF8String.fromString(s))
+      val b = GraftHash.signature(UTF8String.fromString(s))
+      (0 until GraftHash.NumHashes).forall(i => a.getLong(i) == b.getLong(i))
+    }
+
+  property("long dot product is commutative and linear in scaling") =
+    Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)),
+      Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L))) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val (aa, bb) = (new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val doubled = new GenericArrayData(a.map(_ * 2).toArray)
+      GraftHash.dot(aa, bb) == GraftHash.dot(bb, aa) &&
+        GraftHash.dot(doubled, bb) == 2 * GraftHash.dot(aa, bb)
+    }
+}
+
+/** Spark-backed properties: latest-per-key dedup (W1) and sessionization
+  * invariants on generated event sets. Few iterations — each runs jobs.
+  */
+object SparkWindowProps extends Properties("spark-windows") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val eventsGen: Gen[List[(String, Long, Long, Int)]] =
+    Gen.chooseNum(1, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        key <- Gen.oneOf("A", "B", "C")
+        ts <- Gen.chooseNum(0L, 20000L)
+        seq <- Gen.chooseNum(0L, 1000000L)
+        v <- Gen.chooseNum(0, 50)
+      } yield (key, ts, seq, v))
+    }
+
+  property("W1 latest-per-key keeps exactly one row per key, the max (ts, seq)") =
+    Prop.forAll(eventsGen) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = rows.toDF("key", "ts", "seq", "v")
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("ts").desc, col("seq").desc)
+      val got = df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1).drop("rnk")
+        .as[(String, Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(r => (r._2, r._3)).max
+      }
+      got == want
+    }
+
+  property("sessionization: gaps within a session <= timeout, across > timeout") =
+    Prop.forAll(eventsGen) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val timeout = 500L
+      val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
+      val sess = rows.toDF("key", "ts", "seq", "v")
+        .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("gap").isNull || col("gap") > timeout, 1).otherwise(0))
+        .withColumn("sess_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("key", "ts", "seq", "gap", "sess_id")
+        .as[(String, Long, Long, Option[Long], Long)].collect()
+      sess.groupBy(_._1).forall { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        sorted.sliding(2).forall {
+          case Array(a, b) =>
+            val gap = b._2 - a._2
+            if (b._5 == a._5) gap <= timeout else gap > timeout
+          case _ => true
+        }
+      }
+    }
+}
