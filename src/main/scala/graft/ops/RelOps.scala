@@ -163,9 +163,32 @@ object RelOps {
         max(col("pmax")).as("max_value"))
       .orderBy("event_type")
 
+  /** Exact distributed median per group via rank selection (row_number +
+    * pick the middle row(s), average the two middles on even counts) —
+    * deterministic across engines, unlike percentile_approx sketches.
+    * One shuffle for the window, reused by the aggregation.
+    */
+  def w08ExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      // `div` (integer division): Spark's `/` on integers yields DOUBLE
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(col("value").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1))).as("median_value"),
+        max(col("cnt")).as("n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w06_approx_distinct" -> (w06ApproxDistinct _),
     "w07_salted_agg" -> (w07SaltedAgg _),
+    "w08_exact_median" -> (w08ExactMedian _),
     "w01_tumbling_agg" -> (w01TumblingAgg _),
     "w02_sessionization" -> (w02Sessionization _),
     "w03_asof_join" -> (w03AsofJoin _),
@@ -180,6 +203,22 @@ object RelOps {
         |         AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w08_exact_median" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |         AS median_value,
+        |       CAST(max(cnt) AS BIGINT) AS n
+        |FROM r
+        |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "w01_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
