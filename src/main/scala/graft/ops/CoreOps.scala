@@ -198,7 +198,44 @@ object CoreOps {
       .orderBy("r_name", "n_name")
   }
 
+  /** Anti join: customers with no URGENT order (left_anti; Catalyst
+    * plans the oracle's NOT EXISTS identically — the filtered side
+    * broadcasts). "No order at all" would be vacuously empty in this
+    * data: every customer orders.
+    */
+  def q17AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(spark, dir)
+      .join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Correlated-aggregate subquery (TPC-H Q17 shape): lineitems below
+    * 20% of their part's average quantity. Decorrelated Spark-first as a
+    * per-part aggregate joined back — the plan Catalyst's
+    * RewriteCorrelatedScalarSubquery would produce, stated explicitly.
+    */
+  def q18AvgQuantityCorr(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    l.join(perPart, l("l_partkey") === perPart("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        sum(col("l_extendedprice").cast(DecimalType(28, 4))).cast("double")
+          .as("below_avg_revenue"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_anti_join" -> (q17AntiJoin _),
+    "q18_avg_quantity_corr" -> (q18AvgQuantityCorr _),
     "q01_latest_per_station" -> (q01LatestPerStation _),
     "q02_critical_sparklines" -> (q02CriticalSparklines _),
     "q03_net_flow_moving_avg" -> (q03NetFlowMovingAvg _),
@@ -219,6 +256,28 @@ object CoreOps {
   import EventsAdapter.{silverSql, enrichedSql, goldSql}
 
   val oracle: Map[String, String] = Map(
+    "q17_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q18_avg_quantity_corr" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |           / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT l_partkey, count(*) AS n_small,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |         AS below_avg_revenue
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * 0.2
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
     "q01_latest_per_station" ->
       s"""WITH $silverSql
          |SELECT station_code, station_name, bikes_available, docks_available,

@@ -66,6 +66,39 @@ object StreamJobs {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** Streaming-native gold refresh (the T4 upgrade of the reference's
+    * scheduled batch gold job): drain the silver stream with
+    * AvailableNow, and per micro-batch recompute the alert snapshot over
+    * silver-so-far via foreachBatch — the standard escape hatch when the
+    * derived table needs full-history windows that streaming aggregation
+    * can't express. Checkpointed: a re-run with no new data rewrites
+    * nothing.
+    */
+  def goldRefresh(
+      spark: org.apache.spark.sql.SparkSession,
+      silverPath: String,
+      goldPath: String,
+      checkpoint: String,
+      refresh: DataFrame => DataFrame): Unit = {
+    val stream = spark.readStream
+      .schema(spark.read.parquet(silverPath).schema)
+      .parquet(silverPath)
+    val q = stream.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        // the batch frame only signals "new data arrived"; the snapshot
+        // recomputes over the full silver table (latest-per-key windows
+        // need history, not just the increment)
+        refresh(spark.read.parquet(silverPath))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(goldPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Custom keyed state (SURVEY.md §2.8 T6 upgrade): running per-user
     * max/count via flatMapGroupsWithState — the
     * KeyValueGroupedDataset API a bespoke streaming accumulator uses when

@@ -88,6 +88,25 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set((1L, 3L, 9.0), (2L, 2L, 7.0)))
   }
 
+  test("goldRefresh: foreachBatch rewrites the gold snapshot from silver") {
+    val dir = Files.createTempDirectory("graft_gold").toFile.getAbsolutePath
+    val silver = s"$dir/silver"; val gold = s"$dir/gold"; val cp = s"$dir/cp"
+    rows.toDF().write.parquet(silver)
+    StreamJobs.goldRefresh(spark, silver, gold, cp,
+      s => s.groupBy("user_id").agg(max("value").as("max_value")))
+    val got = spark.read.parquet(gold).orderBy("user_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5.0), (2L, 4.0)))
+    // new silver data -> next drain refreshes the snapshot
+    Seq(Ev(9, ts("2024-01-01 13:00:00"), 2, "b", 9.5)).toDF()
+      .write.mode("append").parquet(silver)
+    StreamJobs.goldRefresh(spark, silver, gold, cp,
+      s => s.groupBy("user_id").agg(max("value").as("max_value")))
+    val got2 = spark.read.parquet(gold).orderBy("user_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got2 == Seq((1L, 5.0), (2L, 9.5)))
+  }
+
   test("runStream: AvailableNow drains all files once; checkpoint restart is exactly-once") {
     val dir = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
