@@ -42,12 +42,16 @@ object EnrichJob {
     // compare against (a trailing-1h mean degenerates to a single reading
     // when the feed is sparse).
     val allSoFar = byMicros.rangeBetween(Window.unboundedPreceding, 0L)
-    silver
-      .withColumn("net_flow",
-        col("bikes_available") - lag(col("bikes_available"), 1).over(ordered))
-      .withColumn("moving_avg_1h", exactAvg(col("bikes_available"), lastHour))
-      .withColumn("baseline_avg", exactAvg(col("bikes_available"), allSoFar))
-      .withColumn("date", to_date(col("last_reported")))
+    // one select, not chained withColumns: interleaved Projects would
+    // break CollapseWindow adjacency, leaving the two micros-ordered
+    // RANGE windows in separate Window execs with a redundant sort each
+    silver.select(
+      col("*"),
+      (col("bikes_available") - lag(col("bikes_available"), 1).over(ordered))
+        .as("net_flow"),
+      exactAvg(col("bikes_available"), lastHour).as("moving_avg_1h"),
+      exactAvg(col("bikes_available"), allSoFar).as("baseline_avg"),
+      to_date(col("last_reported")).as("date"))
   }
 
   /** J4: dimension enrichment — re-source `station_name` from the station
