@@ -66,6 +66,24 @@ object GraftHash {
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     acc
   }
+
+  /** |intersection| of two SORTED string arrays (sort_array order ==
+    * UTF8String binary order) by linear merge — no per-pair hash set.
+    * Equal to size(array_intersect(a, b)) for distinct-element arrays.
+    */
+  def sortedCommon(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var common = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common
+  }
 }
 
 /** graft_minhash(text) -> array<bigint> of GraftHash.NumHashes minhashes. */
@@ -108,6 +126,32 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_sorted_common(array<string>, array<string>) -> bigint;
+  * both inputs MUST be sorted (sort_array).
+  */
+case class SortedCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_common needs two array<string> arguments, " +
+        s"got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_common"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.sortedCommon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.sortedCommon($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCommon =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration (idempotent) so `expr("graft_minhash(...)")`
   * resolves; `GraftExtensions` is the spark.sql.extensions deployment
   * path for the same functions.
@@ -115,7 +159,8 @@ case class LongDot(left: Expression, right: Expression)
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash" -> ((es: Seq[Expression]) => MinHashSig(es.head)),
-    "graft_long_dot" -> ((es: Seq[Expression]) => LongDot(es(0), es(1))))
+    "graft_long_dot" -> ((es: Seq[Expression]) => LongDot(es(0), es(1))),
+    "graft_sorted_common" -> ((es: Seq[Expression]) => SortedCommon(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -133,12 +133,12 @@ object DedupOps {
     */
   def d03LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val cand = lshCandidates(spark, dir)
-    // verify on the candidate pairs only: join the (cached) per-doc
-    // shingle ARRAYS to each side and take a hash-based array_intersect —
-    // candidates are O(n), so this beats re-exploding the corpus into a
-    // (doc, shingle) join twice
+    // verify on the candidate pairs only: join the (cached, pre-SORTED)
+    // per-doc shingle arrays to each side and merge-count the overlap
+    // with the codegen'd graft_sorted_common kernel — candidates are
+    // O(n) and each pair costs one allocation-free linear merge
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(shingles).as("sh_arr"))
+      .select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr"))
       .cache()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")),
@@ -146,8 +146,7 @@ object DedupOps {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("n_common"),
+        expr("graft_sorted_common(sh_a, sh_b)").as("n_common"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"))
       .withColumn("jaccard",
