@@ -41,6 +41,29 @@ class SourcesSpec extends SparkTestBase {
     assert(orphan.select("station_name").first().isNullAt(0))
   }
 
+  test("S10/P12: date filter partition-prunes a partitioned table scan") {
+    val dir = Files.createTempDirectory("graft_prune").toFile.getAbsolutePath + "/t"
+    Seq(("A", 1, "2024-01-01"), ("B", 2, "2024-01-02"), ("C", 3, "2024-01-03"))
+      .toDF("station_code", "bikes_available", "d")
+      .withColumn("date", col("d").cast("date")).drop("d")
+      .write.partitionBy("date").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("date") >= lit("2024-01-02").cast("date"))
+    // Catalyst prunes at the file-listing level: only the two matching
+    // date= partitions are read (subsumes the reference's hand-built
+    // today/yesterday path list, SURVEY.md §4)
+    // collect() (not count(): that builds a fresh plan) so the metrics
+    // below come from this exact execution
+    assert(pruned.collect().length == 2)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value == 2,
+      s"expected 2 files read, got ${scans.head.metrics("numFiles").value}")
+    assert(scans.head.metadata("PartitionFilters").nonEmpty)
+  }
+
   test("bucketed co-located join: no shuffle exchange in the plan") {
     val db = "graft_bucketed_test"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
