@@ -9,6 +9,20 @@ import org.apache.spark.sql.types.DecimalType
 case class UserEvent(user_id: Long, value: Double)
 case class UserMaxState(user_id: Long, max_value: Double, n: Long)
 
+/** Typed rows for the streaming net_flow enrichment. */
+case class StatusRow(
+    station_code: String,
+    bikes_available: Int,
+    last_reported: java.sql.Timestamp,
+    seq: Long)
+case class NetFlowRow(
+    station_code: String,
+    bikes_available: Int,
+    last_reported: java.sql.Timestamp,
+    seq: Long,
+    net_flow: Option[Int])
+case class LastReading(ts: Long, seq: Long, bikes: Int)
+
 /** Streaming-native analytics (SURVEY.md §2.8 T4/T5 upgrade): the
   * reference does all time-windowing in batch; these transforms run the
   * same logical plan under Structured Streaming with event-time
@@ -97,6 +111,34 @@ object StreamJobs {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The latent enrichment's net_flow (W3: bikes - lag(bikes) per
+    * station) computed ON-STREAM with keyed state: the state is the last
+    * reading per station; each micro-batch sorts its per-station rows by
+    * (last_reported, seq) and chains deltas off the carried state.
+    * Matches batch `EnrichJob.enrich` exactly when per-station arrival
+    * order is monotone across batches — which the reference's ingestion
+    * guarantees by keying Kafka messages on stationcode
+    * (`/root/reference/src/assets/bronze.py:52-55`).
+    */
+  def streamingNetFlow(status: Dataset[StatusRow]): Dataset[NetFlowRow] = {
+    import status.sparkSession.implicits._
+    status.groupByKey(_.station_code)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (code: String, rows: Iterator[StatusRow],
+         state: GroupState[LastReading]) => {
+          val sorted = rows.toSeq.sortBy(r => (r.last_reported.getTime, r.seq))
+          var prev = state.getOption
+          val out = sorted.map { r =>
+            val nf = prev.map(p => r.bikes_available - p.bikes)
+            prev = Some(LastReading(r.last_reported.getTime, r.seq,
+              r.bikes_available))
+            NetFlowRow(code, r.bikes_available, r.last_reported, r.seq, nf)
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
   }
 
   /** Custom keyed state (SURVEY.md §2.8 T6 upgrade): running per-user

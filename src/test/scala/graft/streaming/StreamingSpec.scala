@@ -88,6 +88,39 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set((1L, 3L, 9.0), (2L, 2L, 7.0)))
   }
 
+  test("streamingNetFlow: stateful lag matches batch EnrichJob across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      StatusRow("A", 5, ts("2024-01-01 10:00:00"), 1),
+      StatusRow("A", 3, ts("2024-01-01 10:05:00"), 2),
+      StatusRow("B", 7, ts("2024-01-01 10:00:00"), 3))
+    val b2 = Seq(
+      StatusRow("A", 6, ts("2024-01-01 10:10:00"), 4),
+      StatusRow("B", 2, ts("2024-01-01 10:05:00"), 5))
+    val mem = MemoryStream[StatusRow]
+    val q = StreamJobs.streamingNetFlow(mem.toDS())
+      .writeStream.format("memory").queryName("netflow")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("netflow")
+      .select("station_code", "seq", "net_flow")
+      .as[(String, Long, Option[Int])].collect().toSet
+    // batch twin over the union of both batches
+    val batchDf = (b1 ++ b2).toDF()
+      .withColumnRenamed("station_code", "sc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sc")).orderBy(col("last_reported"), col("seq"))
+    val batch = batchDf
+      .withColumn("net_flow",
+        col("bikes_available") - lag(col("bikes_available"), 1).over(w))
+      .select(col("sc"), col("seq"), col("net_flow"))
+      .as[(String, Long, Option[Int])].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(("A", 1L, None), ("A", 2L, Some(-2)),
+      ("A", 4L, Some(3)), ("B", 3L, None), ("B", 5L, Some(-5))))
+  }
+
   test("goldRefresh: foreachBatch rewrites the gold snapshot from silver") {
     val dir = Files.createTempDirectory("graft_gold").toFile.getAbsolutePath
     val silver = s"$dir/silver"; val gold = s"$dir/gold"; val cp = s"$dir/cp"
