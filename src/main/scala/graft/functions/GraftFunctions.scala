@@ -157,10 +157,19 @@ case class SortedCommon(left: Expression, right: Expression)
   * path for the same functions.
   */
 object GraftFunctions {
+  private def literalK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_topk k must be an integer literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash" -> ((es: Seq[Expression]) => MinHashSig(es.head)),
     "graft_long_dot" -> ((es: Seq[Expression]) => LongDot(es(0), es(1))),
-    "graft_sorted_common" -> ((es: Seq[Expression]) => SortedCommon(es(0), es(1))))
+    "graft_sorted_common" -> ((es: Seq[Expression]) => SortedCommon(es(0), es(1))),
+    "graft_topk" -> ((es: Seq[Expression]) =>
+      TopKAgg(es(0), es(1), literalK(es(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

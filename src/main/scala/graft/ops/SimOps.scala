@@ -130,10 +130,35 @@ object SimOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** s01's semantics re-planned with the graft_topk
+    * TypedImperativeAggregate: per-partition bounded heaps partially
+    * aggregate map-side, so the shuffle carries k rows per partition per
+    * query instead of every scored candidate (the row_number window form
+    * shuffles and sorts them all). Same results; the oracle is s01's SQL.
+    */
+  def s04KnnTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("qid"), col("qv").as("qemb"),
+      col("vnorm").as("qnorm"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .groupBy(col("qid"))
+      .agg(expr("graft_topk(cosine, vec_id, 10)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.score").as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_bruteforce" -> (s01KnnBruteforce _),
     "s02_lsh_ann" -> (s02LshAnn _),
-    "s03_embed_neardup" -> (s03EmbedNearDup _)
+    "s03_embed_neardup" -> (s03EmbedNearDup _),
+    "s04_knn_topk_agg" -> (s04KnnTopkAgg _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -148,9 +173,9 @@ object SimOps {
       |  FROM u GROUP BY vec_id
       |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "s01_knn_bruteforce" ->
-      s"""WITH $unnestSql,
+  /** s01 and s04 share one oracle: identical semantics, different plan. */
+  private val knnSql =
+    s"""WITH $unnestSql,
          |d AS (
          |  SELECT q.vec_id AS qid, v.vec_id AS vid,
          |         SUM(q.x * v.x) AS dot
@@ -167,7 +192,11 @@ object SimOps {
          |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
-         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s01_knn_bruteforce" -> knnSql,
+    "s04_knn_topk_agg" -> knnSql,
 
     "s02_lsh_ann" ->
       s"""WITH $unnestSql,

@@ -37,6 +37,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.select("fast").as[Long].collect().toSeq == Seq(32L, -23L))
   }
 
+  test("graft_topk equals the row_number window top-k, ties broken by id") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.95, 4L),
+      (2L, 0.1, 1L), (2L, 0.1, 2L))
+      .toDF("g", "score", "id")
+    val agg = df.groupBy("g")
+      .agg(expr("graft_topk(score, id, 2)").as("top"))
+      .select(col("g"), expr("transform(top, t -> t.id)").as("ids"))
+      .orderBy("g")
+      .as[(Long, Seq[Long])].collect().toSeq
+    // g=1: 0.95(id 4) then 0.9 tie -> lower id 7; g=2: 0.1 tie -> ids 1,2
+    assert(agg == Seq((1L, Seq(4L, 7L)), (2L, Seq(1L, 2L))))
+  }
+
+  test("TopKAgg serde round-trips the bounded heap") {
+    val a = TopKAgg(org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 3)
+    val buf = a.createAggregationBuffer()
+    Seq((0.3, 5L), (0.9, 1L), (0.1, 2L), (0.8, 9L)).foreach { e =>
+      buf.enqueue(e); if (buf.size > 3) buf.dequeue()
+    }
+    val back = a.deserialize(a.serialize(buf))
+    assert(back.toArray.sorted.toSeq == buf.toArray.sorted.toSeq)
+  }
+
   test("GraftExtensions injects working builders for every function") {
     // (a session-level spark.sql.extensions round trip would need a fresh
     // JVM — getOrCreate would hand back the suite session — so exercise
