@@ -130,6 +130,44 @@ object SimOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Hamming-1 bit flip of a 4-char '0'/'1' bucket key at position i —
+    * one shared SQL fragment, valid in both engines.
+    */
+  private def flipSql(i: Int): String =
+    s"concat(substring(bucket, 1, ${i - 1}), " +
+      s"CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END, " +
+      s"substring(bucket, ${i + 1}, ${4 - i}))"
+
+  private val probesSql =
+    (Seq("bucket") ++ (1 to 4).map(flipSql)).mkString("[", ", ", "]")
+
+  /** Multi-probe ANN: each query searches its own sign bucket AND the 4
+    * Hamming-1 neighbor buckets — the standard recall repair for
+    * bucketed LSH (a near neighbor that disagrees on one sign bit is
+    * still found) at 5x the candidate cost, still O(n/2^bits) per probe,
+    * never O(n^2).
+    */
+  def s05LshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+      .withColumn("bucket", expr(signKey("embedding", 4)))
+    val probes = (Seq("bucket") ++ (1 to 4).map(flipSql)).mkString(", ")
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qemb"),
+        col("vnorm").as("qnorm"),
+        expr(s"explode(array($probes))").as("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** s01's semantics re-planned with the graft_topk
     * TypedImperativeAggregate: per-partition bounded heaps partially
     * aggregate map-side, so the shuffle carries k rows per partition per
@@ -158,7 +196,8 @@ object SimOps {
     "s01_knn_bruteforce" -> (s01KnnBruteforce _),
     "s02_lsh_ann" -> (s02LshAnn _),
     "s03_embed_neardup" -> (s03EmbedNearDup _),
-    "s04_knn_topk_agg" -> (s04KnnTopkAgg _)
+    "s04_knn_topk_agg" -> (s04KnnTopkAgg _),
+    "s05_lsh_multiprobe" -> (s05LshMultiprobe _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -197,6 +236,35 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s05_lsh_multiprobe" ->
+      s"""WITH $unnestSql,
+         |e AS (
+         |  SELECT vec_id, ${signKeySql("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |),
+         |qp AS (
+         |  SELECT vec_id AS qid, unnest($probesSql) AS bucket
+         |  FROM e WHERE vec_id % 50 = 0
+         |),
+         |d AS (
+         |  SELECT qp.qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  JOIN qp ON qp.qid = q.vec_id
+         |  JOIN e ev ON ev.vec_id = v.vec_id AND ev.bucket = qp.bucket
+         |  WHERE v.vec_id <> q.vec_id
+         |  GROUP BY qp.qid, v.vec_id
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "s02_lsh_ann" ->
       s"""WITH $unnestSql,
