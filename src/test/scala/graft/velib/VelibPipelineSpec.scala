@@ -80,6 +80,24 @@ class VelibPipelineSpec extends SparkTestBase {
     assert(row.getAs[String]("sparkline_data") == "2.000000,9.000000")
   }
 
+  test("toWire: kafka-shaped (key, value) pair round-trips through parseRaw") {
+    val raw = Seq(("75001", "Hôtel de Ville", 5, 2, 1, 1,
+      "2024-01-01T10:00:00+00:00"))
+      .toDF("stationcode", "name", "numdocksavailable", "numbikesavailable",
+        "mechanical", "ebike", "duedate")
+    val wire = SilverJob.toWire(raw)
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    val key = new String(wire.select("key").first().getAs[Array[Byte]](0), "UTF-8")
+    assert(key == "75001") // per-station partition affinity
+    val parsed = SilverJob.parseRaw(wire.select(col("value")))
+    val row = parsed.first()
+    assert(row.getAs[String]("stationcode") == "75001")
+    assert(row.getAs[String]("name") == "Hôtel de Ville")
+    assert(row.getAs[Int]("numbikesavailable") == 2)
+    assert(row.getAs[Timestamp]("last_reported") == ts("2024-01-01 10:00:00"))
+    assert(row.getAs[java.sql.Date]("date").toString == "2024-01-01")
+  }
+
   test("healthPipeline: counts, sums, zombie reconciliation") {
     val nested = Seq(1).toDF("x").select(
       struct(collect_list(struct(lit("A").as("station_id"))).as("stations"))
