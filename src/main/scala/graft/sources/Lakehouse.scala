@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Plain-parquet lakehouse maintenance primitives (no table format in the
+  * reference — SURVEY.md §1.1): partition-scoped upsert and small-file
+  * compaction. With Delta/Iceberg these become MERGE/OPTIMIZE; on plain
+  * parquet directories they are dynamic partition overwrite and a
+  * partition rewrite — both safe to run while readers use other
+  * partitions.
+  */
+object Lakehouse {
+
+  /** Overwrite ONLY the date partitions present in `updates`, leaving all
+    * other partitions untouched (dynamic partition overwrite — the
+    * idiomatic incremental backfill for a date-partitioned fact table;
+    * static overwrite mode would drop the whole table).
+    */
+  def upsertPartitions(updates: DataFrame, path: String,
+      partitionCol: String = "date"): Unit = {
+    val spark = updates.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updates.write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Rewrite one partition directory into `targetFiles` files (small-file
+    * compaction after many incremental appends). Returns (filesBefore,
+    * filesAfter).
+    */
+  def compactPartition(
+      spark: SparkSession,
+      tableRoot: String,
+      partitionDir: String,
+      targetFiles: Int = 1): (Int, Int) = {
+    val dir = new Path(s"$tableRoot/$partitionDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Int =
+      fs.listStatus(dir).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val before = dataFiles()
+    val tmp = new Path(s"$tableRoot/.compact_tmp_${partitionDir.replace('=', '_').replace('/', '_')}")
+    spark.read.parquet(dir.toString)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // atomic-ish swap: remove originals, move compacted files in
+    fs.listStatus(dir).foreach { s =>
+      if (s.isFile && !s.getPath.getName.startsWith("_")) fs.delete(s.getPath, false)
+    }
+    fs.listStatus(tmp).foreach { s =>
+      if (s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+        fs.rename(s.getPath, new Path(dir, s.getPath.getName))
+    }
+    fs.delete(tmp, true)
+    (before, dataFiles())
+  }
+}

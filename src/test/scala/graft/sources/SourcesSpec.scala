@@ -64,6 +64,34 @@ class SourcesSpec extends SparkTestBase {
     assert(scans.head.metadata("PartitionFilters").nonEmpty)
   }
 
+  test("upsertPartitions: dynamic overwrite touches only the updated partitions") {
+    val dir = Files.createTempDirectory("graft_upsert").toFile.getAbsolutePath + "/t"
+    def mk(rows: Seq[(String, Int, String)]) =
+      rows.toDF("station_code", "bikes_available", "d")
+        .withColumn("date", col("d").cast("date")).drop("d")
+    mk(Seq(("A", 1, "2024-01-01"), ("B", 2, "2024-01-02")))
+      .write.partitionBy("date").parquet(dir)
+    // update day 2, add day 3; day 1 must survive untouched
+    Lakehouse.upsertPartitions(
+      mk(Seq(("B", 99, "2024-01-02"), ("C", 3, "2024-01-03"))), dir)
+    val got = spark.read.parquet(dir)
+      .select("station_code", "bikes_available")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("A", 1), ("B", 99), ("C", 3)))
+  }
+
+  test("compactPartition: many small files become one, same rows") {
+    val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath + "/t"
+    val df = (1 to 40).map(i => (s"S$i", i, "2024-01-01")).toSeq
+      .toDF("station_code", "bikes_available", "d")
+      .withColumn("date", col("d").cast("date")).drop("d")
+    df.repartition(8).write.partitionBy("date").parquet(dir)
+    val (before, after) =
+      Lakehouse.compactPartition(spark, dir, "date=2024-01-01")
+    assert(before >= 8 && after == 1)
+    assert(spark.read.parquet(dir).count() == 40)
+  }
+
   test("bucketed co-located join: no shuffle exchange in the plan") {
     val db = "graft_bucketed_test"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
