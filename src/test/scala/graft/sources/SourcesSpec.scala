@@ -64,6 +64,14 @@ class SourcesSpec extends SparkTestBase {
     assert(scans.head.metadata("PartitionFilters").nonEmpty)
   }
 
+  test("J1 semi-join reduction plans as a broadcast semi join") {
+    val df = graft.ops.CoreOps.q06SemiJoin(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi in:\n$plan")
+    assert(plan.contains("Broadcast"), s"expected broadcast join in:\n$plan")
+  }
+
   test("upsertPartitions: dynamic overwrite touches only the updated partitions") {
     val dir = Files.createTempDirectory("graft_upsert").toFile.getAbsolutePath + "/t"
     def mk(rows: Seq[(String, Int, String)]) =
