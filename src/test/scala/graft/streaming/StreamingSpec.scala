@@ -54,6 +54,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("session_window streaming equals batch gaps-and-islands boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    // denser fixture: deterministic pseudo-random gaps around the 30-min cut
+    val dense = (1 to 120).map { i =>
+      val user = i % 4
+      val minuteStep = (i * 37 % 53) // 0..52 minutes, straddles the timeout
+      Ev(i.toLong, ts(f"2024-01-01 ${6 + (i * minuteStep / 60) % 12}%02d:${minuteStep}%02d:00"),
+        user.toLong, "a", i.toDouble)
+    }
+    val mem = MemoryStream[Ev]
+    mem.addData(dense: _*)
+    val q = StreamJobs.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_eq")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // batch twin: session = running sum of >30min breaks; start=min(ts)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = dense.toDF()
+      .withColumn("gap", unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("dedupedStream: duplicate event ids across batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
