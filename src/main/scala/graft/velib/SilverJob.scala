@@ -22,6 +22,17 @@ object SilverJob {
       .withColumn("last_reported", to_timestamp(col("duedate")))
       .withColumn("date", to_date(col("last_reported")))
 
+  /** Typed parse boundary (SURVEY.md §1.3): the wire record as a
+    * `Dataset[VelibStatus]` for compile-time schema safety before the
+    * frame decays to untyped relational chains.
+    */
+  def parseTyped(df: DataFrame): org.apache.spark.sql.Dataset[VelibStatus] = {
+    import df.sparkSession.implicits._
+    df.select(from_json(col("value").cast("string"), Schemas.rawStatus).as("data"))
+      .select("data.*")
+      .as[VelibStatus]
+  }
+
   /** Streaming form (S4/S8, T1-T3): file-source stand-in for the Kafka
     * topic — JSON-lines files where each line is one status record wrapped
     * as `value`. `Trigger.AvailableNow` + checkpoint gives the reference's

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.map(_(2)) == Seq(2L, 1L, 1L, 1L)) // 10h a:2; 11h b:1; 12h a:1, b:1
   }
 
+  test("slidingCounts: each event lands in exactly two 2h/1h windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = StreamJobs.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("sliding").agg(sum("n")).first().getLong(0)
+    assert(total == rows.length * 2) // every event counted in 2 windows
+    // spot-check: the 10:00-12:00 window holds both 10h and 11h events
+    val w10 = spark.table("sliding")
+      .filter(col("bucket_start") === ts("2024-01-01 10:00:00"))
+      .agg(sum("n")).first().getLong(0)
+    assert(w10 == 3)
+  }
+
   test("sessionCounts: 30-min gap closes a session (session_window)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -98,6 +98,16 @@ class VelibPipelineSpec extends SparkTestBase {
     assert(row.getAs[java.sql.Date]("date").toString == "2024-01-01")
   }
 
+  test("parseTyped: wire JSON lands in the typed VelibStatus boundary") {
+    val wire = Seq(
+      """{"stationcode":"42","name":"X","numdocksavailable":1,""" +
+        """"numbikesavailable":2,"mechanical":1,"ebike":1,""" +
+        """"duedate":"2024-01-01T09:00:00+00:00"}""").toDF("value")
+    val typed = SilverJob.parseTyped(wire).collect()
+    assert(typed.toSeq == Seq(VelibStatus("42", "X", 1, 2, 1, 1,
+      "2024-01-01T09:00:00+00:00")))
+  }
+
   test("healthPipeline: counts, sums, zombie reconciliation") {
     val nested = Seq(1).toDF("x").select(
       struct(collect_list(struct(lit("A").as("station_id"))).as("stations"))
