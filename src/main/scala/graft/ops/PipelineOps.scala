@@ -75,9 +75,37 @@ object PipelineOps {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Column profiling: per-column row/null/distinct counts and
+    * decimal-stringified min/max over lineitem — the data-quality scan a
+    * pipeline runs before training ingestion. One pruned single-column
+    * scan per profiled column (Catalyst reads only that column's pages).
+    */
+  def p03Profile(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    def num(c: String): DataFrame =
+      l.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast(DecimalType(28, 6)).cast("string").as("min_value"),
+        max(col(c)).cast(DecimalType(28, 6)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("*"))
+    def str(c: String): DataFrame =
+      l.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_value"), max(col(c)).as("max_value"))
+        .select(lit(c).as("column_name"), col("*"))
+    num("l_quantity").union(num("l_extendedprice")).union(num("l_discount"))
+      .union(num("l_tax")).union(str("l_returnflag"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _),
-    "p02_hash_split" -> (p02HashSplit _)
+    "p02_hash_split" -> (p02HashSplit _),
+    "p03_profile" -> (p03Profile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,6 +126,30 @@ object PipelineOps {
          |       CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / count(*)
          |         AS avg_quality
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "p03_profile" -> {
+      def num(c: String): String =
+        s"""SELECT '$c' AS column_name, count(*) AS n,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(CAST(min($c) AS DECIMAL(28,6)) AS VARCHAR) AS min_value,
+           |  CAST(CAST(max($c) AS DECIMAL(28,6)) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin
+      s"""SELECT * FROM (
+         |${num("l_quantity")}
+         |UNION ALL
+         |${num("l_extendedprice")}
+         |UNION ALL
+         |${num("l_discount")}
+         |UNION ALL
+         |${num("l_tax")}
+         |UNION ALL
+         |SELECT 'l_returnflag', count(*),
+         |  count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+         |  min(l_returnflag), max(l_returnflag)
+         |FROM lineitem
+         |) ORDER BY column_name""".stripMargin
+    },
 
     "p02_hash_split" ->
       """SELECT doc_id,

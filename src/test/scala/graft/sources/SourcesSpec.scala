@@ -64,6 +64,22 @@ class SourcesSpec extends SparkTestBase {
     assert(scans.head.metadata("PartitionFilters").nonEmpty)
   }
 
+  test("schema evolution: mergeSchema unions old and new partition schemas") {
+    val dir = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath + "/t"
+    // old partition: no ebike column; new partition adds it
+    Seq(("A", 5)).toDF("station_code", "bikes_available")
+      .write.parquet(s"$dir/date=2024-01-01")
+    Seq(("B", 3, 2)).toDF("station_code", "bikes_available", "ebike")
+      .write.parquet(s"$dir/date=2024-01-02")
+    val merged = spark.read.option("mergeSchema", true)
+      .option("basePath", dir).parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("station_code", "bikes_available", "ebike", "date"))
+    val byCode = merged.select("station_code", "ebike")
+      .as[(String, Option[Int])].collect().toMap
+    assert(byCode == Map("A" -> None, "B" -> Some(2))) // old rows null-fill
+  }
+
   test("J1 semi-join reduction plans as a broadcast semi join") {
     val df = graft.ops.CoreOps.q06SemiJoin(spark, sf0001)
     df.collect()
