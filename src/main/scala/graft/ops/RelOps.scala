@@ -185,10 +185,31 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** Exact rank-based quantiles (p25/p50/p75 as the value at rank
+    * ceil(q*n), no interpolation — deterministic across engines, unlike
+    * percentile sketches or interpolating quantile_cont).
+    */
+  def w09Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pick(q: Double, name: String) =
+      max(when(col("rn") === expr(s"CAST(ceil(cnt * $q) AS BIGINT)"),
+        col("value"))).as(name)
+    ranked.groupBy(col("event_type"))
+      .agg(pick(0.25, "p25"), pick(0.5, "p50"), pick(0.75, "p75"),
+        max(col("cnt")).as("n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w06_approx_distinct" -> (w06ApproxDistinct _),
     "w07_salted_agg" -> (w07SaltedAgg _),
     "w08_exact_median" -> (w08ExactMedian _),
+    "w09_quantiles" -> (w09Quantiles _),
     "w01_tumbling_agg" -> (w01TumblingAgg _),
     "w02_sessionization" -> (w02Sessionization _),
     "w03_asof_join" -> (w03AsofJoin _),
@@ -203,6 +224,24 @@ object RelOps {
         |         AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w09_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT)
+        |      THEN value END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT)
+        |      THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT)
+        |      THEN value END) AS p75,
+        |  CAST(max(cnt) AS BIGINT) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "w08_exact_median" ->
       """WITH r AS (

@@ -192,7 +192,25 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** Per-label centroids (the training step an IVF coarse quantizer
+    * runs): posexplode to (label, dim, x), one hash agg. Means are exact
+    * integer sums of quantized components divided once.
+    */
+  def s06LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("qv", expr(quantize))
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x")).cast("double") / (count(lit(1)) * 1e6))
+          .as("mean_value"))
+      // 1-based dim to match generate_subscripts in the oracle
+      .select(col("label"), (col("dim") + 1).cast("long").as("dim"),
+        col("n"), col("mean_value"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_label_centroids" -> (s06LabelCentroids _),
     "s01_knn_bruteforce" -> (s01KnnBruteforce _),
     "s02_lsh_ann" -> (s02LshAnn _),
     "s03_embed_neardup" -> (s03EmbedNearDup _),
@@ -236,6 +254,13 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s06_label_centroids" ->
+      s"""WITH $unnestSql
+         |SELECT e.label, u.i AS dim, count(*) AS n,
+         |       CAST(SUM(u.x) AS DOUBLE) / (count(*) * 1e6) AS mean_value
+         |FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |GROUP BY e.label, u.i ORDER BY label, dim""".stripMargin,
 
     "s05_lsh_multiprobe" ->
       s"""WITH $unnestSql,
