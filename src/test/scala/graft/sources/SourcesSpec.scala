@@ -80,6 +80,23 @@ class SourcesSpec extends SparkTestBase {
     assert(byCode == Map("A" -> None, "B" -> Some(2))) // old rows null-fill
   }
 
+  test("q15 five-way join plans all dimension joins as broadcasts") {
+    val df = graft.ops.CoreOps.q15RevenueByNation(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension joins should broadcast at this scale:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q13 aggregation is partial+final (map-side combine)") {
+    val df = graft.ops.CoreOps.q13PricingSummary(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"),
+      s"expected partial aggregation before the shuffle:\n$plan")
+  }
+
   test("J1 semi-join reduction plans as a broadcast semi join") {
     val df = graft.ops.CoreOps.q06SemiJoin(spark, sf0001)
     df.collect()
