@@ -233,9 +233,37 @@ object CoreOps {
       .orderBy("l_partkey")
   }
 
+  /** ANSI SQL shared verbatim by Spark and DuckDB: the q13 pricing
+    * summary as one dialect-neutral text.
+    */
+  val sharedPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |    AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** The `spark.sql` entry path (SURVEY.md §1.1 "ad-hoc SQL views"):
+    * register the table as a temp view and execute the SAME ANSI SQL
+    * text the DuckDB oracle runs — one query, two engines, byte-equal
+    * results.
+    */
+  def q19SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sharedPricingSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_anti_join" -> (q17AntiJoin _),
     "q18_avg_quantity_corr" -> (q18AvgQuantityCorr _),
+    "q19_sql_surface" -> (q19SqlSurface _),
     "q01_latest_per_station" -> (q01LatestPerStation _),
     "q02_critical_sparklines" -> (q02CriticalSparklines _),
     "q03_net_flow_moving_avg" -> (q03NetFlowMovingAvg _),
@@ -256,6 +284,8 @@ object CoreOps {
   import EventsAdapter.{silverSql, enrichedSql, goldSql}
 
   val oracle: Map[String, String] = Map(
+    "q19_sql_surface" -> sharedPricingSql,
+
     "q17_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer c
@@ -395,19 +425,7 @@ object CoreOps {
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 50""".stripMargin,
 
-    "q13_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-        |    AS DOUBLE) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_pricing_summary" -> sharedPricingSql,
 
     "q14_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
