@@ -176,6 +176,20 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup clusters: group on the 16-bit fingerprint — the
+    * scale path d04's doc says (pure hash shuffle, no pair join at all);
+    * members are CSV-serialized for the driver comparator.
+    */
+  def d06SimhashClusters(spark: SparkSession, dir: String): DataFrame =
+    d04Simhash(spark, dir)
+      .groupBy(col("simhash"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("concat_ws(',', transform(sort_array(collect_list(doc_id))," +
+          " x -> CAST(x AS STRING)))").as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .orderBy("simhash")
+
   /** Blocked token-3-gram Jaccard: block on a 40-char prefix (cheap
     * equality blocker), compare blocked pairs by word-trigram overlap.
     */
@@ -207,10 +221,23 @@ object DedupOps {
     "d02_minhash_signatures" -> (d02MinhashSignatures _),
     "d03_lsh_near_dup" -> (d03LshNearDup _),
     "d04_simhash" -> (d04Simhash _),
-    "d05_ngram_jaccard" -> (d05NgramJaccard _)
+    "d05_ngram_jaccard" -> (d05NgramJaccard _),
+    "d06_simhash_clusters" -> (d06SimhashClusters _)
   )
 
   private val bandsSqlList = (0 until numBands).map(bandSql)
+
+  /** d04's oracle body, shared with the d06 cluster grouping. */
+  private val simhashSql: String = {
+    def bitSql(j: Int): String =
+      s"CASE WHEN 2 * list_sum(list_transform(string_split(text, ' '), " +
+        s"t -> strpos('0123456789abcdef', substring(md5(t), $j, 1)) - 1)) > " +
+        s"15 * len(string_split(text, ' ')) THEN '1' ELSE '0' END"
+    s"""SELECT doc_id,
+       |  ${(1 to 16).map(bitSql).mkString(" || ")} AS simhash,
+       |  len(string_split(text, ' ')) AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -261,16 +288,15 @@ object DedupOps {
          |WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "d04_simhash" -> {
-      def bitSql(j: Int): String =
-        s"CASE WHEN 2 * list_sum(list_transform(string_split(text, ' '), " +
-          s"t -> strpos('0123456789abcdef', substring(md5(t), $j, 1)) - 1)) > " +
-          s"15 * len(string_split(text, ' ')) THEN '1' ELSE '0' END"
-      s"""SELECT doc_id,
-         |  ${(1 to 16).map(bitSql).mkString(" || ")} AS simhash,
-         |  len(string_split(text, ' ')) AS n_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "d04_simhash" -> simhashSql,
+
+    "d06_simhash_clusters" ->
+      s"""SELECT simhash, count(*) AS n_docs,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |         AS doc_ids
+         |FROM ($simhashSql)
+         |GROUP BY simhash HAVING count(*) > 1
+         |ORDER BY simhash""".stripMargin,
 
     "d05_ngram_jaccard" ->
       """WITH g AS (

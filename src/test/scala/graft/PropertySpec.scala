@@ -44,6 +44,22 @@ object GraftProps extends Properties("graft") {
       (0 until GraftHash.NumHashes).forall(i => a.getLong(i) == b.getLong(i))
     }
 
+  property("TopKAgg buffer equals sort-take-k under any insertion order") =
+    Prop.forAll(Gen.listOf(Gen.zip(
+      Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 50L)))) { entries =>
+      val k = 5
+      val agg = graft.functions.TopKAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+      val buf = agg.createAggregationBuffer()
+      entries.foreach { e =>
+        buf.enqueue(e); if (buf.size > k) buf.dequeue()
+      }
+      val got = buf.toArray.sortBy { case (s, i) => (-s, i) }.toSeq
+      val want = entries.sortBy { case (s, i) => (-s, i) }.take(k)
+      got == want
+    }
+
   property("long dot product is commutative and linear in scaling") =
     Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)),
       Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L))) { (a, b) =>
