@@ -60,6 +60,16 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("sortedCommon equals set-intersection size on sorted arrays") =
+    Prop.forAll(Gen.listOf(Gen.stringOfN(3, Gen.alphaChar)),
+      Gen.listOf(Gen.stringOfN(3, Gen.alphaChar))) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def arr(xs: List[String]) = new GenericArrayData(
+        xs.distinct.sorted.map(UTF8String.fromString).toArray[Any])
+      GraftHash.sortedCommon(arr(a), arr(b)) ==
+        (a.toSet & b.toSet).size.toLong
+    }
+
   property("long dot product is commutative and linear in scaling") =
     Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)),
       Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L))) { (a, b) =>
