@@ -216,7 +216,40 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup FAMILIES via distributed label propagation: near-dup pairs
+    * (d03) as an undirected graph; every member adopts the smallest
+    * doc_id reachable in 4 rounds of min-label propagation (connected
+    * components for diameter <= 4 — near-dup families are cliques or
+    * short chains, and a FIXED round count keeps both engines
+    * bit-identical regardless of convergence). Each round is one
+    * join + hash agg keyed on doc id — the standard scalable CC loop.
+    */
+  def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d03LshNearDup(spark, dir).select("doc_a", "doc_b").cache()
+    // symmetric edge list (+ implicit self via the left join below)
+    val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .cache()
+    var labels = edges.select(col("v").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    (1 to 4).foreach { _ =>
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")),
+          Seq("u"))
+        .groupBy(col("v").as("doc_id"))
+        .agg(min(col("ulabel")).as("nlabel"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+    }
+    labels
+      .select(col("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_neardup_components" -> (d07NeardupComponents _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_minhash_signatures" -> (d02MinhashSignatures _),
     "d03_lsh_near_dup" -> (d03LshNearDup _),
@@ -226,6 +259,59 @@ object DedupOps {
   )
 
   private val bandsSqlList = (0 until numBands).map(bandSql)
+
+  /** d03's oracle body, shared with the d07 component propagation. */
+  private val d03Sql: String =
+
+      s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, unnest([${bandsSqlList.mkString(", ")}]) AS key,
+         |         unnest([${(0 until numBands).mkString(", ")}]) AS band
+         |  FROM hxt
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id
+         |),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_common, za.n_sh AS n_a, zb.n_sh AS n_b,
+         |       CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)
+         |         AS jaccard
+         |FROM common
+         |JOIN sizes za ON za.doc_id = doc_a
+         |JOIN sizes zb ON zb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 4 unrolled min-label-propagation rounds over d03's pair graph. */
+  private val d07Sql: String = {
+    def round(k: Int): String =
+      s"""l${k} AS (
+         |  SELECT l.doc_id,
+         |         least(l.label, coalesce(min(ul.label), l.label)) AS label
+         |  FROM l${k - 1} l
+         |  LEFT JOIN edges e ON e.v = l.doc_id
+         |  LEFT JOIN l${k - 1} ul ON ul.doc_id = e.u
+         |  GROUP BY l.doc_id, l.label
+         |)""".stripMargin
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
+       |edges AS (
+       |  SELECT doc_a AS v, doc_b AS u FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |l0 AS (SELECT DISTINCT v AS doc_id, v AS label FROM edges),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT doc_id, label AS component FROM l4 ORDER BY doc_id""".stripMargin
+  }
 
   /** d04's oracle body, shared with the d06 cluster grouping. */
   private val simhashSql: String = {
@@ -258,35 +344,10 @@ object DedupOps {
               .map { case (b, j) => s"$b AS band$j" }.mkString(",\n  ")}
          |FROM hxt ORDER BY doc_id""".stripMargin,
 
-    "d03_lsh_near_dup" ->
-      s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents),
-         |keyed AS (
-         |  SELECT doc_id, unnest([${bandsSqlList.mkString(", ")}]) AS key,
-         |         unnest([${(0 until numBands).mkString(", ")}]) AS band
-         |  FROM hxt
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
-         |  WHERE a.doc_id < b.doc_id
-         |),
-         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-         |  GROUP BY c.doc_a, c.doc_b
-         |)
-         |SELECT doc_a, doc_b, n_common, za.n_sh AS n_a, zb.n_sh AS n_b,
-         |       CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)
-         |         AS jaccard
-         |FROM common
-         |JOIN sizes za ON za.doc_id = doc_a
-         |JOIN sizes zb ON zb.doc_id = doc_b
-         |WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d03_lsh_near_dup" -> d03Sql,
+
+    "d07_neardup_components" -> d07Sql,
+
 
     "d04_simhash" -> simhashSql,
 
