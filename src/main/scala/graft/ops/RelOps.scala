@@ -163,45 +163,138 @@ object RelOps {
         max(col("pmax")).as("max_value"))
       .orderBy("event_type")
 
-  /** Exact distributed median per group via rank selection (row_number +
-    * pick the middle row(s), average the two middles on even counts) —
-    * deterministic across engines, unlike percentile_approx sketches.
-    * One shuffle for the window, reused by the aggregation.
+  // ---- Exact rank selection without a full-group sort (w08/w09) --------
+  //
+  // The naive plan (row_number over Window.partitionBy(event_type)) sorts
+  // EVERY row of a group on ONE task — with ~5 distinct event_types that is
+  // 5 mega-partitions at 100 TB, a single-reducer scale-killer. The oracle
+  // SQL states rank semantics over ORDER BY (value, event_id), but the
+  // SELECTED VALUE at any rank depends only on the value ordering (rows
+  // tied on value share it), so exact rank lookup needs only per-distinct-
+  // value counts, never a row-level sort:
+  //
+  //   1. one hash-agg pass   -> per-group (min, max, count)        [tiny]
+  //   2. one hash-agg pass   -> fixed-width value-bucket histogram [tiny]
+  //      + cumulative bucket offsets (window over G*B rows)
+  //   3. locate, per target rank, the single bucket containing it  [tiny]
+  //   4. one hash-agg pass over ONLY the candidate buckets
+  //      (broadcast semi-reduction) -> per-distinct-value counts,
+  //      running sum within each (group, bucket)                   [small]
+  //   5. rank r's value = the distinct value v whose cumulative range
+  //      (off + cum - ec, off + cum] contains r.
+  //
+  // Big-side work is 3 scan+hash-agg passes (map-side combine, no sort);
+  // the only windows run over the G*B-row histogram and over the distinct
+  // values inside <=4 candidate buckets per group (ties collapse in step 4,
+  // so an all-equal group contributes ONE row). A value-skewed bucket could
+  // still concentrate distinct values; a second histogram level inside the
+  // candidate bucket would bound that too — not needed at current scale.
+
+  private val RankBuckets = 1024
+
+  /** Per-group stats that both drive the bucket bounds and ride along as
+    * the output `n` column. Exact min/max make the bucket function
+    * deterministic across engines and partitionings.
+    */
+  private def rankStats(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type").agg(
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      count(lit(1)).as("cnt"))
+
+  /** Given tiny `targets` (event_type, r), return (event_type, r, value)
+    * where value is the value at ascending 1-based rank r within the
+    * group (value-ordered; ties share the selected value).
+    */
+  private def valuesAtRanks(ev: DataFrame, stats: DataFrame,
+      targets: DataFrame): DataFrame = {
+    val b = lit(RankBuckets)
+    val bucketed = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("vmax") > col("vmin"),
+          least(b - 1, floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * b)).cast("long"))
+          .otherwise(lit(0L)))
+      .select("event_type", "bucket", "value")
+    val hist = bucketed.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("bn"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.withColumn("off",
+      coalesce(sum(col("bn")).over(wOff), lit(0L)))
+    // the single bucket whose cumulative range contains each target rank
+    val candBuckets = targets.join(offsets, Seq("event_type"))
+      .filter(col("r") > col("off") && col("r") <= col("off") + col("bn"))
+    val bucketKeys = candBuckets
+      .select("event_type", "bucket", "off").distinct()
+    // reduce the big side to candidate buckets, then collapse ties
+    val vals = bucketed
+      .join(broadcast(bucketKeys), Seq("event_type", "bucket"))
+      .groupBy("event_type", "bucket", "off", "value")
+      .agg(count(lit(1)).as("ec"))
+    val wCum = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("value")).rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = vals.withColumn("cum_end",
+      col("off") + sum(col("ec")).over(wCum))
+    ranked.join(broadcast(candBuckets.select("event_type", "bucket", "r")),
+        Seq("event_type", "bucket"))
+      .filter(col("r") > col("cum_end") - col("ec") &&
+        col("r") <= col("cum_end"))
+      .select("event_type", "r", "value")
+  }
+
+  /** Exact distributed median per group via two-phase rank selection
+    * (values at ranks (n+1)/2 and (n+2)/2, averaged — identical semantics
+    * to the row_number formulation the oracle states, without its
+    * single-task-per-group sort; see the plan note above).
+    * Deterministic across engines, unlike percentile_approx sketches.
     */
   def w08ExactMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      // `div` (integer division): Spark's `/` on integers yields DOUBLE
-      .filter(col("rn") === expr("(cnt + 1) div 2") ||
-        col("rn") === expr("(cnt + 2) div 2"))
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val stats = rankStats(ev)
+    // `div` (integer division): Spark's `/` on integers yields DOUBLE.
+    // distinct: odd counts hit one rank — the oracle's OR filter also
+    // picks one row there, two on even counts.
+    val targets = stats
+      .select(col("event_type"),
+        explode(array(expr("(cnt + 1) div 2"), expr("(cnt + 2) div 2")))
+          .as("r"))
+      .distinct()
+    valuesAtRanks(ev, stats, targets)
       .groupBy(col("event_type"))
-      .agg(
-        (sum(col("value").cast(DecimalType(28, 6))).cast("double") /
-          count(lit(1))).as("median_value"),
-        max(col("cnt")).as("n"))
+      .agg((sum(col("value").cast(DecimalType(28, 6))).cast("double") /
+        count(lit(1))).as("median_value"))
+      .join(broadcast(stats.select(col("event_type"), col("cnt").as("n"))),
+        Seq("event_type"))
+      .select("event_type", "median_value", "n")
       .orderBy("event_type")
   }
 
   /** Exact rank-based quantiles (p25/p50/p75 as the value at rank
     * ceil(q*n), no interpolation — deterministic across engines, unlike
-    * percentile sketches or interpolating quantile_cont).
+    * percentile sketches or interpolating quantile_cont). Same two-phase
+    * rank selection as w08; one rank can serve several quantiles.
     */
   def w09Quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val ranked = Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    def pick(q: Double, name: String) =
-      max(when(col("rn") === expr(s"CAST(ceil(cnt * $q) AS BIGINT)"),
-        col("value"))).as(name)
-    ranked.groupBy(col("event_type"))
-      .agg(pick(0.25, "p25"), pick(0.5, "p50"), pick(0.75, "p75"),
-        max(col("cnt")).as("n"))
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val stats = rankStats(ev)
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    val wanted = stats
+      .select(col("event_type"), explode(array(qs.map { case (q, name) =>
+        struct(lit(name).as("q"),
+          expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))
+      }: _*)).as("t"))
+      .select(col("event_type"), col("t.q").as("q"), col("t.r").as("r"))
+    val atRanks = valuesAtRanks(ev, stats,
+      wanted.select("event_type", "r").distinct())
+    wanted.join(atRanks, Seq("event_type", "r"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("q") === "p25", col("value"))).as("p25"),
+        max(when(col("q") === "p50", col("value"))).as("p50"),
+        max(when(col("q") === "p75", col("value"))).as("p75"))
+      .join(broadcast(stats.select(col("event_type"), col("cnt").as("n"))),
+        Seq("event_type"))
+      .select("event_type", "p25", "p50", "p75", "n")
       .orderBy("event_type")
   }
 

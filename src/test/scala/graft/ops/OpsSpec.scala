@@ -95,6 +95,33 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).histo4.sum == 250)
   }
 
+  test("w08/w09: no window sorts raw rows — every window input is aggregated") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // a ReusedExchange is a leaf pointing at the original exchange — follow
+    // it, or the aggregate feeding a reused histogram shuffle is invisible
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case a: BaseAggregateExec => a
+        case r: ReusedExchangeExec if hasAggBelow(r.child) => r
+      }.nonEmpty
+    // AQE wraps the plan lazily; disable it so WindowExec nodes are visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq(RelOps.w08ExactMedian _, RelOps.w09Quantiles _).foreach { q =>
+      val plan = q(spark, sf0001).queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      // the two-phase rank-selection contract: windows run over histogram /
+      // tie-collapsed aggregates (tiny), never over the raw events scan —
+      // the old full-group row_number plan would fail this
+      windows.foreach { w =>
+        assert(hasAggBelow(w.child),
+          s"WindowExec over non-aggregated input:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
