@@ -33,13 +33,20 @@ object GraftHash {
     */
   def signature(text: UTF8String): ArrayData = {
     val s = text.toString
-    val len = s.length
+    // iterate by CODE POINTS, not UTF-16 code units: Spark's
+    // substring(text, i, n) and DuckDB's substring both count code
+    // points, so shingling by java.lang.String.substring would diverge
+    // on non-BMP text (emoji, rare CJK) and break the bit-identical
+    // cross-engine guarantee. Identical to the old code-unit path for
+    // ASCII/BMP input.
+    val cps = s.codePoints().toArray
+    val len = cps.length
     val n = math.max(len - (ShingleLen - 1), 1)
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      val sh = s.substring(i, math.min(i + ShingleLen, len))
+      val sh = new String(cps, i, math.min(ShingleLen, len - i))
       md.reset()
       val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7

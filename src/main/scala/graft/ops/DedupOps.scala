@@ -111,13 +111,13 @@ object DedupOps {
   private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bandArr = (0 until numBands).map(j => band(j, mh))
       .mkString("array(", ", ", ")")
-    // cached: the self-join below would otherwise recompute the whole
-    // shingle->hash->minhash chain for both sides
+    // cached (via the Caches registry — the harness unpersists after the
+    // query materializes): the self-join below would otherwise recompute
+    // the whole shingle->hash->minhash chain for both sides
     graft.functions.GraftFunctions.register(spark)
-    val keyed = Tables.documents(spark, dir)
+    val keyed = graft.Caches.cache(Tables.documents(spark, dir)
       .withColumn("sig", expr("graft_minhash(text)"))
-      .select(col("doc_id"), posexplode(expr(bandArr)).as(Seq("band", "key")))
-      .cache()
+      .select(col("doc_id"), posexplode(expr(bandArr)).as(Seq("band", "key"))))
     val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = keyed.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -137,9 +137,8 @@ object DedupOps {
     // per-doc shingle arrays to each side and merge-count the overlap
     // with the codegen'd graft_sorted_common kernel — candidates are
     // O(n) and each pair costs one allocation-free linear merge
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr"))
-      .cache()
+    val sh = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr")))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")),
         Seq("doc_a"))
@@ -176,19 +175,35 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Capped member preview per cluster. */
+  private val ClusterPreviewK = 20
+
   /** SimHash near-dup clusters: group on the 16-bit fingerprint — the
-    * scale path d04's doc says (pure hash shuffle, no pair join at all);
-    * members are CSV-serialized for the driver comparator.
+    * scale path d04's doc says (pure hash shuffle, no pair join at all).
+    *
+    * Hot-key bound: a 16-bit fingerprint has at most 65,536 distinct keys,
+    * so at 100 TB a popular fingerprint holds millions of members — an
+    * unbounded collect_list would balloon one aggregation buffer. Instead
+    * the member preview uses the bounded graft_topk heap (k smallest
+    * doc_ids; k entries per group per partition reach the shuffle, same
+    * plan as s04) next to the exact total count. Full membership at scale
+    * is the d04 projection (doc_id, simhash) itself — no list needed.
     */
-  def d06SimhashClusters(spark: SparkSession, dir: String): DataFrame =
+  def d06SimhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     d04Simhash(spark, dir)
       .groupBy(col("simhash"))
       .agg(
         count(lit(1)).as("n_docs"),
-        expr("concat_ws(',', transform(sort_array(collect_list(doc_id))," +
-          " x -> CAST(x AS STRING)))").as("doc_ids"))
+        // smallest ids first: score = -doc_id, heap keeps the k best
+        expr(s"graft_topk(-CAST(doc_id AS DOUBLE), doc_id, $ClusterPreviewK)")
+          .as("top"))
       .filter(col("n_docs") > 1)
+      .select(col("simhash"), col("n_docs"),
+        expr("concat_ws(',', transform(top, x -> CAST(x.id AS STRING)))")
+          .as("doc_ids"))
       .orderBy("simhash")
+  }
 
   /** Blocked token-3-gram Jaccard: block on a 40-char prefix (cheap
     * equality blocker), compare blocked pairs by word-trigram overlap.
@@ -198,10 +213,9 @@ object DedupOps {
       "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-2, 1))," +
         " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
     // cached: both sides of the blocked self-join reuse the ngram arrays
-    val g = Tables.documents(spark, dir).select(
+    val g = graft.Caches.cache(Tables.documents(spark, dir).select(
       col("doc_id"), substring(col("text"), 1, 40).as("blk"),
-      expr(ngrams).as("ng"))
-      .cache()
+      expr(ngrams).as("ng")))
     val pairs = g.select(col("doc_id").as("doc_a"), col("blk"), col("ng").as("ng_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("blk"), col("ng").as("ng_b")), Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -224,15 +238,19 @@ object DedupOps {
     * bit-identical regardless of convergence). Each round is one
     * join + hash agg keyed on doc id — the standard scalable CC loop.
     */
-  def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d03LshNearDup(spark, dir).select("doc_a", "doc_b").cache()
-    // symmetric edge list (+ implicit self via the left join below)
-    val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
-      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
-      .cache()
+  /** `rounds` rounds of min-label propagation over a symmetric edge list
+    * (v, u): every vertex adopts the smallest label among itself and its
+    * neighbors, once per round. The min label travels exactly one hop per
+    * round, so after r rounds a vertex holds the smallest id within r
+    * hops — components of diameter <= r converge; longer chains
+    * under-merge DETERMINISTICALLY (the bound is pinned by a ScalaCheck
+    * property on planted path graphs). Each round is one join + one hash
+    * agg keyed on vertex id — the standard scalable CC loop.
+    */
+  private[graft] def minLabelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
     var labels = edges.select(col("v").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    (1 to 4).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")),
           Seq("u"))
@@ -244,6 +262,21 @@ object DedupOps {
             .as("label"))
     }
     labels
+  }
+
+  def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.cache(
+      d03LshNearDup(spark, dir).select("doc_a", "doc_b"))
+    // symmetric edge list (+ implicit self via the left join below)
+    val edges = graft.Caches.cache(
+      pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
+        .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u"))))
+    // FIXED 4 rounds: near-dup families are cliques or short chains
+    // (diameter <= 4 — verified empirically on the planted corpus), and a
+    // fixed count keeps the result bit-identical to the oracle's 4
+    // unrolled rounds regardless of convergence. A diameter-d chain needs
+    // d rounds; raising the cap means adding the same rounds to d07Sql.
+    minLabelPropagate(edges, 4)
       .select(col("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
   }
@@ -353,8 +386,9 @@ object DedupOps {
 
     "d06_simhash_clusters" ->
       s"""SELECT simhash, count(*) AS n_docs,
-         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
-         |         AS doc_ids
+         |       array_to_string(list_transform(
+         |         (list_sort(list(doc_id)))[1:20], x -> CAST(x AS VARCHAR)),
+         |         ',') AS doc_ids
          |FROM ($simhashSql)
          |GROUP BY simhash HAVING count(*) > 1
          |ORDER BY simhash""".stripMargin,

@@ -131,7 +131,18 @@ object MediaOps {
     "m03_frame_sample" -> (m03FrameSample _)
   )
 
-  /** m02 intentionally absent: mapPartitions decode has no SQL oracle. */
+  /** m02 intentionally absent: mapPartitions decode has no SQL oracle.
+    *
+    * Byte-vs-char contract: the Spark side takes length/substring over the
+    * BINARY payload (byte offsets) — the semantics a real media corpus
+    * needs. DuckDB exposes no substring/md5 over BLOBs, so the oracles
+    * state the same operations over the VARCHAR text (char offsets),
+    * which is value-identical ONLY while the documents fixture is pure
+    * ASCII — an explicit fixture contract, guarded by a test
+    * (`OpsSpec."media oracles: documents fixture is pure ASCII"`). On a
+    * non-ASCII corpus the Spark results remain the spec; the oracle rows
+    * would shift instead.
+    */
   val oracle: Map[String, String] = Map(
     "m01_media_meta" ->
       """WITH m AS (

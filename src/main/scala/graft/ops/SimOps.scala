@@ -114,9 +114,8 @@ object SimOps {
   /** Embedding-cosine near-dup: same-bucket pairs with cosine >= 0.35. */
   def s03EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     // cached: both sides of the bucket self-join reuse the quantized rows
-    val v = vectors(spark, dir)
-      .withColumn("bucket", expr(signKey("embedding", 4)))
-      .cache()
+    val v = graft.Caches.cache(vectors(spark, dir)
+      .withColumn("bucket", expr(signKey("embedding", 4))))
     val a = v.select(col("bucket"), col("vec_id").as("id_a"),
       col("qv").as("emb_a"), col("vnorm").as("qnorm"))
     val b = v.select(col("bucket"), col("vec_id").as("id_b"),

@@ -51,15 +51,22 @@ object Lakehouse {
     spark.read.parquet(dir.toString)
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // atomic-ish swap: remove originals, move compacted files in
-    fs.listStatus(dir).foreach { s =>
-      if (s.isFile && !s.getPath.getName.startsWith("_")) fs.delete(s.getPath, false)
-    }
-    fs.listStatus(tmp).foreach { s =>
-      if (s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-        fs.rename(s.getPath, new Path(dir, s.getPath.getName))
-    }
+    // Crash-safe swap order: move the compacted files IN first, delete the
+    // originals after. Spark part-file names carry a fresh UUID, so the
+    // new names never collide with the originals; a crash between the two
+    // loops leaves duplicate data (repairable) rather than an empty
+    // partition (data loss). Originals are recorded before the move so
+    // the delete loop can't touch the files just moved in.
+    val originals = fs.listStatus(dir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    val compacted = fs.listStatus(tmp).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    require(compacted.nonEmpty,
+      s"compaction of $dir produced no data files in $tmp — aborting swap")
+    compacted.foreach(p => fs.rename(p, new Path(dir, p.getName)))
+    originals.foreach(p => fs.delete(p, false))
     fs.delete(tmp, true)
     (before, dataFiles())
   }

@@ -71,14 +71,16 @@ object StreamJobs {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
-  /** Streaming exact dedup by event id: first occurrence wins, state
-    * bounded by the watermark (late duplicates beyond 10 minutes age out
-    * of the dedup state — the only way dedup state stays finite on an
-    * unbounded stream).
+  /** Streaming exact dedup by event id ALONE: first occurrence wins —
+    * a re-send of the same id with a different timestamp is still
+    * dropped (dropDuplicates("event_id", "ts") would let it through).
+    * State stays bounded by the watermark: an id's dedup entry ages out
+    * once the watermark passes its event time + delay — the only way
+    * dedup state stays finite on an unbounded stream.
     */
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming-native gold refresh (the T4 upgrade of the reference's
     * scheduled batch gold job): drain the silver stream with

@@ -27,14 +27,14 @@ object Serving {
       history: DataFrame,
       tiebreak: Column,
       targetFilter: Column = col("bikes") <= 5): DataFrame = {
-    // cached: `targets` is referenced twice (semi-join reduction + final
-    // join) and sits on top of the whole enrich->gold subtree — without
+    // cached via the Caches registry (harness unpersists post-query):
+    // `targets` is referenced twice (semi-join reduction + final join) and
+    // sits on top of the whole enrich->gold subtree — without
     // materialization Spark would recompute that chain per reference
     // (SURVEY.md §7 risk register: CTE reuse). It is O(alert count).
-    val targets = gold.filter(targetFilter)
+    val targets = graft.Caches.cache(gold.filter(targetFilter)
       .select(col("station_code"), col("station_name"), col("bikes"),
-        col("alert_level"))
-      .cache()
+        col("alert_level")))
     val reduced = history.join(broadcast(targets.select("station_code")),
       Seq("station_code"), "left_semi")
     val w = Window.partitionBy(col("station_code"))

@@ -124,6 +124,23 @@ object SparkWindowProps extends Properties("spark-windows") {
       got == want
     }
 
+  property("d07 propagation: r rounds reach exactly r hops on a path graph") =
+    // planted chain 0-1-...-(n-1) with diameter n-1 > 4: after r rounds
+    // vertex i holds max(0, i - r) — components of diameter <= r converge,
+    // longer chains under-merge by exactly this bound (d07's documented
+    // fixed-round contract; the oracle unrolls the same 4 rounds)
+    Prop.forAll(Gen.chooseNum(6, 14), Gen.chooseNum(1, 6)) { (n, rounds) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      val edges = pairs.toDF("v", "u")
+        .union(pairs.map(_.swap).toDF("v", "u"))
+      val got = graft.ops.DedupOps.minLabelPropagate(edges, rounds)
+        .select(col("doc_id"), col("label"))
+        .as[(Long, Long)].collect().toMap
+      (0L until n.toLong).forall(i => got(i) == math.max(0L, i - rounds))
+    }
+
   property("sessionization: gaps within a session <= timeout, across > timeout") =
     Prop.forAll(eventsGen) { rows =>
       import spark.implicits._

@@ -14,7 +14,12 @@ class FunctionsSpec extends SparkTestBase {
   test("graft_minhash equals the conv(md5)/universal-hash HOF chain") {
     GraftFunctions.register(spark)
     val p = GraftHash.P
-    val texts = Seq("the quick brown fox jumps", "ab", "x" * 200, "déjà vu ok")
+    // the last two rows hold supplementary-plane chars (emoji, CJK-ext):
+    // Spark's substring counts CODE POINTS, so the JVM kernel must too —
+    // a UTF-16 code-unit shingler diverges on exactly these
+    val texts = Seq("the quick brown fox jumps", "ab", "x" * 200, "déjà vu ok",
+      "caf😀 latte 🚀 rocket emoji pad",
+      "₻7𤋮 mixed 💩 planes here")
       .toDF("text")
     val hx = s"transform(array_distinct(transform(sequence(1, " +
       s"greatest(length(text)-7, 1)), i -> substring(text, i, 8))), " +

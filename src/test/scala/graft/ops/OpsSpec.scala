@@ -122,6 +122,54 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("caches: registry drains every persisted RDD after a query") {
+    // drain registry caches left by earlier tests in THIS suite, so d07's
+    // cache() calls register fresh entries instead of hitting CacheManager
+    graft.Caches.unpersistAll()
+    // delta-based: other suites share this session and may hold their own
+    // (non-registry) caches, so assert only the query's caches are released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // d07 is the cache-heaviest query (keyed, sh, pairs, edges)
+    DedupOps.d07NeardupComponents(spark, sf0001).count()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    graft.Caches.unpersistAll()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("media oracles: documents fixture is pure ASCII") {
+    // m01/m03's DuckDB oracles take substring/length over VARCHAR text
+    // while Spark takes them over the BINARY payload — value-identical
+    // only on ASCII. If the fixture ever gains multi-byte text this must
+    // fail loudly instead of the driver hash silently drifting.
+    Seq(sf0001, sf001).foreach { dir =>
+      val nonAscii = graft.Tables.documents(spark, dir)
+        .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+        .count()
+      assert(nonAscii == 0, s"non-ASCII documents in $dir break the m01/m03 oracle contract")
+    }
+  }
+
+  test("retention: dry run only reports; bookkeeping files are never deleted") {
+    val dir = Files.createTempDirectory("graft_retention_guard")
+    val data = dir.resolve("part-0001.parquet")
+    val success = dir.resolve("_SUCCESS")
+    val ckptDir = Files.createDirectory(dir.resolve(".checkpoint"))
+    val ckpt = ckptDir.resolve("metadata")
+    Seq(data -> 80, success -> 0, ckpt -> 30).foreach { case (p, n) =>
+      Files.writeString(p, "z" * n)
+      p.toFile.setLastModified(System.currentTimeMillis() - 120000)
+    }
+    val cutoff = System.currentTimeMillis() + 60000
+    // dry run: reports the one data file, deletes nothing
+    val dry = Retention.deleteOlderThan(spark, dir.toString, cutoff, dryRun = true)
+    assert(dry.deletedCount == 1 && dry.deletedBytes == 80)
+    assert(data.toFile.exists() && success.toFile.exists() && ckpt.toFile.exists())
+    // real run: deletes the data file, skips _SUCCESS and .checkpoint/*
+    val rep = Retention.deleteOlderThan(spark, dir.toString, cutoff)
+    assert(rep.deletedCount == 1 && rep.deletedBytes == 80)
+    assert(!data.toFile.exists() && success.toFile.exists() && ckpt.toFile.exists())
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")

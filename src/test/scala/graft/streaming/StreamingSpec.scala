@@ -114,10 +114,14 @@ class StreamingSpec extends SparkTestBase {
     mem.addData(rows: _*)
     q.processAllAvailable()
     mem.addData(rows.take(3): _*) // exact duplicates of earlier events
+    // same id, DIFFERENT timestamp, within the watermark delay of the
+    // original (id 5 @ 12:41, watermark 12:31): id-only dedup must drop
+    // it — the old (event_id, ts) key would have let it through
+    mem.addData(Ev(5, ts("2024-01-01 12:45:00"), 1, "a", 5.0))
     mem.addData(Ev(6, ts("2024-01-01 12:42:00"), 1, "a", 6.0))
     q.processAllAvailable(); q.stop()
     val got = spark.table("dedup")
-    assert(got.count() == 6) // 5 originals + 1 new; re-sends dropped
+    assert(got.count() == 6) // 5 originals + 1 new; all re-sends dropped
     assert(got.select("event_id").distinct().count() == 6)
   }
 
