@@ -77,19 +77,25 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
-  /** Sign-LSH bucket key: sign bits of the first `bits` components.
+  /** Sign-LSH bucket key: sign bits of components [from, from+bits).
     * An axis-aligned random-projection LSH — the scale path that turns
     * all-pairs search into a per-bucket search.
     */
-  private def signKey(arr: String, bits: Int): String =
-    (1 to bits).map(i =>
+  private def signKeyRange(arr: String, from: Int, bits: Int): String =
+    (from until from + bits).map(i =>
       s"CASE WHEN CAST(element_at($arr, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
 
-  private def signKeySql(arr: String, bits: Int): String =
-    (1 to bits).map(i =>
+  private def signKey(arr: String, bits: Int): String =
+    signKeyRange(arr, 1, bits)
+
+  private def signKeySqlRange(arr: String, from: Int, bits: Int): String =
+    (from until from + bits).map(i =>
       s"CASE WHEN CAST($arr[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
+
+  private def signKeySql(arr: String, bits: Int): String =
+    signKeySqlRange(arr, 1, bits)
 
   /** Bucketed ANN: top-5 per query among same-bucket vectors only. */
   def s02LshAnn(spark: SparkSession, dir: String): DataFrame = {
@@ -167,6 +173,76 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** Banded sign-LSH layout: all 64 sign bits, split into `Bands`
+    * independent hash tables of `BandBits` bits each.
+    */
+  private[graft] val Bands = 8
+  private[graft] val BandBits = 8
+
+  /** Quantize + integer norms over an arbitrary (vec_id, embedding)
+    * frame — the prep step every similarity query shares, exposed so
+    * tests can run the ANN on synthetic clustered corpora.
+    */
+  private[graft] def prepareVectors(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("qv", expr(quantize))
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        expr(dotSq("qv", "qv")).as("vnorm"))
+  }
+
+  /** Banded-signature ANN core: each vector emits one (band, key) row
+    * per band (key = that band's 8 sign bits); a pair is a CANDIDATE iff
+    * it agrees on ALL bits of at least one band — the classic LSH
+    * banding recall repair (one agreeing band suffices, so a near
+    * neighbor survives sign flips in the other 56 bits). Exact cosine
+    * then ranks the candidate union.
+    *
+    * Recall math: with per-bit agreement probability q (q = 1 - θ/π for
+    * angle θ), P[candidate] = 1 - (1 - q^8)^8 — ~0.99 at q = 0.9, i.e.
+    * genuinely-similar pairs are nearly always found while random pairs
+    * (q ≈ 0.5) collide on ~3% of the corpus. Measured on a planted
+    * 20-cluster corpus in OpsSpec: recall@5 ≥ 0.8 (vs 0.12 for the
+    * single-bucket s02 config on the same data).
+    *
+    * 100 TB posture: bands is an 8x row explosion of (id, 8-char key)
+    * pairs — narrow; the candidate join is per-(band, key) bucket with
+    * the query side broadcast; distinct + the two scoring joins shuffle
+    * candidate pairs only, never the corpus cross product.
+    */
+  private[graft] def bandedTopK(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val bandArr = (0 until Bands)
+      .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
+      .mkString("array(", ", ", ")")
+    val bands = graft.Caches.cache(
+      v.select(col("vec_id"), posexplode(expr(bandArr)).as(Seq("band", "key"))))
+    val qBands = bands
+      .join(v.filter(isQuery).select("vec_id"), Seq("vec_id"), "left_semi")
+      .withColumnRenamed("vec_id", "qid")
+    val cand = bands.join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val q = v.filter(isQuery).select(col("vec_id").as("qid"),
+      col("qv").as("qemb"), col("vnorm").as("qnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.join(v.select("vec_id", "qv", "vnorm"), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Recall-targeted ANN over the fixture: banded signatures, top-5. */
+  def s07BandedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    bandedTopK(v, col("vec_id") % 50 === 0, 5)
+  }
+
   /** s01's semantics re-planned with the graft_topk
     * TypedImperativeAggregate: per-partition bounded heaps partially
     * aggregate map-side, so the shuffle carries k rows per partition per
@@ -214,7 +290,8 @@ object SimOps {
     "s02_lsh_ann" -> (s02LshAnn _),
     "s03_embed_neardup" -> (s03EmbedNearDup _),
     "s04_knn_topk_agg" -> (s04KnnTopkAgg _),
-    "s05_lsh_multiprobe" -> (s05LshMultiprobe _)
+    "s05_lsh_multiprobe" -> (s05LshMultiprobe _),
+    "s07_banded_ann" -> (s07BandedAnn _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -250,9 +327,47 @@ object SimOps {
          |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** Band keys as one DuckDB list literal: [band0bits, ..., band7bits]. */
+  private val bandKeysSql = (0 until Bands)
+    .map(t => signKeySqlRange("embedding", t * BandBits + 1, BandBits))
+    .mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s07_banded_ann" ->
+      s"""WITH $unnestSql,
+         |bl AS (
+         |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+         |),
+         |eb AS (
+         |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
+         |         unnest(keys) AS key
+         |  FROM bl
+         |),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid
+         |  FROM eb q JOIN eb v ON v.band = q.band AND v.key = q.key
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |),
+         |d AS (
+         |  SELECT c.qid, c.vid, SUM(uq.x * uv.x) AS dot
+         |  FROM cand c
+         |  JOIN u uq ON uq.vec_id = c.qid
+         |  JOIN u uv ON uv.vec_id = c.vid AND uv.i = uq.i
+         |  GROUP BY c.qid, c.vid
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "s06_label_centroids" ->
       s"""WITH $unnestSql

@@ -122,6 +122,50 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("s07: banded ANN recall@5 >= 0.8 on a planted clustered corpus") {
+    // 20 clusters x 50 points, centroid ~ N(0,1)^64, noise 0.25*N(0,1):
+    // same-cluster sign-agreement per dim q = 1 - arccos(1/(1+0.25^2))/pi
+    // ~ 0.89, so banded P[candidate] = 1-(1-q^8)^8 ~ 0.98 — the recall
+    // repair the single-bucket s02 config (q^4 ~ 0.63) lacks. All
+    // deterministic: seeded generator, quantized integer cosines.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centroids = Array.fill(20, dim)(rnd.nextGaussian())
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 1000).map { i =>
+      val c = centroids(i / 50)
+      (i.toLong, (0 until dim).map(d => (c(d) + 0.25 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = SimOps.bandedTopK(
+        SimOps.prepareVectors(emb), col("vec_id") % 50 === 0, 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact ground truth with the SAME quantization (integer dots)
+    val qv = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(qv0norm(a)) * math.sqrt(qv0norm(b)))
+    }
+    def qv0norm(a: Array[Long]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s.toDouble
+    }
+    val queries = (0 until 1000 by 50).map(_.toLong)
+    val recalls = queries.map { q =>
+      val truth = qv.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(qv(q), qv(v)), v)).take(5).toSet
+      got.getOrElse(q, Set.empty).intersect(truth).size / 5.0
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"banded ANN recall@5 on clustered corpus: $recall%.3f")
+    assert(recall >= 0.8, f"recall@5 = $recall%.3f < 0.8")
+    graft.Caches.unpersistAll()
+  }
+
   test("caches: registry drains every persisted RDD after a query") {
     // drain registry caches left by earlier tests in THIS suite, so d07's
     // cache() calls register fresh entries instead of hitting CacheManager
