@@ -70,4 +70,40 @@ object SilverJob {
     df.select(
       col("stationcode").cast("binary").as("key"),
       to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+
+  /** Connector-level Kafka sink config (S3): the fully-configured
+    * streaming writer for `toWire` output, mirroring the reference
+    * producer (`bronze.py:16-59`: bootstrap servers + topic, keyed
+    * delivery). Provider resolution happens at `.start()`, so the writer
+    * BUILDS everywhere; starting it additionally needs
+    * `spark-sql-kafka-0-10` on the classpath and a live broker (neither
+    * ships in this sandbox — see NOTES.md "Kafka connector decision").
+    */
+  def kafkaWriter(
+      wire: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    wire.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+
+  /** Connector-level Kafka source config (S4): the reference consumer's
+    * options (`silver.py:29-36`: bootstrap servers, subscribe topic,
+    * earliest offsets). `.load()` is the caller's provider-resolution
+    * point; the parse chain downstream is `parseRaw` either way.
+    */
+  def kafkaReader(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
 }

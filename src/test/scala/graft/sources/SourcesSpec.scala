@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
 class SourcesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("Sessions: env-driven S3A config parity; local-FS fallback is a no-op") {
+    // mirrors resources.py's env contract without a live store
+    val env = Map(
+      "S3_ENDPOINT_URL" -> "http://localhost:9000",
+      "AWS_ACCESS_KEY_ID" -> "minio",
+      "AWS_SECRET_ACCESS_KEY" -> "minio123")
+    val store = Sessions.fromEnv(env)
+    assert(store.contains(Sessions.ObjectStore(
+      "http://localhost:9000", "minio", "minio123")))
+    // missing any var => local-FS fallback (None, builder untouched)
+    assert(Sessions.fromEnv(env - "AWS_SECRET_ACCESS_KEY").isEmpty)
+    // applyTo a live session: public fs.s3a.* keys land in hadoopConf;
+    // local paths keep resolving through the default FS regardless
+    Sessions.applyTo(spark, store.get)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.impl") == "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    val dir = Files.createTempDirectory("graft_local_fallback")
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir.toString)
+    assert(spark.read.parquet(dir.toString).count() == 1)
+  }
+
   test("S12+P14: multiLine nested JSON -> explode -> dimension join (J4)") {
     val dir = Files.createTempDirectory("graft_gbfs")
     val json =
