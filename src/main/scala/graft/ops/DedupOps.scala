@@ -281,7 +281,38 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 8-gram with the benchmark set (doc_id % 97 = 0 stands in for an
+    * eval suite) — the contamination pass every training pipeline runs
+    * before a model ships (n-gram overlap is the standard published
+    * recipe; production windows run 8-13 tokens — here 4 words, scaled
+    * to this fixture's short word-soup documents so the planted
+    * near-dups actually trip it).
+    *
+    * 100 TB posture: the benchmark side is an eval suite — tiny — so its
+    * exploded 8-grams BROADCAST and the training corpus is only scanned
+    * (per-row explode, no corpus shuffle); the groupBy shuffles matched
+    * (doc, gram) rows only, which contamination keeps rare. With a huge
+    * benchmark the same plan degrades gracefully to a hash join on gram.
+    */
+  def d08Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val words = "split(text, ' ')"
+    val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-3, 1))," +
+      s" i -> array_join(slice($words, i, 4), ' ')))"
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+    val bench = g.filter(col("doc_id") % 97 === 0)
+      .select(col("gram"), col("doc_id").as("bench_id"))
+    g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_ngrams"),
+        min(col("bench_id")).as("first_bench_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_decontamination" -> (d08Decontamination _),
     "d07_neardup_components" -> (d07NeardupComponents _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_minhash_signatures" -> (d02MinhashSignatures _),
@@ -411,6 +442,21 @@ object DedupOps {
         |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         |FROM p
         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d08_decontamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS gram
+        |  FROM documents
+        |)
+        |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_ngrams,
+        |       min(b.bench_id) AS first_bench_id
+        |FROM g t JOIN (
+        |  SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0) b
+        |  USING (gram)
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -102,10 +102,64 @@ object PipelineOps {
       .orderBy("column_name")
   }
 
+  /** Token-budget shard packing: doc d lands in training shard
+    * floor(prefix_tokens_before(d) / budget) in doc_id order — the step
+    * that turns a cleaned corpus into bounded training shards.
+    *
+    * Scale plan — NO global-order window over raw rows (that is one
+    * task): the prefix sum is two-phase, the same shape as w08's
+    * histogram rank selection. Docs group into coarse doc_id ranges;
+    * the in-group exclusive prefix runs per-group (parallel across
+    * groups), the tiny per-group totals take the only global window
+    * (one row per group), and the group offset broadcasts back. At
+    * 100 TB: groups = id-range buckets sized to a few hundred MB each.
+    */
+  def p04TokenPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 500L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("grp", expr("doc_id div 64"))
+    val wIntra = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, -1)
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .orderBy("grp").rowsBetween(Long.MinValue, -1)
+    val offsets = docs.groupBy("grp").agg(sum(col("n_tokens")).as("gtot"))
+      .withColumn("offset", coalesce(sum(col("gtot")).over(wGrp), lit(0L)))
+      .select("grp", "offset")
+    docs
+      .withColumn("intra", coalesce(sum(col("n_tokens")).over(wIntra), lit(0L)))
+      .join(broadcast(offsets), Seq("grp"))
+      .withColumn("shard_id", expr(s"(intra + offset) div $budget"))
+      .select("doc_id", "n_tokens", "shard_id")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates
+    * (downsample the dominant language — corpus rebalancing), keep
+    * decision from a salted md5 of the doc id mapped to [0,1) — stable
+    * across engines, re-runs, and partitionings, never `rand()`. Pure
+    * per-row scan work; the filter reaches the scan.
+    */
+  def p05StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = "CAST(conv(substring(md5(concat('sample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    val rate = when(col("lang") === "en", 0.3)
+      .when(col("lang") === "zh", 0.8)
+      .otherwise(1.0)
+    Tables.documents(spark, dir)
+      .withColumn("u", expr(u).cast("double") / lit(4294967296.0))
+      .filter(col("u") < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _),
     "p02_hash_split" -> (p02HashSplit _),
-    "p03_profile" -> (p03Profile _)
+    "p03_profile" -> (p03Profile _),
+    "p04_token_pack" -> (p04TokenPack _),
+    "p05_stratified_sample" -> (p05StratifiedSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +204,26 @@ object PipelineOps {
          |FROM lineitem
          |) ORDER BY column_name""".stripMargin
     },
+
+    "p04_token_pack" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 500 AS shard_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p05_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT *,
+        |    CAST(CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE WHEN lang = 'en' THEN 0.3
+        |               WHEN lang = 'zh' THEN 0.8
+        |               ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
 
     "p02_hash_split" ->
       """SELECT doc_id,

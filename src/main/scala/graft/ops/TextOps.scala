@@ -133,15 +133,50 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Repetition metrics (the Gopher-style repetition quality gates):
+    * distinct-word ratio and duplicate-bigram fraction per document —
+    * high within-document repetition is the classic low-quality /
+    * machine-generated text signal a corpus filter thresholds on.
+    * Per-row higher-order array work only; no shuffle except the
+    * presentation sort. Ratios are counts divided once, so both engines
+    * compute identical doubles.
+    */
+  def t06Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = "split(text, ' ')"
+    val bigrams = s"transform(sequence(1, greatest(size($words)-1, 1))," +
+      s" i -> array_join(slice($words, i, 2), ' '))"
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(expr(words)).cast("long").as("n_words"),
+        (size(array_distinct(expr(words))).cast("double") /
+          size(expr(words))).as("uniq_word_ratio"),
+        (lit(1.0) - size(array_distinct(expr(bigrams))).cast("double") /
+          greatest(size(expr(words)) - 1, lit(1))).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_langid" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_tfidf" -> (t05Tfidf _)
+    "t05_tfidf" -> (t05Tfidf _),
+    "t06_repetition" -> (t06Repetition _)
   )
 
   val oracle: Map[String, String] = Map(
+    "t06_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS uniq_word_ratio,
+        |  1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' '))-1, 1)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))))
+        |      AS DOUBLE)
+        |    / greatest(len(string_split(text, ' '))-1, 1) AS dup_bigram_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t01_token_counts" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_measured,

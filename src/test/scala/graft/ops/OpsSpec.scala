@@ -166,6 +166,60 @@ class OpsSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("d08: contamination flags only training docs, against real benchmark ids") {
+    val r = DedupOps.d08Decontamination(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_id") % 97 != 0)       // training side only
+      assert(row.getAs[Long]("first_bench_id") % 97 == 0) // real benchmark doc
+      assert(row.getAs[Long]("n_shared_ngrams") >= 1)
+    }
+  }
+
+  test("p04: two-phase shard packing equals the naive global prefix sum") {
+    val got = PipelineOps.p04TokenPack(spark, sf0001)
+      .select("doc_id", "n_tokens", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // naive reference: exclusive running sum in doc_id order, div budget
+    var cum = 0L
+    got.foreach { case (_, toks, shard) =>
+      assert(shard == cum / 500, s"cum=$cum toks=$toks shard=$shard")
+      cum += toks
+    }
+    // shards are contiguous in doc_id order and start at 0
+    assert(got.head._3 == 0L)
+    assert(got.map(_._3).sliding(2).forall(p => p(1) - p(0) <= 1 && p(1) >= p(0)))
+  }
+
+  test("p05: stratified sample is deterministic and downsamples 'en' hardest") {
+    val a = PipelineOps.p05StratifiedSample(spark, sf0001)
+      .as[(Long, String, String)].collect()
+    val b = PipelineOps.p05StratifiedSample(spark, sf0001)
+      .as[(Long, String, String)].collect()
+    assert(a.toSeq == b.toSeq) // hash-based, never rand()
+    val total = graft.Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate > 0.1 && enRate < 0.5, s"en keep rate $enRate not ~0.3")
+    // non-en/zh strata keep everything (rate 1.0)
+    (total.keySet - "en" - "zh").foreach { l =>
+      assert(kept.getOrElse(l, 0L) == total(l), s"stratum $l truncated")
+    }
+  }
+
+  test("t06: repetition ratios are valid and detect the repeated-word doc") {
+    val r = TextOps.t06Repetition(spark, sf0001).collect()
+    assert(r.length == graft.Tables.documents(spark, sf0001).count())
+    r.foreach { row =>
+      val uw = row.getAs[Double]("uniq_word_ratio")
+      val db = row.getAs[Double]("dup_bigram_ratio")
+      assert(uw > 0 && uw <= 1.0 && db >= 0 && db <= 1.0)
+      // word-soup docs from a ~25-word vocabulary MUST repeat words
+      assert(row.getAs[Long]("n_words") < 30 || uw < 1.0)
+    }
+  }
+
   test("caches: registry drains every persisted RDD after a query") {
     // drain registry caches left by earlier tests in THIS suite, so d07's
     // cache() calls register fresh entries instead of hitting CacheManager
