@@ -24,6 +24,9 @@ object Profile {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      // drain intra-query caches so later runs don't silently reuse
+      // materialized subtrees — warm numbers must measure the real plan
+      Caches.unpersistAll()
     }
     spark.stop()
   }

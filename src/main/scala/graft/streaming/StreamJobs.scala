@@ -82,6 +82,30 @@ object StreamJobs {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with a time-range condition: each `clicks`
+    * row matches `views` rows for the same user within the preceding
+    * 30 minutes. BOTH sides carry watermarks and the join condition
+    * bounds event-time distance — the two requirements that let Spark
+    * evict buffered state (an unbounded stream-stream join would
+    * otherwise hold every row forever). State per side is O(rows within
+    * the watermark + range), independent of stream length — the 100 TB/day
+    * posture.
+    */
+  def clickAfterView(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    c.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"),
+        "inner")
+      .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+  }
+
   /** Streaming-native gold refresh (the T4 upgrade of the reference's
     * scheduled batch gold job): drain the silver stream with
     * AvailableNow, and per micro-batch recompute the alert snapshot over
@@ -107,6 +131,31 @@ object StreamJobs {
         refresh(spark.read.parquet(silverPath))
           .coalesce(1)
           .write.mode("overwrite").parquet(goldPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming upsert (the MERGE-shaped streaming sink): each micro-batch
+    * dynamic-partition-overwrites ONLY the date partitions it touches via
+    * foreachBatch + Lakehouse.upsertPartitions — the standard Spark
+    * pattern for continuous upsert into a partitioned lakehouse table
+    * when append-only parquet sinks can't express rewrites. Checkpointed
+    * exactly-once per batch id; untouched partitions are never rewritten,
+    * so a day's stream only ever rewrites the hot partition(s).
+    */
+  def streamingUpsert(
+      stream: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      partitionCol: String = "date"): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Lakehouse.upsertPartitions(batch, tablePath, partitionCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -71,6 +71,61 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("clickAfterView: stream-stream join matches only in-range view/click pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    // user 1: view 10:00, clicks 10:20 (in range) and 10:45 (> 30min, out);
+    // user 2: view 11:00, click 10:50 (click BEFORE view, out)
+    views.addData(
+      Ev(101, ts("2024-01-01 10:00:00"), 1, "view", 0),
+      Ev(102, ts("2024-01-01 11:00:00"), 2, "view", 0))
+    clicks.addData(
+      Ev(201, ts("2024-01-01 10:20:00"), 1, "click", 0),
+      Ev(202, ts("2024-01-01 10:45:00"), 1, "click", 0),
+      Ev(203, ts("2024-01-01 10:50:00"), 2, "click", 0))
+    val q = StreamJobs.clickAfterView(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin")
+      .select("user_id", "click_id", "view_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 201L, 101L)))
+  }
+
+  test("streamingUpsert: per-batch dynamic overwrite touches only hot partitions") {
+    val src = Files.createTempDirectory("graft_upsert_src")
+    val table = Files.createTempDirectory("graft_upsert_table").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    // seed the table with two date partitions
+    Seq((1L, "2024-01-01", "old"), (2L, "2024-01-02", "old"))
+      .toDF("id", "date", "v")
+      .write.mode("overwrite").partitionBy("date").parquet(table)
+    val d1Files = new java.io.File(s"$table/date=2024-01-01")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    // stream an update for 2024-01-02 ONLY
+    Files.writeString(src.resolve("batch1.jsonl"),
+      """{"id": 2, "date": "2024-01-02", "v": "new"}""" + "\n" +
+        """{"id": 3, "date": "2024-01-02", "v": "new"}""" + "\n")
+    val stream = spark.readStream
+      .schema("id LONG, date STRING, v STRING").json(src.toString)
+    StreamJobs.streamingUpsert(stream, table, ckpt)
+    val after = spark.read.parquet(table)
+      .select("id", "date", "v").as[(Long, String, String)].collect().toSet
+    // 2024-01-02 fully replaced; 2024-01-01 untouched (same files on disk)
+    assert(after == Set((1L, "2024-01-01", "old"),
+      (2L, "2024-01-02", "new"), (3L, "2024-01-02", "new")))
+    val d1After = new java.io.File(s"$table/date=2024-01-01")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(d1After == d1Files)
+    // restart with no new data: checkpoint makes it a no-op
+    StreamJobs.streamingUpsert(
+      spark.readStream.schema("id LONG, date STRING, v STRING").json(src.toString),
+      table, ckpt)
+    assert(spark.read.parquet(table).count() == 3)
+  }
+
   test("session_window streaming equals batch gaps-and-islands boundaries") {
     implicit val sqlCtx = spark.sqlContext
     // denser fixture: deterministic pseudo-random gaps around the 30-min cut
