@@ -116,10 +116,13 @@ object PipelineOps {
     */
   def p04TokenPack(spark: SparkSession, dir: String): DataFrame = {
     val budget = 500L
-    val docs = Tables.documents(spark, dir)
+    // cached narrow projection (3 longs/row): both the intra-group prefix
+    // and the per-group totals read it, so the corpus text is scanned and
+    // tokenized ONCE (harness unpersists post-query via the registry)
+    val docs = graft.Caches.cache(Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("grp", expr("doc_id div 64"))
+      .withColumn("grp", expr("doc_id div 64")))
     val wIntra = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("doc_id")
       .rowsBetween(Long.MinValue, -1)
