@@ -114,15 +114,14 @@ object PipelineOps {
     * (one row per group), and the group offset broadcasts back. At
     * 100 TB: groups = id-range buckets sized to a few hundred MB each.
     */
-  def p04TokenPack(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 500L
-    // cached narrow projection (3 longs/row): both the intra-group prefix
-    // and the per-group totals read it, so the corpus text is scanned and
-    // tokenized ONCE (harness unpersists post-query via the registry)
-    val docs = graft.Caches.cache(Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("grp", expr("doc_id div 64")))
+  /** Two-phase exclusive-prefix-sum shard assignment over an arbitrary
+    * (doc_id, n_tokens) frame — the property-tested core of p04:
+    * identical to `floor(global_running_sum_before / budget)` in doc_id
+    * order, without ever running a global-order window over raw rows.
+    */
+  private[graft] def packByBudget(
+      docs0: DataFrame, budget: Long, grpSize: Long): DataFrame = {
+    val docs = docs0.withColumn("grp", expr(s"doc_id div $grpSize"))
     val wIntra = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("doc_id")
       .rowsBetween(Long.MinValue, -1)
@@ -137,6 +136,16 @@ object PipelineOps {
       .withColumn("shard_id", expr(s"(intra + offset) div $budget"))
       .select("doc_id", "n_tokens", "shard_id")
       .orderBy("doc_id")
+  }
+
+  def p04TokenPack(spark: SparkSession, dir: String): DataFrame = {
+    // cached narrow projection (2 longs/row): both the intra-group prefix
+    // and the per-group totals read it, so the corpus text is scanned and
+    // tokenized ONCE (harness unpersists post-query via the registry)
+    val docs = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+    packByBudget(docs, budget = 500L, grpSize = 64L)
   }
 
   /** Deterministic stratified sampling: per-language keep rates

@@ -124,6 +124,23 @@ object SparkWindowProps extends Properties("spark-windows") {
       got == want
     }
 
+  property("p04 packing: two-phase prefix sum equals the naive global scan") =
+    // arbitrary token counts, arbitrary group size: shard assignment must
+    // equal floor(exclusive_running_sum / budget) computed sequentially
+    Prop.forAll(
+      Gen.listOfN(30, Gen.chooseNum(0L, 200L)),
+      Gen.chooseNum(1L, 8L),
+      Gen.chooseNum(50L, 400L)) { (toks, grpSize, budget) =>
+      import spark.implicits._
+      val docs = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tokens")
+      val got = graft.ops.PipelineOps.packByBudget(docs, budget, grpSize)
+        .select("doc_id", "shard_id")
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      val want = toks.scanLeft(0L)(_ + _).init.map(_ / budget)
+      got == want
+    }
+
   property("d07 propagation: r rounds reach exactly r hops on a path graph") =
     // planted chain 0-1-...-(n-1) with diameter n-1 > 4: after r rounds
     // vertex i holds max(0, i - r) — components of diameter <= r converge,
