@@ -117,21 +117,42 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine near-dup: same-bucket pairs with cosine >= 0.35. */
+  /** Embedding-cosine near-dup: banded-candidate pairs with
+    * cosine >= 0.35. Candidates come from the same 8-band x 8-bit
+    * sign-LSH banding as s07 (pair = full agreement on >= 1 band),
+    * deduplicated before scoring.
+    *
+    * Why banded, not one coarse bucket: the old 4-bit single-bucket form
+    * had 16 buckets total, so per-bucket population — and the O(pop²)
+    * pair work — grew linearly with the corpus: quadratic at 100 TB. With
+    * 8 independent 256-key bands, bucket populations are ~16x smaller
+    * per band while recall RISES (one agreeing band suffices instead of
+    * 4 exact leading bits).
+    */
   def s03EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // cached: both sides of the bucket self-join reuse the quantized rows
-    val v = graft.Caches.cache(vectors(spark, dir)
-      .withColumn("bucket", expr(signKey("embedding", 4))))
-    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
-      col("qv").as("emb_a"), col("vnorm").as("qnorm"))
-    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
-      col("qv").as("emb_b"), col("vnorm").as("vnorm"))
-    a.join(b, Seq("bucket"))
+    // cached: the band explosion and both scoring joins reuse the
+    // quantized rows
+    val v = graft.Caches.cache(vectors(spark, dir))
+    val bandArr = (0 until Bands)
+      .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
+      .mkString("array(", ", ", ")")
+    val bands = graft.Caches.cache(
+      v.select(col("vec_id"), posexplode(expr(bandArr)).as(Seq("band", "key"))))
+    val cand = bands.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(bands.select(col("band"), col("key"), col("vec_id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("qv").as("emb_a"),
+        col("vnorm").as("qnorm")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("qv").as("emb_b"),
+        col("vnorm").as("vnorm")), Seq("id_b"))
       .withColumn("dot", expr(dotSq("emb_a", "emb_b")))
       .withColumn("cosine", cosine)
       .filter(col("cosine") >= 0.35)
-      .select(col("id_a"), col("id_b"), col("cosine"), col("bucket"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy("id_a", "id_b")
   }
 
@@ -435,27 +456,33 @@ object SimOps {
 
     "s03_embed_neardup" ->
       s"""WITH $unnestSql,
-         |e AS (
-         |  SELECT vec_id, ${signKeySql("embedding", 4)} AS bucket
-         |  FROM embeddings
+         |bl AS (
+         |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+         |),
+         |eb AS (
+         |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
+         |         unnest(keys) AS key
+         |  FROM bl
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM eb a JOIN eb b ON b.band = a.band AND b.key = a.key
+         |  WHERE a.vec_id < b.vec_id
          |),
          |d AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         SUM(a.x * b.x) AS dot
-         |  FROM u a JOIN u b USING (i)
-         |  JOIN e ea ON ea.vec_id = a.vec_id
-         |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.bucket = ea.bucket
-         |  WHERE a.vec_id < b.vec_id
-         |  GROUP BY a.vec_id, b.vec_id
+         |  SELECT c.id_a, c.id_b, SUM(ua.x * ub.x) AS dot
+         |  FROM cand c
+         |  JOIN u ua ON ua.vec_id = c.id_a
+         |  JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+         |  GROUP BY c.id_a, c.id_b
          |),
          |c AS (
          |  SELECT id_a, id_b, CAST(dot AS DOUBLE) /
          |    (sqrt(CAST(na.normsq AS DOUBLE)) * sqrt(CAST(nb.normsq AS DOUBLE)))
-         |      AS cosine,
-         |    (SELECT bucket FROM e WHERE e.vec_id = id_a) AS bucket
+         |      AS cosine
          |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
          |)
-         |SELECT id_a, id_b, cosine, bucket FROM c
+         |SELECT id_a, id_b, cosine FROM c
          |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
   )
 }
