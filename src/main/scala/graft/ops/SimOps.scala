@@ -264,6 +264,86 @@ object SimOps {
     bandedTopK(v, col("vec_id") % 50 === 0, 5)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to LSH
+    * banding: train a coarse quantizer, partition the corpus into its
+    * cells, and search only the few cells nearest each query.
+    *
+    *  1. TRAIN: one centroid per `label` (the deterministic stand-in for
+    *     a k-means codebook; same role, same plan shape). Components are
+    *     `round(sum(x)/n)` at the 1e6 quantization scale — exact integer
+    *     sums divided once, so both engines compute bit-identical
+    *     centroids AND the component magnitude stays ~1e6 regardless of
+    *     corpus size (no overflow at any n).
+    *  2. ASSIGN: every vector scores against the broadcast codebook
+    *     (10 cells x 64 dims — trivially broadcastable at any scale) and
+    *     keeps its argmax-cosine cell via a map-side graft_topk(k=1), so
+    *     the assignment shuffle carries ONE row per vector, not one per
+    *     (vector, cell).
+    *  3. PROBE: each query keeps its nProbe=2 nearest cells (the
+    *     standard IVF recall knob).
+    *  4. SEARCH: corpus joined to broadcast probes on `cell` — each
+    *     query meets only ~2/10ths of the corpus; exact cosine ranks
+    *     top-5. A vector lives in exactly one cell and a query's probed
+    *     cells are distinct, so no candidate dedup is needed.
+    *
+    * 100 TB posture: the only corpus-wide shuffles are the one-row-per-
+    * vector assignment agg and the join of corpus to its cell id; the
+    * search side never leaves its cell. This is the plan an IVF index
+    * build + query gives on a real cluster, with `cell` as the
+    * partition key.
+    */
+  def s08IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    ivfTopK(v, col("vec_id") % 50 === 0, nProbe = 2, k = 5)
+  }
+
+  /** IVF core over any (vec_id, qv, label, vnorm) frame — exposed so
+    * tests can measure recall on synthetic clustered corpora.
+    */
+  private[graft] def ivfTopK(
+      v: DataFrame, isQuery: Column, nProbe: Int, k: Int): DataFrame = {
+    // TRAIN: per-label mean components, rounded back to the 1e6 scale.
+    val cells = v
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)")
+        .as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)")
+        .as("cvec"))
+      .select(col("label").cast("long").as("cell"), col("cvec"),
+        expr(dotSq("cvec", "cvec")).as("cnorm"))
+    // ASSIGN + PROBE share one scored frame (vector x broadcast codebook).
+    val scored = graft.Caches.cache(
+      v.crossJoin(broadcast(cells))
+        .withColumn("ccos", expr(dotSq("qv", "cvec")).cast("double") /
+          (sqrt(col("vnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
+        .select(col("vec_id"), col("cell"), col("ccos")))
+    val assigned = scored
+      .groupBy("vec_id")
+      .agg(expr("graft_topk(ccos, cell, 1)").as("top"))
+      .select(col("vec_id"), element_at(col("top"), 1).getField("id").as("cell"))
+    val probes = scored.filter(isQuery)
+      .groupBy(col("vec_id").as("qid"))
+      .agg(expr(s"graft_topk(ccos, cell, $nProbe)").as("top"))
+      .select(col("qid"), explode(col("top").getField("id")).as("cell"))
+    // SEARCH: exact cosine inside the probed cells only.
+    val q = v.filter(isQuery).select(col("vec_id").as("qid"),
+      col("qv").as("qemb"), col("vnorm").as("qnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    v.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes.join(q, Seq("qid"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** s01's semantics re-planned with the graft_topk
     * TypedImperativeAggregate: per-partition bounded heaps partially
     * aggregate map-side, so the shuffle carries k rows per partition per
@@ -312,7 +392,8 @@ object SimOps {
     "s03_embed_neardup" -> (s03EmbedNearDup _),
     "s04_knn_topk_agg" -> (s04KnnTopkAgg _),
     "s05_lsh_multiprobe" -> (s05LshMultiprobe _),
-    "s07_banded_ann" -> (s07BandedAnn _)
+    "s07_banded_ann" -> (s07BandedAnn _),
+    "s08_ivf_ann" -> (s08IvfAnn _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -378,6 +459,61 @@ object SimOps {
          |  JOIN u uq ON uq.vec_id = c.qid
          |  JOIN u uv ON uv.vec_id = c.vid AND uv.i = uq.i
          |  GROUP BY c.qid, c.vid
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "s08_ivf_ann" ->
+      s"""WITH $unnestSql,
+         |cs AS (
+         |  SELECT e.label AS cell, u.i AS dim,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  GROUP BY e.label, u.i
+         |),
+         |cn AS (
+         |  SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell
+         |),
+         |sc AS (
+         |  SELECT u.vec_id, cs.cell,
+         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+         |  FROM u
+         |  JOIN cs ON cs.dim = u.i
+         |  JOIN n nv ON nv.vec_id = u.vec_id
+         |  JOIN cn ON cn.cell = cs.cell
+         |  GROUP BY u.vec_id, cs.cell, nv.normsq, cn.cnormsq
+         |),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r FROM sc)
+         |  WHERE r = 1
+         |),
+         |probe AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r
+         |    FROM sc WHERE vec_id % 50 = 0)
+         |  WHERE r <= 2
+         |),
+         |d AS (
+         |  SELECT p.qid, v.vec_id AS vid, SUM(uq.x * uv.x) AS dot
+         |  FROM probe p
+         |  JOIN asg v ON v.cell = p.cell AND v.vec_id <> p.qid
+         |  JOIN u uq ON uq.vec_id = p.qid
+         |  JOIN u uv ON uv.vec_id = v.vec_id AND uv.i = uq.i
+         |  GROUP BY p.qid, v.vec_id
          |),
          |c AS (
          |  SELECT qid, vid, CAST(dot AS DOUBLE) /

@@ -166,6 +166,49 @@ class OpsSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("s08: IVF ANN recall@5 >= 0.9 on a planted clustered corpus") {
+    // Same planted geometry as the s07 test; the codebook label is the
+    // true cluster id, so nProbe=2 covers the home cell plus the nearest
+    // competitor — true top-5 neighbors are same-cluster with high
+    // probability at noise 0.25.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centroids = Array.fill(20, dim)(rnd.nextGaussian())
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 1000).map { i =>
+      val c = centroids(i / 50)
+      (i.toLong, (0 until dim).map(d => (c(d) + 0.25 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val v = SimOps.prepareVectors(emb)
+      .withColumn("label", expr("CAST(vec_id DIV 50 AS INT)"))
+    val got = SimOps.ivfTopK(v, col("vec_id") % 50 === 0, nProbe = 2, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qv = vecs.map { case (id, x) =>
+      id -> x.map(e => math.round(e.toDouble * 1e6)).toArray
+    }.toMap
+    def norm(a: Array[Long]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s.toDouble
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(norm(a)) * math.sqrt(norm(b)))
+    }
+    val queries = (0 until 1000 by 50).map(_.toLong)
+    val recalls = queries.map { q =>
+      val truth = qv.keys.filter(_ != q).toSeq
+        .sortBy(x => (-cos(qv(q), qv(x)), x)).take(5).toSet
+      got.getOrElse(q, Set.empty).intersect(truth).size / 5.0
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF ANN recall@5 on clustered corpus: $recall%.3f")
+    assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9")
+    graft.Caches.unpersistAll()
+  }
+
   test("d08: contamination flags only training docs, against real benchmark ids") {
     val r = DedupOps.d08Decontamination(spark, sf0001).collect()
     assert(r.nonEmpty)
