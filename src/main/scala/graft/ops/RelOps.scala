@@ -298,8 +298,79 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** CUBE grouping sets over orders: all four (status, priority)
+    * grouping combinations in one pass — Catalyst expands the cube into
+    * a single Expand + hash agg, so the plan stays one shuffle no matter
+    * how many grouping sets (vs one scan per set if hand-unioned).
+    */
+  def w10Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("long").as("g_st"),
+        grouping(col("o_orderpriority")).cast("long").as("g_pr"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(28, 4))).cast("double")
+          .as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("g_st"), col("g_pr"), col("n"), col("sum_price"))
+      .orderBy(col("g_st"), col("g_pr"), col("o_orderstatus"),
+        col("o_orderpriority"))
+
+  /** Pivot event_type counts into columns, one row per user. The value
+    * list is EXPLICIT — the form that scales: without it Spark runs a
+    * driver-side distinct over the pivot column first (collect + an
+    * extra job over the full input) and the output schema depends on
+    * the data. The oracle states the equivalent conditional aggregation.
+    */
+  def w11Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"),
+        col("error").as("n_error"), col("purchase").as("n_purchase"),
+        col("signup").as("n_signup"), col("view").as("n_view"))
+      .orderBy("user_id")
+
+  /** Range join: for each click, aggregate the same user's errors in
+    * [ts, ts+1h). The naive inequality join is a broadcast-nested-loop
+    * (O(clicks x errors) comparisons — dead at 100 TB); instead both
+    * sides are binned to the 1-hour grid and each click probes bins
+    * (b, b+1) via EQUALITY join on (user_id, bin) — any error within
+    * the hour lands in one of the two bins, the residual range filter
+    * is exact, and a click's two probe bins never double-count (an
+    * error row sits in exactly one bin). Shuffle-hash-joinable, skew
+    * bounded by per-(user, hour) density.
+    */
+  def w12RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("cus"))
+      .withColumn("probe_bin",
+        explode(array(expr(s"unix_micros(ts) div $binUs"),
+          expr(s"unix_micros(ts) div $binUs + 1"))))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("eus"),
+        col("value"),
+        expr(s"unix_micros(ts) div $binUs").as("probe_bin"))
+    clicks.join(errors, Seq("user_id", "probe_bin"))
+      .filter(col("eus") >= col("cus") && col("eus") < col("cus") + binUs)
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("n_errors"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_error_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w06_approx_distinct" -> (w06ApproxDistinct _),
+    "w10_cube" -> (w10Cube _),
+    "w11_pivot" -> (w11Pivot _),
+    "w12_range_join" -> (w12RangeJoin _),
     "w07_salted_agg" -> (w07SaltedAgg _),
     "w08_exact_median" -> (w08ExactMedian _),
     "w09_quantiles" -> (w09Quantiles _),
@@ -311,6 +382,39 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "w11_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "w12_range_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, count(*) AS n_errors,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+        |         AS sum_error_value
+        |FROM events c
+        |JOIN events e ON e.user_id = c.user_id
+        |  AND e.event_type = 'error'
+        |  AND epoch_us(e.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(e.ts) < epoch_us(c.ts) + 3600000000
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id, c.user_id, c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "w07_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)

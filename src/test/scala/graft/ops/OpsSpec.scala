@@ -83,6 +83,20 @@ class OpsSpec extends SparkTestBase {
     assert(r.count() == graft.Tables.events(spark, sf0001).count())
   }
 
+  test("w12: range join plans as an equality join, never a nested loop") {
+    // the whole point of the binned formulation: the time-range predicate
+    // must ride an EQUALITY join on (user_id, bin), not degenerate into
+    // BroadcastNestedLoopJoin/CartesianProduct (the naive theta-join plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = RelOps.w12RangeJoin(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(plan.contains("Join"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("m02: stub decode is deterministic and batch-shaped") {
     val media = Seq(
       MediaRow(0L, "image", "abcd".getBytes("UTF-8")),
