@@ -366,8 +366,32 @@ object RelOps {
       .orderBy("event_id")
   }
 
+  /** Analytic window-function suite over each user's event timeline:
+    * row_number / ntile / percent_rank / cume_dist / lag in ONE window
+    * spec, so Catalyst evaluates them in a single WindowExec pass after
+    * one shuffle+sort on user_id. Partitioning by user_id (high
+    * cardinality) is the scale-safe choice — a low-cardinality partition
+    * key like event_type would put whole groups on single tasks (the
+    * exact trap w08/w09 were re-planned out of). percent_rank/cume_dist
+    * are ratios of integer counts — bit-identical across engines.
+    */
+  def w13WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      row_number().over(w).cast("long").as("seq"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      (unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w06_approx_distinct" -> (w06ApproxDistinct _),
+    "w13_window_suite" -> (w13WindowSuite _),
     "w10_cube" -> (w10Cube _),
     "w11_pivot" -> (w11Pivot _),
     "w12_range_join" -> (w12RangeJoin _),
@@ -382,6 +406,17 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w13_window_suite" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "w10_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
