@@ -166,8 +166,37 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window token chunking (size 32, stride 24 — 8-token
+    * overlap): the step that turns cleaned documents into fixed-size
+    * training windows. One `sequence` + `posexplode` per row, `slice` +
+    * `array_join` per chunk — pure per-row generative work that scales
+    * with output size; no shuffle except the presentation sort. Chunk
+    * starts run every `stride` tokens while < n_tokens, so the final
+    * chunk may be short (standard sliding-window semantics).
+    */
+  def p06Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val size = 32
+    val stride = 24
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0L, CAST(size(toks) - 1 AS BIGINT), $stride)"))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $stride").as("chunk_id"),
+        col("start"),
+        expr(s"slice(toks, CAST(start + 1 AS INT), $size)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _),
+    "p06_chunk" -> (p06Chunk _),
     "p02_hash_split" -> (p02HashSplit _),
     "p03_profile" -> (p03Profile _),
     "p04_token_pack" -> (p04TokenPack _),
@@ -175,6 +204,21 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p06_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, start // 24 AS chunk_id, start,
+        |       CAST(len(toks[start + 1 : start + 32]) AS BIGINT)
+        |         AS n_chunk_tokens,
+        |       array_to_string(toks[start + 1 : start + 32], ' ')
+        |         AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
     "p01_corpus_clean" ->
       s"""WITH scored AS (
          |  SELECT *, $qualitySql AS q FROM documents

@@ -97,6 +97,23 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("p06: chunks reconstruct the original token stream losslessly") {
+    val chunks = PipelineOps.p06Chunk(spark, sf0001)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      // stride 24: the first 24 tokens of every chunk plus the tail of
+      // the last chunk reproduce the document's token sequence exactly
+      val rebuilt = cs.init.flatMap(_.split(" ", -1).take(24)) ++
+        cs.last.split(" ", -1)
+      assert(rebuilt.mkString(" ") == docs(id), s"doc $id")
+    }
+  }
+
   test("m02: stub decode is deterministic and batch-shaped") {
     val media = Seq(
       MediaRow(0L, "image", "abcd".getBytes("UTF-8")),
