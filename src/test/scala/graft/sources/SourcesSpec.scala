@@ -64,6 +64,28 @@ class SourcesSpec extends SparkTestBase {
     assert(orphan.select("station_name").first().isNullAt(0))
   }
 
+  test("S7: CSV and ORC round-trip the events slice losslessly") {
+    // multi-format parity beyond parquet/JSON: same rows through each
+    // format, schemas pinned on read (CSV needs the explicit schema —
+    // inferSchema is a full extra pass at 100 TB and type-unstable)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val expected = ev.orderBy("event_id").collect()
+
+    val csvDir = Files.createTempDirectory("graft_csv").toString
+    ev.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csvBack = spark.read.schema(ev.schema)
+      .option("header", "true").csv(csvDir)
+    assert(csvBack.orderBy("event_id").collect().sameElements(expected))
+
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    ev.write.mode("overwrite").orc(orcDir)
+    val orcBack = spark.read.orc(orcDir)
+    assert(orcBack.orderBy("event_id").collect().sameElements(expected))
+    // ORC carries its own schema; predicate pushdown stays available
+    assert(orcBack.schema == ev.schema)
+  }
+
   test("S10/P12: date filter partition-prunes a partitioned table scan") {
     val dir = Files.createTempDirectory("graft_prune").toFile.getAbsolutePath + "/t"
     Seq(("A", 1, "2024-01-01"), ("B", 2, "2024-01-02"), ("C", 3, "2024-01-03"))
