@@ -50,6 +50,20 @@ object StreamJobs {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * joins the static dimension (broadcast — it's the small side by
+    * construction). No watermark needed: stream-STATIC inner joins are
+    * stateless, the static side is simply re-read (or served from its
+    * broadcast) per micro-batch — the streaming twin of the batch
+    * dimension join (J4 / q09). Rows without a dimension match are kept
+    * with null attributes (left join) so the stream never silently
+    * drops events.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"),
+      "left")
+
   /** Sliding 2-hour windows every hour (each event lands in 2 windows). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -56,6 +56,23 @@ class StreamingSpec extends SparkTestBase {
     assert(w10 == 3)
   }
 
+  test("enrichWithDim: stream-static join is stateless and keeps unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "alpha"), ("c", "gamma")).toDF("event_type", "label")
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = StreamJobs.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched")
+      .select("event_id", "label").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out.size == rows.length) // left join: nothing dropped
+    assert(out(1L).contains("alpha") && out(5L).contains("alpha"))
+    assert(out(3L).isEmpty && out(4L).isEmpty) // 'b' has no dim row
+  }
+
   test("sessionCounts: 30-min gap closes a session (session_window)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
