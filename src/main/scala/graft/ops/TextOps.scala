@@ -155,8 +155,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus bigram frequency table (the n-gram LM / contamination-check
+    * building block): explode bigrams, count total + per-document
+    * frequencies, keep the global top-20 with a total-order tiebreak
+    * (count desc, bigram asc). One explode + one hash agg (map-side
+    * partial) + a 20-row global top-k — the agg output is
+    * O(distinct bigrams), never joined back to the corpus.
+    */
+  def t07NgramStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = "split(text, ' ')"
+    val bigrams = s"transform(sequence(1, size($words) - 1)," +
+      s" i -> array_join(slice($words, i, 2), ' '))"
+    Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(expr(bigrams)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01TokenCounts _),
+    "t07_ngram_stats" -> (t07NgramStats _),
     "t02_langid" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
     "t04_fingerprint" -> (t04Fingerprint _),
@@ -165,6 +187,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t07_ngram_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |),
+        |b AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)
+        |)
+        |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+        |FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
     "t06_repetition" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
