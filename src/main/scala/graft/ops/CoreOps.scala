@@ -233,6 +233,33 @@ object CoreOps {
       .orderBy("l_partkey")
   }
 
+  /** TPC-H Q22-shaped composite (global scalar subquery + anti join +
+    * grouped rollup of the survivors): customers whose balance exceeds
+    * the average POSITIVE balance and who have no URGENT order, counted
+    * per nation. The scalar average is a 1-row broadcast (never a
+    * shuffle); the anti join broadcasts the filtered order keys; the
+    * final agg is a tiny hash shuffle on nationkey. (Phone-prefix
+    * country codes from the original Q22 map to c_nationkey here —
+    * the fixture has no phone column.)
+    */
+  def q20GlobalFilterAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(28, 6))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(28, 4))).cast("double")
+          .as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** ANSI SQL shared verbatim by Spark and DuckDB: the q13 pricing
     * summary as one dialect-neutral text.
     */
@@ -261,6 +288,7 @@ object CoreOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_global_filter_anti" -> (q20GlobalFilterAnti _),
     "q17_anti_join" -> (q17AntiJoin _),
     "q18_avg_quantity_corr" -> (q18AvgQuantityCorr _),
     "q19_sql_surface" -> (q19SqlSurface _),
@@ -285,6 +313,20 @@ object CoreOps {
 
   val oracle: Map[String, String] = Map(
     "q19_sql_surface" -> sharedPricingSql,
+
+    "q20_global_filter_anti" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+        |         AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |             / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q17_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal

@@ -194,9 +194,42 @@ object PipelineOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Domain mixing (corpus rebalancing toward equal token shares): each
+    * source's keep rate is min(1, fair_share / source_tokens) where
+    * fair_share = total_tokens / n_sources — over-represented sources
+    * are down-sampled, under-represented ones kept whole. The keep
+    * decision reuses p05's salted-hash uniform (deterministic across
+    * engines/partitionings, never rand()). Plan: one narrow hash agg
+    * for per-source token counts, a 1-row global roll-up broadcast back,
+    * then a pure per-row filter — the corpus is scanned once for stats
+    * and once for the filtered output, no wide join.
+    */
+  def p07DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val u = "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val totals = perSource.agg(
+      sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = perSource.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0),
+          (col("total_tokens").cast("double") / col("n_sources")) /
+            col("src_tokens").cast("double")).as("keep_rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("u", expr(u).cast("double") / lit(4294967296.0))
+      .filter(col("u") < col("keep_rate"))
+      .select("doc_id", "source", "lang", "n_tokens", "keep_rate")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _),
     "p06_chunk" -> (p06Chunk _),
+    "p07_domain_mix" -> (p07DomainMix _),
     "p02_hash_split" -> (p02HashSplit _),
     "p03_profile" -> (p03Profile _),
     "p04_token_pack" -> (p04TokenPack _),
@@ -204,6 +237,31 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p07_domain_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |ps AS (
+        |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source
+        |),
+        |t AS (
+        |  SELECT SUM(src_tokens) AS total_tokens, count(*) AS n_sources
+        |  FROM ps
+        |),
+        |r AS (
+        |  SELECT ps.source,
+        |         least(1.0, (CAST(t.total_tokens AS DOUBLE) / t.n_sources)
+        |           / CAST(ps.src_tokens AS DOUBLE)) AS keep_rate
+        |  FROM ps, t
+        |)
+        |SELECT d.doc_id, d.source, d.lang, d.n_tokens, r.keep_rate
+        |FROM d JOIN r ON r.source = d.source
+        |WHERE CAST(CAST('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) AS DOUBLE) / 4294967296.0 < r.keep_rate
+        |ORDER BY d.doc_id""".stripMargin,
+
     "p06_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
