@@ -97,6 +97,18 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q20: scalar average and anti join both broadcast — no wide pre-agg shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = CoreOps.q20GlobalFilterAnti(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      // 1-row average: broadcast nested loop; urgent keys: broadcast anti
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+      assert(plan.contains("LeftAnti"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("p06: chunks reconstruct the original token stream losslessly") {
     val chunks = PipelineOps.p06Chunk(spark, sf0001)
       .select("doc_id", "chunk_id", "chunk_text")

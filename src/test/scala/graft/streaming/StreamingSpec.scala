@@ -73,6 +73,27 @@ class StreamingSpec extends SparkTestBase {
     assert(out(3L).isEmpty && out(4L).isEmpty) // 'b' has no dim row
   }
 
+  test("composite stream: dedup -> static enrich -> tumbling agg in one query") {
+    // the full streaming pipeline shape chained as ONE streaming query:
+    // watermark dedup feeds the broadcast dim join feeds the windowed agg
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("event_type", "label")
+    val mem = MemoryStream[Ev]
+    mem.addData(rows ++ Seq(rows.head): _*) // one duplicate event_id
+    // dedupedStream already watermarks ts; the downstream window reuses
+    // that watermark (re-calling withWatermark would redefine it, which
+    // streaming disallows across stateful operators)
+    val chained = StreamJobs.enrichWithDim(
+        StreamJobs.dedupedStream(mem.toDF()), dim)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = chained.writeStream.format("memory").queryName("composite")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("composite").agg(sum("n")).first().getLong(0)
+    assert(total == rows.length) // duplicate dropped, nothing else lost
+  }
+
   test("sessionCounts: 30-min gap closes a session (session_window)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
