@@ -389,8 +389,28 @@ object RelOps {
       .orderBy("event_id")
   }
 
+  /** FULL OUTER reconciliation: hourly click totals vs hourly error
+    * totals — hours with only one side present survive with nulls on
+    * the other (the daily-ops "what happened in hours with errors but
+    * no traffic" question). Full outer can't broadcast (both sides must
+    * be complete), so the plan is a shuffle join on the hour key after
+    * two partial aggs — the right shape: the join runs over O(hours)
+    * aggregated rows, never raw events.
+    */
+  def w14FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def hourly(t: String, cname: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as(cname))
+    hourly("click", "n_clicks")
+      .join(hourly("error", "n_errors"), Seq("hour"), "full_outer")
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w06_approx_distinct" -> (w06ApproxDistinct _),
+    "w14_full_outer" -> (w14FullOuter _),
     "w13_window_suite" -> (w13WindowSuite _),
     "w10_cube" -> (w10Cube _),
     "w11_pivot" -> (w11Pivot _),
@@ -406,6 +426,19 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w14_full_outer" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |),
+        |e AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |)
+        |SELECT COALESCE(c.hour, e.hour) AS hour, c.n_clicks, e.n_errors
+        |FROM c FULL OUTER JOIN e ON e.hour = c.hour
+        |ORDER BY hour""".stripMargin,
+
     "w13_window_suite" ->
       """SELECT event_id, user_id, ts,
         |  CAST(row_number() OVER w AS BIGINT) AS seq,

@@ -86,6 +86,34 @@ class SourcesSpec extends SparkTestBase {
     assert(orcBack.schema == ev.schema)
   }
 
+  test("S12: corrupt JSON records are captured, not fatal (PERMISSIVE)") {
+    // at 100 TB some records WILL be malformed; the job must keep going
+    // and quarantine them, not die (PERMISSIVE + columnNameOfCorruptRecord)
+    val dir = Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.write(dir.resolve("part.json"),
+      Seq(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": 2, "v": """,          // truncated — malformed
+        """{"id": 3, "v": "also ok"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+    // Spark disallows querying ONLY the corrupt column on the raw scan —
+    // collect the parsed batch once and assert on it (prod: cache/save
+    // then split good/quarantine)
+    val rows = read.collect()
+    assert(rows.length == 3)
+    assert(rows.count(!_.isNullAt(2)) == 1) // quarantined, job alive
+    assert(rows.count(_.isNullAt(2)) == 2)
+    // DROPMALFORMED: the strict-ingest variant skips them entirely
+    val dropped = spark.read.schema("id LONG, v STRING")
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() == 2)
+  }
+
   test("S10/P12: date filter partition-prunes a partitioned table scan") {
     val dir = Files.createTempDirectory("graft_prune").toFile.getAbsolutePath + "/t"
     Seq(("A", 1, "2024-01-01"), ("B", 2, "2024-01-02"), ("C", 3, "2024-01-03"))
