@@ -322,10 +322,10 @@ object PipelineOps {
     "p04_token_pack" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |  CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
         |      OVER (ORDER BY doc_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 500 AS shard_id
+        |    // 500 AS BIGINT) AS shard_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p05_stratified_sample" ->
