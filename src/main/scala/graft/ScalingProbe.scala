@@ -25,18 +25,11 @@ object ScalingProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val dim = 64
-    val rnd = new scala.util.Random(42)
-    val centroids = Array.fill(k, dim)(rnd.nextGaussian())
-    val vecs = (0 until n).map { i =>
-      val c = centroids(i % k)
-      (i.toLong, (0 until dim).map(d =>
-        (c(d) + 0.25 * rnd.nextGaussian()).toFloat))
-    }
+    val vecs = PlantedVectors.corpus(n, k)
     val emb = vecs.toDF("vec_id", "embedding")
-    val every = n / 100 // 100 query points
+    val every = math.max(1, n / 100) // ~100 query points (all rows if n < 100)
     val prepared = graft.ops.SimOps.prepareVectors(emb)
-      .withColumn("label", expr(s"CAST(vec_id % $k AS INT)"))
+      .withColumn("label", expr(s"CAST(vec_id DIV ${n / k} AS INT)"))
 
     def time(name: String)(body: => Long): Unit =
       (1 to 2).foreach { i =>

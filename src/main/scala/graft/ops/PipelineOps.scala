@@ -60,14 +60,25 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Salted md5 of doc_id as a BIGINT in [0, 2^32) — the one
+    * deterministic randomness primitive every sampling/splitting op
+    * derives from (p02 buckets, p05/p07 uniforms). Single definition so
+    * the hash window / normalizer can never drift between operators.
+    */
+  private def saltedHashExpr(salt: String): String =
+    s"CAST(conv(substring(md5(concat('$salt:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+
+  /** The same hash mapped to a uniform double in [0, 1). */
+  private def saltedUniform(salt: String): Column =
+    expr(saltedHashExpr(salt)).cast("double") / lit(4294967296.0)
+
   /** Deterministic train/val/test assignment: bucket 0-7 train, 8 val,
     * 9 test, from a salted md5 of the doc id — stable across engines,
     * re-runs, and partitionings (never `rand()`).
     */
   def p02HashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10"))
+      .withColumn("bucket", expr(s"${saltedHashExpr("split")} % 10"))
       .withColumn("split",
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "val")
@@ -155,12 +166,11 @@ object PipelineOps {
     * per-row scan work; the filter reaches the scan.
     */
   def p05StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = "CAST(conv(substring(md5(concat('sample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     val rate = when(col("lang") === "en", 0.3)
       .when(col("lang") === "zh", 0.8)
       .otherwise(1.0)
     Tables.documents(spark, dir)
-      .withColumn("u", expr(u).cast("double") / lit(4294967296.0))
+      .withColumn("u", saltedUniform("sample"))
       .filter(col("u") < rate)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -170,17 +180,24 @@ object PipelineOps {
     * overlap): the step that turns cleaned documents into fixed-size
     * training windows. One `sequence` + `posexplode` per row, `slice` +
     * `array_join` per chunk — pure per-row generative work that scales
-    * with output size; no shuffle except the presentation sort. Chunk
-    * starts run every `stride` tokens while < n_tokens, so the final
-    * chunk may be short (standard sliding-window semantics).
+    * with output size; no shuffle except the presentation sort. The
+    * final chunk may be short; a start whose window would sit ENTIRELY
+    * inside the previous chunk (possible when n mod stride <=
+    * size - stride) is not emitted — every chunk contributes at least
+    * one new token, so no training window is a duplicate. Start s adds
+    * tokens beyond the previous chunk's end s - stride + size iff
+    * n > s + (size - stride), hence the last start is
+    * max(0, the largest stride multiple <= n - overlap - 1).
     */
   def p06Chunk(spark: SparkSession, dir: String): DataFrame = {
     val size = 32
     val stride = 24
+    val overlap = size - stride // 8
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0L, CAST(size(toks) - 1 AS BIGINT), $stride)"))
+        explode(expr(
+          s"sequence(0L, CAST(greatest(size(toks) - ${overlap + 1}, 0) AS BIGINT), $stride)"))
           .as("start"))
       .select(
         col("doc_id"),
@@ -205,7 +222,6 @@ object PipelineOps {
     * and once for the filtered output, no wide join.
     */
   def p07DomainMix(spark: SparkSession, dir: String): DataFrame = {
-    val u = "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -220,7 +236,7 @@ object PipelineOps {
           (col("total_tokens").cast("double") / col("n_sources")) /
             col("src_tokens").cast("double")).as("keep_rate"))
     docs.join(broadcast(rates), Seq("source"))
-      .withColumn("u", expr(u).cast("double") / lit(4294967296.0))
+      .withColumn("u", saltedUniform("mix"))
       .filter(col("u") < col("keep_rate"))
       .select("doc_id", "source", "lang", "n_tokens", "keep_rate")
       .orderBy("doc_id")
@@ -267,7 +283,8 @@ object PipelineOps {
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |),
         |s AS (
-        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS start
         |  FROM t
         |)
         |SELECT doc_id, start // 24 AS chunk_id, start,

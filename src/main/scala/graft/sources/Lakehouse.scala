@@ -65,7 +65,13 @@ object Lakehouse {
       .map(_.getPath)
     require(compacted.nonEmpty,
       s"compaction of $dir produced no data files in $tmp — aborting swap")
-    compacted.foreach(p => fs.rename(p, new Path(dir, p.getName)))
+    // HDFS-style rename signals failure by RETURNING false, not throwing
+    // — a silently failed move here followed by the delete loop would be
+    // data loss, so every rename must be checked before any delete runs.
+    compacted.foreach { p =>
+      require(fs.rename(p, new Path(dir, p.getName)),
+        s"rename $p -> $dir failed — aborting swap before any delete")
+    }
     originals.foreach(p => fs.delete(p, false))
     fs.delete(tmp, true)
     (before, dataFiles())

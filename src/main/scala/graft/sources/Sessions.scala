@@ -34,6 +34,22 @@ object Sessions {
       secret <- env.get("AWS_SECRET_ACCESS_KEY")
     } yield ObjectStore(endpoint, access, secret)
 
+  /** The single source of truth for the S3A key/value pairs — both
+    * config paths (builder-time and live-session) apply exactly this
+    * list, so they can never diverge. Includes the scale hygiene keys:
+    * bounded retries with fail-fast on credential errors beats the
+    * default unbounded backoff when a 1000-executor job hits a
+    * misconfigured endpoint.
+    */
+  private def s3aConf(s: ObjectStore): Seq[(String, String)] = Seq(
+    "fs.s3a.endpoint" -> s.endpoint,
+    "fs.s3a.access.key" -> s.accessKey,
+    "fs.s3a.secret.key" -> s.secretKey,
+    "fs.s3a.path.style.access" -> s.pathStyleAccess.toString,
+    "fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    "fs.s3a.attempts.maximum" -> "3",
+    "fs.s3a.connection.establish.timeout" -> "5000")
+
   /** Apply the store's S3A configuration to a session builder. Safe to
     * call with None (no-op): the session then resolves only local /
     * default-FS paths.
@@ -42,17 +58,9 @@ object Sessions {
       builder: SparkSession.Builder,
       store: Option[ObjectStore]): SparkSession.Builder =
     store.fold(builder) { s =>
-      builder
-        .config("spark.hadoop.fs.s3a.endpoint", s.endpoint)
-        .config("spark.hadoop.fs.s3a.access.key", s.accessKey)
-        .config("spark.hadoop.fs.s3a.secret.key", s.secretKey)
-        .config("spark.hadoop.fs.s3a.path.style.access", s.pathStyleAccess.toString)
-        .config("spark.hadoop.fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
-        // connection hygiene at scale: bounded retries with fail-fast on
-        // credential errors beats the default unbounded backoff when a
-        // 1000-executor job hits a misconfigured endpoint
-        .config("spark.hadoop.fs.s3a.attempts.maximum", "3")
-        .config("spark.hadoop.fs.s3a.connection.establish.timeout", "5000")
+      s3aConf(s).foldLeft(builder) { case (b, (k, v)) =>
+        b.config(s"spark.hadoop.$k", v)
+      }
     }
 
   /** Same keys applied to a LIVE session's Hadoop conf (per-job override
@@ -61,10 +69,6 @@ object Sessions {
     */
   def applyTo(spark: SparkSession, s: ObjectStore): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    hc.set("fs.s3a.endpoint", s.endpoint)
-    hc.set("fs.s3a.access.key", s.accessKey)
-    hc.set("fs.s3a.secret.key", s.secretKey)
-    hc.set("fs.s3a.path.style.access", s.pathStyleAccess.toString)
-    hc.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    s3aConf(s).foreach { case (k, v) => hc.set(k, v) }
   }
 }

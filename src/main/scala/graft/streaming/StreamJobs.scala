@@ -168,8 +168,10 @@ object StreamJobs {
       partitionCol: String = "date"): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.Lakehouse.upsertPartitions(batch, tablePath, partitionCol)
+        // no isEmpty pre-check: that would re-evaluate the batch source
+        // once per trigger just to decide, and dynamic partition
+        // overwrite of an empty frame touches no partitions anyway
+        graft.sources.Lakehouse.upsertPartitions(batch, tablePath, partitionCol)
         ()
       }
       .option("checkpointLocation", checkpoint)

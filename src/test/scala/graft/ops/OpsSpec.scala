@@ -123,6 +123,10 @@ class OpsSpec extends SparkTestBase {
       val rebuilt = cs.init.flatMap(_.split(" ", -1).take(24)) ++
         cs.last.split(" ", -1)
       assert(rebuilt.mkString(" ") == docs(id), s"doc $id")
+      // no duplicate window: every chunk must add tokens beyond the
+      // previous chunk's coverage (> overlap tokens in the last chunk)
+      if (cs.size > 1)
+        assert(cs.last.split(" ", -1).length > 8, s"doc $id redundant tail")
     }
   }
 
@@ -165,88 +169,40 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  // shared planted geometry (graft.PlantedVectors): 20 clusters x 50
+  // points, centroid ~ N(0,1)^64, noise 0.25*N(0,1); ground truth uses
+  // the engine's own round(x*1e6) quantization.
+  private lazy val plantedVecs = graft.PlantedVectors.corpus(1000, 20)
+  private lazy val plantedQv = graft.PlantedVectors.quantized(plantedVecs)
+  private val plantedQueries = (0 until 1000 by 50).map(_.toLong)
+
+  private def recallOf(results: org.apache.spark.sql.DataFrame): Double = {
+    val got = results.select("qid", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    graft.PlantedVectors.recallAtK(plantedQv, got, plantedQueries, 5)
+  }
+
   test("s07: banded ANN recall@5 >= 0.8 on a planted clustered corpus") {
-    // 20 clusters x 50 points, centroid ~ N(0,1)^64, noise 0.25*N(0,1):
     // same-cluster sign-agreement per dim q = 1 - arccos(1/(1+0.25^2))/pi
     // ~ 0.89, so banded P[candidate] = 1-(1-q^8)^8 ~ 0.98 — the recall
-    // repair the single-bucket s02 config (q^4 ~ 0.63) lacks. All
-    // deterministic: seeded generator, quantized integer cosines.
-    val rnd = new scala.util.Random(42)
-    val dim = 64
-    val centroids = Array.fill(20, dim)(rnd.nextGaussian())
-    val vecs: Seq[(Long, Seq[Float])] = (0 until 1000).map { i =>
-      val c = centroids(i / 50)
-      (i.toLong, (0 until dim).map(d => (c(d) + 0.25 * rnd.nextGaussian()).toFloat))
-    }
-    val emb = vecs.toDF("vec_id", "embedding")
-    val got = SimOps.bandedTopK(
-        SimOps.prepareVectors(emb), col("vec_id") % 50 === 0, 5)
-      .select("qid", "neighbor_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // exact ground truth with the SAME quantization (integer dots)
-    val qv = vecs.map { case (id, v) =>
-      id -> v.map(x => math.round(x.toDouble * 1e6)).toArray
-    }.toMap
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      var dot = 0L; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); i += 1 }
-      dot.toDouble / (math.sqrt(qv0norm(a)) * math.sqrt(qv0norm(b)))
-    }
-    def qv0norm(a: Array[Long]): Double = {
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }
-      s.toDouble
-    }
-    val queries = (0 until 1000 by 50).map(_.toLong)
-    val recalls = queries.map { q =>
-      val truth = qv.keys.filter(_ != q).toSeq
-        .sortBy(v => (-cos(qv(q), qv(v)), v)).take(5).toSet
-      got.getOrElse(q, Set.empty).intersect(truth).size / 5.0
-    }
-    val recall = recalls.sum / recalls.size
+    // repair the single-bucket s02 config (q^4 ~ 0.63) lacks.
+    val emb = plantedVecs.toDF("vec_id", "embedding")
+    val recall = recallOf(SimOps.bandedTopK(
+      SimOps.prepareVectors(emb), col("vec_id") % 50 === 0, 5))
     info(f"banded ANN recall@5 on clustered corpus: $recall%.3f")
     assert(recall >= 0.8, f"recall@5 = $recall%.3f < 0.8")
     graft.Caches.unpersistAll()
   }
 
   test("s08: IVF ANN recall@5 >= 0.9 on a planted clustered corpus") {
-    // Same planted geometry as the s07 test; the codebook label is the
-    // true cluster id, so nProbe=2 covers the home cell plus the nearest
-    // competitor — true top-5 neighbors are same-cluster with high
-    // probability at noise 0.25.
-    val rnd = new scala.util.Random(42)
-    val dim = 64
-    val centroids = Array.fill(20, dim)(rnd.nextGaussian())
-    val vecs: Seq[(Long, Seq[Float])] = (0 until 1000).map { i =>
-      val c = centroids(i / 50)
-      (i.toLong, (0 until dim).map(d => (c(d) + 0.25 * rnd.nextGaussian()).toFloat))
-    }
-    val emb = vecs.toDF("vec_id", "embedding")
+    // codebook label = true cluster id, so nProbe=2 covers the home cell
+    // plus the nearest competitor — true top-5 neighbors are
+    // same-cluster with high probability at noise 0.25.
+    val emb = plantedVecs.toDF("vec_id", "embedding")
     val v = SimOps.prepareVectors(emb)
       .withColumn("label", expr("CAST(vec_id DIV 50 AS INT)"))
-    val got = SimOps.ivfTopK(v, col("vec_id") % 50 === 0, nProbe = 2, k = 5)
-      .select("qid", "neighbor_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val qv = vecs.map { case (id, x) =>
-      id -> x.map(e => math.round(e.toDouble * 1e6)).toArray
-    }.toMap
-    def norm(a: Array[Long]): Double = {
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }
-      s.toDouble
-    }
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      var dot = 0L; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); i += 1 }
-      dot.toDouble / (math.sqrt(norm(a)) * math.sqrt(norm(b)))
-    }
-    val queries = (0 until 1000 by 50).map(_.toLong)
-    val recalls = queries.map { q =>
-      val truth = qv.keys.filter(_ != q).toSeq
-        .sortBy(x => (-cos(qv(q), qv(x)), x)).take(5).toSet
-      got.getOrElse(q, Set.empty).intersect(truth).size / 5.0
-    }
-    val recall = recalls.sum / recalls.size
+    val recall = recallOf(
+      SimOps.ivfTopK(v, col("vec_id") % 50 === 0, nProbe = 2, k = 5))
     info(f"IVF ANN recall@5 on clustered corpus: $recall%.3f")
     assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9")
     graft.Caches.unpersistAll()
