@@ -141,6 +141,28 @@ object SparkWindowProps extends Properties("spark-windows") {
       got == want
     }
 
+  property("p06 chunk starts: full coverage, no redundant window, size cap") =
+    // the start formula (0 to max(n-overlap-1, 0) step stride) must, for
+    // ANY token count: cover every token, give every window >= 1 token
+    // beyond the previous window's end, and never exceed the chunk size
+    Prop.forAll(Gen.chooseNum(1, 500)) { n =>
+      val size = 32; val stride = 24; val overlap = size - stride
+      val starts = 0L to math.max(n - overlap - 1, 0).toLong by stride
+      val windows = starts.map(s => (s + 1, math.min(s + size, n.toLong)))
+      val covered = windows.forall { case (a, b) => a <= b } &&
+        windows.head._1 == 1L && windows.last._2 == n.toLong &&
+        windows.sliding(2).forall {
+          case Seq((_, e1), (a2, _)) => a2 <= e1 + 1
+          case _ => true
+        }
+      val progressive = windows.sliding(2).forall {
+        case Seq((_, e1), (_, e2)) => e2 > e1
+        case _ => true
+      }
+      val capped = windows.forall { case (a, b) => b - a + 1 <= size }
+      covered && progressive && capped
+    }
+
   property("d07 propagation: r rounds reach exactly r hops on a path graph") =
     // planted chain 0-1-...-(n-1) with diameter n-1 > 4: after r rounds
     // vertex i holds max(0, i - r) — components of diameter <= r converge,
