@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
 
+/** Output row of the stub resize: original + downscaled dims/bytes. */
+case class ResizedMedia(
+    doc_id: Long,
+    kind: String,
+    width: Int,
+    height: Int,
+    out_width: Int,
+    out_height: Int,
+    n_bytes: Long,
+    out_bytes: Long,
+    checksum: Long)
+
 /** Decoded/feature-extracted output of the stub decoder. */
 case class MediaFeatures(
     doc_id: Long,
@@ -59,6 +71,41 @@ object MediaOps {
       bytes.foreach(b => histo((b & 0xff) / 64) += 1)
       MediaFeatures(row.doc_id, row.kind, n, mean, width, height, nFrames, histo)
     }
+  }
+
+  /** Deterministic stub RESIZE: keep every `factor`-th payload byte and
+    * divide the decoded dims (a real deployment swaps in a codec
+    * downscale with the same signature — the batch shape, partition
+    * preservation, and typed output are the real deliverable).
+    */
+  def stubResize(row: MediaRow, factor: Int): ResizedMedia = {
+    val f = StubCodec.decode(row)
+    var sum = 0L
+    var kept = 0L
+    var i = 0
+    while (i < row.payload.length) {
+      sum += (row.payload(i) & 0xff); kept += 1; i += factor
+    }
+    ResizedMedia(row.doc_id, row.kind, f.width, f.height,
+      math.max(1, f.width / factor), math.max(1, f.height / factor),
+      f.n_bytes, kept, sum)
+  }
+
+  /** Batched stub resize via mapPartitions — same narrow, partition-
+    * preserving plan shape as decodeFeatures.
+    */
+  def resizeMedia(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => stubResize(r, factor)))
+  }
+
+  /** Driver-checkable wrapper (rows-only, like m02: the mapPartitions
+    * resize is not SQL-expressible).
+    */
+  def m04Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeMedia(mediaTable(spark, dir).as[MediaRow], 2).toDF()
+      .orderBy("doc_id")
   }
 
   /** documents.text masqueraded as a binary payload with a media kind. */
@@ -128,7 +175,8 @@ object MediaOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
-    "m03_frame_sample" -> (m03FrameSample _)
+    "m03_frame_sample" -> (m03FrameSample _),
+    "m04_resize" -> (m04Resize _)
   )
 
   /** m02 intentionally absent: mapPartitions decode has no SQL oracle.

@@ -130,6 +130,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("m04: stub resize halves dims, keeps every 2nd byte, deterministic") {
+    val media = Seq(
+      MediaRow(0L, "image", "abcdefg".getBytes("UTF-8")),
+      MediaRow(1L, "audio", Array[Byte]())).toDS()
+    val out = MediaOps.resizeMedia(media, 2).collect().sortBy(_.doc_id)
+    val r0 = out(0)
+    assert(r0.out_bytes == 4) // ceil(7/2): indices 0,2,4,6
+    assert(r0.checksum == Seq('a', 'c', 'e', 'g').map(_.toLong).sum)
+    assert(r0.out_width == math.max(1, r0.width / 2) &&
+      r0.out_height == math.max(1, r0.height / 2))
+    assert(out(1).out_bytes == 0 && out(1).checksum == 0) // empty payload
+    // deterministic across runs and partitionings
+    val again = MediaOps.resizeMedia(media.repartition(3), 2)
+      .collect().sortBy(_.doc_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("m02: stub decode is deterministic and batch-shaped") {
     val media = Seq(
       MediaRow(0L, "image", "abcd".getBytes("UTF-8")),
