@@ -311,7 +311,33 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental (continual-ingest) dedup: an incoming batch
+    * (doc_id >= 400 stands in for today's crawl) dedups against BOTH the
+    * existing corpus and itself in one pass — the shape every daily
+    * ingest runs. Incoming rows are dropped if their content hash
+    * already exists in the corpus (anti join on the 32-char hash) or if
+    * a smaller-id incoming row carries the same text (keep-first within
+    * batch, W1 shape). At 100 TB the corpus side is a pre-hashed,
+    * bucketed table of (hash) keys — the anti join co-locates on hash
+    * and never touches corpus text.
+    */
+  def d09IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val existing = docs.filter(col("doc_id") < 400).select("text_hash")
+    val incoming = docs.filter(col("doc_id") >= 400)
+    incoming
+      .join(existing, Seq("text_hash"), "left_anti")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_incremental_dedup" -> (d09IncrementalDedup _),
     "d08_decontamination" -> (d08Decontamination _),
     "d07_neardup_components" -> (d07NeardupComponents _),
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -390,6 +416,24 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "d09_incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS text_hash FROM documents
+        |),
+        |inc AS (
+        |  SELECT * FROM d WHERE doc_id >= 400
+        |)
+        |SELECT doc_id, text_hash FROM (
+        |  SELECT i.doc_id, i.text_hash,
+        |    row_number() OVER (PARTITION BY i.text_hash
+        |      ORDER BY i.doc_id) AS rn
+        |  FROM inc i
+        |  WHERE NOT EXISTS (SELECT 1 FROM d e
+        |                    WHERE e.doc_id < 400
+        |                      AND e.text_hash = i.text_hash)
+        |)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "d01_exact_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
