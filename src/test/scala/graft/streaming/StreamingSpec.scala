@@ -73,6 +73,29 @@ class StreamingSpec extends SparkTestBase {
     assert(out(3L).isEmpty && out(4L).isEmpty) // 'b' has no dim row
   }
 
+  test("file source paces ingest with maxFilesPerTrigger (backpressure)") {
+    // the knob that keeps a 100 TB backfill from loading every file into
+    // one giant micro-batch: 3 files + maxFilesPerTrigger=1 must process
+    // in >= 3 micro-batches, all rows exactly once
+    val dir = Files.createTempDirectory("graft_paced")
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).toDF("id")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    val stream = spark.readStream
+      .schema("id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val q = stream.writeStream.format("memory").queryName("paced")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >= 3 paced micro-batches, got $batches")
+    assert(spark.table("paced").count() == 30) // exactly once, no loss
+  }
+
   test("composite stream: dedup -> static enrich -> tumbling agg in one query") {
     // the full streaming pipeline shape chained as ONE streaming query:
     // watermark dedup feeds the broadcast dim join feeds the windowed agg
