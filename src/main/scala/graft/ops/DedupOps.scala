@@ -321,19 +321,28 @@ object DedupOps {
     * bucketed table of (hash) keys — the anti join co-locates on hash
     * and never touches corpus text.
     */
-  def d09IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-    val existing = docs.filter(col("doc_id") < 400).select("text_hash")
-    val incoming = docs.filter(col("doc_id") >= 400)
+  /** The d09 core over any (doc_id, text_hash) split — exposed so the
+    * spec can plant real corpus-hit and intra-batch duplicates (the
+    * driver fixtures contain almost none, so the oracle alone would not
+    * catch a broken join type).
+    */
+  private[graft] def incrementalDedup(
+      existing: DataFrame, incoming: DataFrame): DataFrame =
     incoming
-      .join(existing, Seq("text_hash"), "left_anti")
+      .join(existing.select("text_hash"), Seq("text_hash"), "left_anti")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("text_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("text_hash"))
       .orderBy("doc_id")
+
+  def d09IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    incrementalDedup(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -56,16 +56,21 @@ object MediaOps {
     * call with the same signature; everything around it is unchanged.
     */
   object StubCodec {
+    /** Fake dimensions from the first payload bytes (stable, codec-free)
+      * — the ONE dim rule shared by decode and resize.
+      */
+    def dims(bytes: Array[Byte]): (Int, Int) = {
+      val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      (64 + (b0 % 8) * 32, 64 + (b1 % 8) * 32)
+    }
+
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = row.payload
       val n = bytes.length.toLong
       val mean =
         if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / n
-      // fake dimensions from the first payload bytes (stable, codec-free)
-      val b0 = if (n > 0) bytes(0) & 0xff else 0
-      val b1 = if (n > 1) bytes(1) & 0xff else 0
-      val width = 64 + (b0 % 8) * 32
-      val height = 64 + (b1 % 8) * 32
+      val (width, height) = dims(bytes)
       val nFrames = if (row.kind == "video") 1 + (n % 240).toInt else 1
       val histo = Array.fill(4)(0L)
       bytes.foreach(b => histo((b & 0xff) / 64) += 1)
@@ -79,16 +84,21 @@ object MediaOps {
     * preservation, and typed output are the real deliverable).
     */
   def stubResize(row: MediaRow, factor: Int): ResizedMedia = {
-    val f = StubCodec.decode(row)
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    // dims come from the header bytes via StubCodec.dims — no full
+    // decode: the resize hot path scans the payload exactly once
+    val bytes = row.payload
+    val n = bytes.length.toLong
+    val (width, height) = StubCodec.dims(bytes)
     var sum = 0L
     var kept = 0L
     var i = 0
-    while (i < row.payload.length) {
-      sum += (row.payload(i) & 0xff); kept += 1; i += factor
+    while (i < bytes.length) {
+      sum += (bytes(i) & 0xff); kept += 1; i += factor
     }
-    ResizedMedia(row.doc_id, row.kind, f.width, f.height,
-      math.max(1, f.width / factor), math.max(1, f.height / factor),
-      f.n_bytes, kept, sum)
+    ResizedMedia(row.doc_id, row.kind, width, height,
+      math.max(1, width / factor), math.max(1, height / factor),
+      n, kept, sum)
   }
 
   /** Batched stub resize via mapPartitions — same narrow, partition-
@@ -179,7 +189,8 @@ object MediaOps {
     "m04_resize" -> (m04Resize _)
   )
 
-  /** m02 intentionally absent: mapPartitions decode has no SQL oracle.
+  /** m02 AND m04 intentionally absent: the mapPartitions decode/resize
+    * paths have no SQL oracle (rows-only driver checks by design).
     *
     * Byte-vs-char contract: the Spark side takes length/substring over the
     * BINARY payload (byte offsets) — the semantics a real media corpus

@@ -189,11 +189,15 @@ object PipelineOps {
     * n > s + (size - stride), hence the last start is
     * max(0, the largest stride multiple <= n - overlap - 1).
     */
-  def p06Chunk(spark: SparkSession, dir: String): DataFrame = {
-    val size = 32
-    val stride = 24
-    val overlap = size - stride // 8
-    Tables.documents(spark, dir)
+  /** The chunking core over any (doc_id, text) frame — exposed so the
+    * ScalaCheck property drives the REAL operator (not a re-derived
+    * copy of the start formula) across arbitrary sizes/strides.
+    */
+  private[graft] def chunkDocs(
+      docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > stride && stride >= 1, s"need size > stride >= 1")
+    val overlap = size - stride
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(expr(
@@ -210,6 +214,9 @@ object PipelineOps {
         array_join(col("chunk"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  def p06Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir), size = 32, stride = 24)
 
   /** Domain mixing (corpus rebalancing toward equal token shares): each
     * source's keep rate is min(1, fair_share / source_tokens) where

@@ -141,26 +141,34 @@ object SparkWindowProps extends Properties("spark-windows") {
       got == want
     }
 
-  property("p06 chunk starts: full coverage, no redundant window, size cap") =
-    // the start formula (0 to max(n-overlap-1, 0) step stride) must, for
-    // ANY token count: cover every token, give every window >= 1 token
-    // beyond the previous window's end, and never exceed the chunk size
-    Prop.forAll(Gen.chooseNum(1, 500)) { n =>
-      val size = 32; val stride = 24; val overlap = size - stride
-      val starts = 0L to math.max(n - overlap - 1, 0).toLong by stride
-      val windows = starts.map(s => (s + 1, math.min(s + size, n.toLong)))
-      val covered = windows.forall { case (a, b) => a <= b } &&
-        windows.head._1 == 1L && windows.last._2 == n.toLong &&
-        windows.sliding(2).forall {
-          case Seq((_, e1), (a2, _)) => a2 <= e1 + 1
+  property("p06 chunkDocs: full coverage, no redundant window, size cap") =
+    // drives the REAL operator (PipelineOps.chunkDocs) over arbitrary
+    // doc lengths and size/stride configs: windows must cover every
+    // token, each add >= 1 new token, and never exceed the chunk size
+    Prop.forAll(
+      Gen.chooseNum(1, 120),
+      Gen.chooseNum(2, 40).flatMap(s =>
+        Gen.chooseNum(1, s - 1).map(st => (s, st)))) { case (n, (size, stride)) =>
+      {
+        import spark.implicits._
+        val text = (0 until n).map(i => s"t$i").mkString(" ")
+        val docs = Seq((1L, text)).toDF("doc_id", "text")
+        val chunks = graft.ops.PipelineOps.chunkDocs(docs, size, stride)
+          .select("start", "n_chunk_tokens").as[(Long, Long)]
+          .collect().sortBy(_._1)
+        val windows = chunks.map { case (s, len) => (s + 1, s + len) }
+        val covered = windows.head._1 == 1L && windows.last._2 == n.toLong &&
+          windows.sliding(2).forall {
+            case Array((_, e1), (a2, _)) => a2 <= e1 + 1
+            case _ => true
+          }
+        val progressive = windows.sliding(2).forall {
+          case Array((_, e1), (_, e2)) => e2 > e1
           case _ => true
         }
-      val progressive = windows.sliding(2).forall {
-        case Seq((_, e1), (_, e2)) => e2 > e1
-        case _ => true
+        val capped = chunks.forall(_._2 <= size)
+        covered && progressive && capped
       }
-      val capped = windows.forall { case (a, b) => b - a + 1 <= size }
-      covered && progressive && capped
     }
 
   property("d07 propagation: r rounds reach exactly r hops on a path graph") =

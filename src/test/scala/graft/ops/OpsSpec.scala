@@ -130,6 +130,18 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("d09: planted corpus hits and batch dups are both dropped, rest kept") {
+    // the driver fixtures contain almost no real duplicates, so this
+    // spec plants them: h1 exists in the corpus (must drop), h2 twice in
+    // the batch (keep smallest id), h3 unique (keep)
+    val existing = Seq((1L, "h1"), (2L, "hx")).toDF("doc_id", "text_hash")
+    val incoming = Seq((10L, "h1"), (11L, "h2"), (12L, "h2"), (13L, "h3"))
+      .toDF("doc_id", "text_hash")
+    val kept = DedupOps.incrementalDedup(existing, incoming)
+      .as[(Long, String)].collect().toSeq
+    assert(kept == Seq((11L, "h2"), (13L, "h3")))
+  }
+
   test("m04: stub resize halves dims, keeps every 2nd byte, deterministic") {
     val media = Seq(
       MediaRow(0L, "image", "abcdefg".getBytes("UTF-8")),
