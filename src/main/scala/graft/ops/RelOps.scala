@@ -408,8 +408,27 @@ object RelOps {
       .orderBy("hour")
   }
 
+  /** Unpivot (melt): w11's pivoted per-user counts back to long form —
+    * the round trip proves pivot and unpivot are inverses (the oracle
+    * states the direct GROUP BY, which the melt must reproduce exactly
+    * once zero-count fill rows are dropped). Unpivot is a zero-shuffle
+    * projection (each row expands to 5), so the plan cost is w11's.
+    */
+  def w15Unpivot(spark: SparkSession, dir: String): DataFrame =
+    w11Pivot(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("n_click"), col("n_error"), col("n_purchase"),
+          col("n_signup"), col("n_view")),
+        "metric", "n")
+      .withColumn("event_type", expr("substring(metric, 3)"))
+      .filter(col("n") > 0)
+      .select("user_id", "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w06_approx_distinct" -> (w06ApproxDistinct _),
+    "w15_unpivot" -> (w15Unpivot _),
     "w14_full_outer" -> (w14FullOuter _),
     "w13_window_suite" -> (w13WindowSuite _),
     "w10_cube" -> (w10Cube _),
@@ -426,6 +445,11 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w15_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "w14_full_outer" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks
