@@ -73,6 +73,29 @@ class StreamingSpec extends SparkTestBase {
     assert(out(3L).isEmpty && out(4L).isEmpty) // 'b' has no dim row
   }
 
+  test("observe() attaches free metrics to the stream — no second scan") {
+    // production observability: row counts / sums ride the existing scan
+    // as observed metrics in StreamingQueryProgress — at 100 TB a
+    // separate counting job would double the read
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val observed = mem.toDF()
+      .observe("ingest", count(lit(1)).as("n_rows"),
+        sum(col("value")).as("sum_value"))
+      .filter(col("value") > 0)
+    val q = observed.writeStream.format("memory").queryName("observed")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest")))
+    q.stop()
+    assert(metrics.nonEmpty)
+    assert(metrics.map(_.getAs[Long]("n_rows")).sum == rows.length)
+    assert(metrics.map(_.getAs[Double]("sum_value")).sum ==
+      rows.map(_.value).sum)
+  }
+
   test("file source paces ingest with maxFilesPerTrigger (backpressure)") {
     // the knob that keeps a 100 TB backfill from loading every file into
     // one giant micro-batch: 3 files + maxFilesPerTrigger=1 must process
