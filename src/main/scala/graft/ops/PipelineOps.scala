@@ -249,10 +249,40 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-decile labeling (curriculum buckets): every doc gets a
+    * 1-10 decile of its quality score. The naive plan — ntile(10) over
+    * a global ORDER BY — is one task sorting the whole corpus; instead
+    * the 9 decile cut VALUES come from RelOps' two-phase histogram rank
+    * selection (w08/w09 machinery, scan + hash-agg passes only) and
+    * broadcast back, so labeling is a pure per-row comparison. A doc
+    * tied exactly with a cut goes to the lower bucket (strict `<`
+    * count) — deterministic in both engines; cut multiset (incl.
+    * duplicate values when ranks collide) matches the oracle's.
+    */
+  def p08QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore.as("value"))
+    val ev = scored.select(lit("all").as("event_type"), col("value"))
+    val stats = RelOps.rankStats(ev)
+    val targets = stats.select(col("event_type"),
+      explode(expr(
+        "transform(sequence(1, 9), i -> CAST(ceil(cnt * i / 10.0) AS BIGINT))"))
+        .as("r"))
+    val cuts = RelOps.valuesAtRanks(ev, stats, targets)
+      .agg(collect_list(col("value")).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("value").as("score"),
+        (org.apache.spark.sql.functions.size(
+          filter(col("cuts"), c => c < col("value"))) + 1).cast("long")
+          .as("decile"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _),
     "p06_chunk" -> (p06Chunk _),
     "p07_domain_mix" -> (p07DomainMix _),
+    "p08_quality_deciles" -> (p08QualityDeciles _),
     "p02_hash_split" -> (p02HashSplit _),
     "p03_profile" -> (p03Profile _),
     "p04_token_pack" -> (p04TokenPack _),
@@ -260,6 +290,25 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p08_quality_deciles" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $qualitySql AS score FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score, doc_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM d
+         |),
+         |cuts AS (
+         |  SELECT r.score AS cut
+         |  FROM r JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i) g
+         |    ON r.rn = CAST(ceil(r.n * g.i / 10.0) AS BIGINT)
+         |)
+         |SELECT doc_id, score,
+         |  1 + (SELECT count(*) FROM cuts WHERE cut < d.score) AS decile
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "p07_domain_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang,

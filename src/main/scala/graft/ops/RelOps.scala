@@ -196,7 +196,7 @@ object RelOps {
     * the output `n` column. Exact min/max make the bucket function
     * deterministic across engines and partitionings.
     */
-  private def rankStats(ev: DataFrame): DataFrame =
+  private[ops] def rankStats(ev: DataFrame): DataFrame =
     ev.groupBy("event_type").agg(
       min(col("value")).as("vmin"), max(col("value")).as("vmax"),
       count(lit(1)).as("cnt"))
@@ -205,7 +205,7 @@ object RelOps {
     * where value is the value at ascending 1-based rank r within the
     * group (value-ordered; ties share the selected value).
     */
-  private def valuesAtRanks(ev: DataFrame, stats: DataFrame,
+  private[ops] def valuesAtRanks(ev: DataFrame, stats: DataFrame,
       targets: DataFrame): DataFrame = {
     val b = lit(RankBuckets)
     val bucketed = ev.join(broadcast(stats), Seq("event_type"))
