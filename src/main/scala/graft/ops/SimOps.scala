@@ -230,7 +230,16 @@ object SimOps {
     * the query side broadcast; distinct + the two scoring joins shuffle
     * candidate pairs only, never the corpus cross product.
     */
-  private[graft] def bandedTopK(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
+  /** `broadcastQueries = false` switches every query-side join from
+    * broadcast to hash/shuffle — the KNN-JOIN configuration where the
+    * query set is itself corpus-sized (s09) and broadcasting it would
+    * OOM every executor. Candidates stay per-(band, key) bucketed
+    * either way.
+    */
+  private[graft] def bandedTopK(v: DataFrame, isQuery: Column, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    def maybeBc(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     val bandArr = (0 until Bands)
       .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
       .mkString("array(", ", ", ")")
@@ -239,7 +248,7 @@ object SimOps {
     val qBands = bands
       .join(v.filter(isQuery).select("vec_id"), Seq("vec_id"), "left_semi")
       .withColumnRenamed("vec_id", "qid")
-    val cand = bands.join(broadcast(qBands), Seq("band", "key"))
+    val cand = bands.join(maybeBc(qBands), Seq("band", "key"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
@@ -248,7 +257,7 @@ object SimOps {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     cand.join(v.select("vec_id", "qv", "vnorm"), Seq("vec_id"))
-      .join(broadcast(q), Seq("qid"))
+      .join(maybeBc(q), Seq("qid"))
       .withColumn("dot", expr(dotSq("qemb", "qv")))
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
@@ -256,6 +265,18 @@ object SimOps {
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
       .orderBy("qid", "rank")
+  }
+
+  /** KNN JOIN: every 10th vector is a query — a query set the same size
+    * class as the corpus, where s01/s04/s07/s08's broadcast-the-queries
+    * plan would OOM at scale. All query-side joins are hash joins; the
+    * banded candidate generation keeps the pair space bucket-local. The
+    * per-query top-k shuffle is bounded by the row_number filter's
+    * WindowGroupLimit pushdown (partial limit before the exchange).
+    */
+  def s09KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    bandedTopK(v, col("vec_id") % 10 === 0, 5, broadcastQueries = false)
   }
 
   /** Recall-targeted ANN over the fixture: banded signatures, top-5. */
@@ -393,7 +414,8 @@ object SimOps {
     "s04_knn_topk_agg" -> (s04KnnTopkAgg _),
     "s05_lsh_multiprobe" -> (s05LshMultiprobe _),
     "s07_banded_ann" -> (s07BandedAnn _),
-    "s08_ivf_ann" -> (s08IvfAnn _)
+    "s08_ivf_ann" -> (s08IvfAnn _),
+    "s09_knn_join" -> (s09KnnJoin _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -434,42 +456,49 @@ object SimOps {
     .map(t => signKeySqlRange("embedding", t * BandBits + 1, BandBits))
     .mkString("[", ", ", "]")
 
+  /** Shared banded-ANN oracle (s07 and the s09 KNN join differ only in
+    * the query predicate — the SQL states the semantics; the Spark
+    * plans differ in broadcast vs hash query-side joins).
+    */
+  private def bandedAnnSql(queryMod: Int): String =
+    s"""WITH $unnestSql,
+       |bl AS (
+       |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+       |),
+       |eb AS (
+       |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
+       |         unnest(keys) AS key
+       |  FROM bl
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM eb q JOIN eb v ON v.band = q.band AND v.key = q.key
+       |  WHERE q.vec_id % $queryMod = 0 AND v.vec_id <> q.vec_id
+       |),
+       |d AS (
+       |  SELECT c.qid, c.vid, SUM(uq.x * uv.x) AS dot
+       |  FROM cand c
+       |  JOIN u uq ON uq.vec_id = c.qid
+       |  JOIN u uv ON uv.vec_id = c.vid AND uv.i = uq.i
+       |  GROUP BY c.qid, c.vid
+       |),
+       |c AS (
+       |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+       |      AS cosine
+       |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+       |)
+       |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
 
-    "s07_banded_ann" ->
-      s"""WITH $unnestSql,
-         |bl AS (
-         |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
-         |),
-         |eb AS (
-         |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
-         |         unnest(keys) AS key
-         |  FROM bl
-         |),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid
-         |  FROM eb q JOIN eb v ON v.band = q.band AND v.key = q.key
-         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
-         |),
-         |d AS (
-         |  SELECT c.qid, c.vid, SUM(uq.x * uv.x) AS dot
-         |  FROM cand c
-         |  JOIN u uq ON uq.vec_id = c.qid
-         |  JOIN u uv ON uv.vec_id = c.vid AND uv.i = uq.i
-         |  GROUP BY c.qid, c.vid
-         |),
-         |c AS (
-         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
-         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
-         |      AS cosine
-         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
-         |)
-         |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s07_banded_ann" -> bandedAnnSql(queryMod = 50),
+    "s09_knn_join" -> bandedAnnSql(queryMod = 10),
 
     "s08_ivf_ann" ->
       s"""WITH $unnestSql,
