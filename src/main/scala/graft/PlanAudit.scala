@@ -35,10 +35,9 @@ object PlanAudit {
             (s.sliding("SinglePartition".length).count(_ == "SinglePartition") > 1)
         ).collect { case (f, true) => f }
         if (flags.nonEmpty) { flagged += 1; println(s"[audit] $n: ${flags.mkString(", ")}") }
-        Caches.unpersistAll()
       } catch {
         case e: Exception => println(s"[audit] $n: ERROR ${e.getMessage.take(100)}")
-      }
+      } finally Caches.unpersistAll() // even on error — leaked caches distort later plans
     }
     println(s"[audit] done: ${names.size} queries, $flagged flagged")
     spark.stop()

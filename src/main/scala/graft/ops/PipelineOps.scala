@@ -260,8 +260,10 @@ object PipelineOps {
     * duplicate values when ranks collide) matches the oracle's.
     */
   def p08QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), qualityScore.as("value"))
+    // cached: the rank machinery makes ~4 passes (stats, histogram,
+    // candidate buckets, final labeling) — score the corpus ONCE
+    val scored = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore.as("value")))
     val ev = scored.select(lit("all").as("event_type"), col("value"))
     val stats = RelOps.rankStats(ev)
     val targets = stats.select(col("event_type"),

@@ -323,7 +323,11 @@ object RelOps {
     * extra job over the full input) and the output schema depends on
     * the data. The oracle states the equivalent conditional aggregation.
     */
-  def w11Pivot(spark: SparkSession, dir: String): DataFrame =
+  /** The pivot core WITHOUT the presentation sort — w15's melt composes
+    * on this (its own final orderBy supersedes any inner ordering, and
+    * an inherited global sort would be a wasted single-task funnel).
+    */
+  private def pivotCore(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
@@ -332,7 +336,9 @@ object RelOps {
       .select(col("user_id"), col("click").as("n_click"),
         col("error").as("n_error"), col("purchase").as("n_purchase"),
         col("signup").as("n_signup"), col("view").as("n_view"))
-      .orderBy("user_id")
+
+  def w11Pivot(spark: SparkSession, dir: String): DataFrame =
+    pivotCore(spark, dir).orderBy("user_id")
 
   /** Range join: for each click, aggregate the same user's errors in
     * [ts, ts+1h). The naive inequality join is a broadcast-nested-loop
@@ -415,7 +421,7 @@ object RelOps {
     * projection (each row expands to 5), so the plan cost is w11's.
     */
   def w15Unpivot(spark: SparkSession, dir: String): DataFrame =
-    w11Pivot(spark, dir)
+    pivotCore(spark, dir)
       .unpivot(
         Array(col("user_id")),
         Array(col("n_click"), col("n_error"), col("n_purchase"),
