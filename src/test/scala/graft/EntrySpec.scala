@@ -20,4 +20,12 @@ class EntrySpec extends SparkTestBase {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("rows-only set is exactly the documented three") {
+    // a typo'd oracle key would silently demote a query to rows-only —
+    // pin the intentional set so any drift fails loudly
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("m02_media_features", "m04_resize",
+      "w06_approx_distinct"), s"unexpected rows-only set: $rowsOnly")
+  }
 }
