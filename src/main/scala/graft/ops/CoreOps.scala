@@ -260,6 +260,23 @@ object CoreOps {
       .orderBy("c_nationkey")
   }
 
+  /** MapType surface (the one Spark type family the suite hadn't
+    * exercised): parse the JSON props column to `map<string,bigint>`,
+    * explode to (key, value) pairs, aggregate per key. Generic over
+    * whatever keys the data carries — nothing hardcodes 'k'. Per-row
+    * parse + explode then one hash agg on the (small) key space.
+    */
+  def q21MapSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(expr("from_json(props, 'map<string,bigint>')"))
+        .as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("long").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("key")
+
   /** ANSI SQL shared verbatim by Spark and DuckDB: the q13 pricing
     * summary as one dialect-neutral text.
     */
@@ -288,6 +305,7 @@ object CoreOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_map_surface" -> (q21MapSurface _),
     "q20_global_filter_anti" -> (q20GlobalFilterAnti _),
     "q17_anti_join" -> (q17AntiJoin _),
     "q18_avg_quantity_corr" -> (q18AvgQuantityCorr _),
@@ -313,6 +331,22 @@ object CoreOps {
 
   val oracle: Map[String, String] = Map(
     "q19_sql_surface" -> sharedPricingSql,
+
+    "q21_map_surface" ->
+      """WITH m AS (
+        |  SELECT CAST(props AS JSON) AS j FROM events
+        |),
+        |kv AS (
+        |  SELECT unnest(json_keys(j)) AS key, j FROM m
+        |),
+        |v AS (
+        |  SELECT key, CAST(json_extract(j, '$.' || key) AS BIGINT) AS value
+        |  FROM kv
+        |)
+        |SELECT key, count(*) AS n,
+        |       CAST(SUM(value) AS BIGINT) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM v GROUP BY key ORDER BY key""".stripMargin,
 
     "q20_global_filter_anti" ->
       """SELECT c_nationkey, count(*) AS numcust,
