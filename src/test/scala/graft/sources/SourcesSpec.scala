@@ -86,6 +86,34 @@ class SourcesSpec extends SparkTestBase {
     assert(orcBack.schema == ev.schema)
   }
 
+  test("binaryFile source ingests opaque payloads with glob filtering") {
+    // the real ingestion path for an image/audio corpus: whole files as
+    // (path, modificationTime, length, content) rows, extension-filtered
+    // at the source so non-media files never enter the pipeline
+    val dir = Files.createTempDirectory("graft_binfiles")
+    java.nio.file.Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(dir.toString)
+    assert(media.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = media.select("path", "length", "content")
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a.img", "b.img")) // .txt filtered
+    assert(rows(0)._3 == Seq[Byte](1, 2, 3) && rows(0)._2 == 3L)
+    // feeds straight into the MediaRow pipeline (m02/m04 decode shapes)
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val asMedia = media.select(
+      monotonically_increasing_id().as("doc_id"),
+      org.apache.spark.sql.functions.lit("image").as("kind"),
+      org.apache.spark.sql.functions.col("content").as("payload"))
+      .as[graft.ops.MediaRow]
+    assert(graft.ops.MediaOps.resizeMedia(asMedia, 2).count() == 2)
+  }
+
   test("S12: corrupt JSON records are captured, not fatal (PERMISSIVE)") {
     // at 100 TB some records WILL be malformed; the job must keep going
     // and quarantine them, not die (PERMISSIVE + columnNameOfCorruptRecord)
