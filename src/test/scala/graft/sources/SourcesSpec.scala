@@ -86,6 +86,25 @@ class SourcesSpec extends SparkTestBase {
     assert(orcBack.schema == ev.schema)
   }
 
+  test("writer knobs: maxRecordsPerFile bounds file size, zstd round-trips") {
+    // the two write-side controls a 100 TB pipeline sets on every sink:
+    // bounded records per file (no gigafile stragglers; compaction's
+    // write-time complement) and a modern codec
+    val dir = Files.createTempDirectory("graft_writer").toString
+    val df = spark.range(1000).toDF("id")
+    df.coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 100)
+      .option("compression", "zstd")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= 10, s"expected >= 10 bounded files, got ${files.length}")
+    assert(files.forall(_.getName.contains(".zstd.")), "zstd codec in file names")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("id"))).first().getLong(0) == 499500L)
+  }
+
   test("binaryFile source ingests opaque payloads with glob filtering") {
     // the real ingestion path for an image/audio corpus: whole files as
     // (path, modificationTime, length, content) rows, extension-filtered
