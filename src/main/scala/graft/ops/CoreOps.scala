@@ -262,9 +262,17 @@ object CoreOps {
 
   /** MapType surface (the one Spark type family the suite hadn't
     * exercised): parse the JSON props column to `map<string,bigint>`,
-    * explode to (key, value) pairs, aggregate per key. Generic over
-    * whatever keys the data carries — nothing hardcodes 'k'. Per-row
-    * parse + explode then one hash agg on the (small) key space.
+    * explode to (key, value) pairs, aggregate per key — nothing
+    * hardcodes 'k'. Per-row parse + explode then one hash agg on the
+    * (small) key space.
+    *
+    * Fixture contract (like the media ASCII contract): props is clean
+    * machine-generated JSON with integer values and keys free of `"`.
+    * The oracle quotes each key into its JSON path (so '.' in keys is
+    * safe), but a malformed-JSON row would hard-error DuckDB's CAST
+    * while Spark's PERMISSIVE from_json nulls the row, and a
+    * non-integer value nulls Spark's whole map vs DuckDB's per-key
+    * cast — on dirty data the Spark results are the spec.
     */
   def q21MapSurface(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -340,7 +348,8 @@ object CoreOps {
         |  SELECT unnest(json_keys(j)) AS key, j FROM m
         |),
         |v AS (
-        |  SELECT key, CAST(json_extract(j, '$.' || key) AS BIGINT) AS value
+        |  SELECT key,
+        |    CAST(json_extract(j, '$."' || key || '"') AS BIGINT) AS value
         |  FROM kv
         |)
         |SELECT key, count(*) AS n,
