@@ -292,18 +292,24 @@ object DedupOps {
     * 100 TB posture: the benchmark side is an eval suite — tiny — so its
     * exploded 8-grams BROADCAST and the training corpus is only scanned
     * (per-row explode, no corpus shuffle); the groupBy shuffles matched
-    * (doc, gram) rows only, which contamination keeps rare. With a huge
-    * benchmark the same plan degrades gracefully to a hash join on gram.
+    * (doc, gram) rows only, which contamination keeps rare. Both sides
+    * filter the docs BEFORE exploding (never explode-then-discard — the
+    * bench side explodes ~1/97th of the corpus, pinned by a plan spec).
+    * The explicit broadcast hint is correct only while the benchmark
+    * side is eval-suite-sized; a genuinely huge benchmark must drop the
+    * hint so Spark can fall back to a shuffled hash join on gram (the
+    * hint overrides size estimates and would OOM instead of degrade).
     */
   def d08Decontamination(spark: SparkSession, dir: String): DataFrame = {
     val words = "split(text, ' ')"
     val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-3, 1))," +
       s" i -> array_join(slice($words, i, 4), ' ')))"
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(grams)).as("gram"))
-    val bench = g.filter(col("doc_id") % 97 === 0)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    def explGrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(expr(grams)).as("gram"))
+    val bench = explGrams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("gram"), col("doc_id").as("bench_id"))
-    g.filter(col("doc_id") % 97 =!= 0)
+    explGrams(docs.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_ngrams"),

@@ -109,6 +109,28 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d08: both benchmark and training filters sit BELOW their Generate") {
+    // explode-then-discard would 97x the benchmark side's generated rows;
+    // the plan must filter docs before either explode (VERDICT r3 item 1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = DedupOps.d08Decontamination(spark, sf0001)
+        .queryExecution.executedPlan
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.size == 2, s"expected 2 Generates, got ${gens.size}")
+      gens.foreach { g =>
+        val below = g.child.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("97") => f
+        }
+        assert(below.nonEmpty,
+          s"doc_id % 97 filter not below Generate:\n${g.toString.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("p06: chunks reconstruct the original token stream losslessly") {
     val chunks = PipelineOps.p06Chunk(spark, sf0001)
       .select("doc_id", "chunk_id", "chunk_text")

@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.{PlanAudit, SparkEntry, SparkTestBase}
+
+/** CI gate for the full-inventory plan audit (VERDICT r3 item 2): every
+  * registered query's physical plan is swept for scale traps, and the
+  * flag map must equal the allowlist below EXACTLY. A new
+  * CartesianProduct / BroadcastNestedLoopJoin / repeated
+  * SinglePartition in ANY query fails `sbt test`; a flag that
+  * disappears fails too, so the allowlist can never go stale.
+  *
+  * Every allowlisted flag is intentional and plan-documented (NOTES.md
+  * "Plan audit"): 1-row scalar broadcasts (the BNLJ is the 1-row cross
+  * join), broadcast query-set top-k scans (BNLJ = corpus x broadcast
+  * queries — the intended no-big-side-shuffle KNN plan), and windows /
+  * unions over tiny aggregated frames plus the final presentation sort
+  * (multi-SinglePartition).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val allow: Map[String, Set[String]] = Map(
+    // 1-row scalar broadcasts
+    "p07_domain_mix" -> Set("BroadcastNestedLoopJoin"),
+    "q05_gold_alerts" -> Set("BroadcastNestedLoopJoin"),
+    "q20_global_filter_anti" -> Set("BroadcastNestedLoopJoin"),
+    "t05_tfidf" -> Set("BroadcastNestedLoopJoin"),
+    // broadcast query-set / codebook top-k scans
+    "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
+    "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
+    "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
+    // scalar broadcast + windows over tiny aggregated frames
+    "p08_quality_deciles" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    "q02_critical_sparklines" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    "q08_health" -> Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // five 1-row global aggs unioned
+    "p03_profile" -> Set("multi-SinglePartition")
+  )
+
+  test("plan audit: no query flags a scale trap outside the allowlist") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flagged = PlanAudit
+        .sweep(spark, SparkEntry.queries.keys.toSeq.sorted, sf0001)
+        .map { case (n, fs) => n -> fs.toSet }
+      val unexpected = flagged.filter { case (n, fs) =>
+        fs != allow.getOrElse(n, Set.empty)
+      }
+      val stale = allow.keySet.diff(flagged.keySet)
+      assert(unexpected.isEmpty,
+        s"queries flagging outside the allowlist: $unexpected")
+      assert(stale.isEmpty,
+        s"allowlist entries that no longer flag (remove them): $stale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
