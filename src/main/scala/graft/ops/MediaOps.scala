@@ -109,12 +109,21 @@ object MediaOps {
     media.mapPartitions(_.map(r => stubResize(r, factor)))
   }
 
-  /** Driver-checkable wrapper (rows-only, like m02: the mapPartitions
-    * resize is not SQL-expressible).
+  /** Driver-checkable wrapper. The mapPartitions resize itself is not
+    * SQL-expressible, but the STUB's byte arithmetic is — so the output
+    * carries a full DuckDB oracle (hash-checked) while the Spark plan
+    * keeps the real mapPartitions shape. Int fields cast to long: the
+    * driver hash needs int64 on both sides.
     */
   def m04Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     resizeMedia(mediaTable(spark, dir).as[MediaRow], 2).toDF()
+      .select(col("doc_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"),
+        col("n_bytes"), col("out_bytes"), col("checksum"))
       .orderBy("doc_id")
   }
 
@@ -152,16 +161,19 @@ object MediaOps {
     media.mapPartitions(_.map(StubCodec.decode))
   }
 
-  /** Driver-checkable wrapper (rows-only check: mapPartitions decode is
-    * not SQL-expressible, so no oracle entry — the driver records a
-    * weaker rows>0 check for it).
+  /** Driver-checkable wrapper. Like m04: the mapPartitions decode keeps
+    * its real plan shape, but the stub's byte arithmetic is restated as
+    * a DuckDB oracle so the output is hash-checked rather than
+    * rows-only. Int fields cast to long for the driver hash.
     */
   def m02MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeFeatures(mediaTable(spark, dir).as[MediaRow])
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("mean_byte"),
-        col("width"), col("height"), col("n_frames"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
         expr("concat_ws(',', transform(histo4, x -> CAST(x AS STRING)))")
           .as("histo4_csv"))
       .orderBy("doc_id")
@@ -189,8 +201,12 @@ object MediaOps {
     "m04_resize" -> (m04Resize _)
   )
 
-  /** m02 AND m04 intentionally absent: the mapPartitions decode/resize
-    * paths have no SQL oracle (rows-only driver checks by design).
+  /** All four media queries are oracle-checked. m02/m04 run through the
+    * real mapPartitions decode/resize path on the Spark side; their
+    * oracles restate `StubCodec.decode` / `stubResize`'s byte
+    * arithmetic (mean byte, header dims, histo4, strided keep,
+    * checksum) in DuckDB list SQL — the stub is deterministic pure
+    * arithmetic precisely so the whole pipeline stays hash-checkable.
     *
     * Byte-vs-char contract: the Spark side takes length/substring over the
     * BINARY payload (byte offsets) — the semantics a real media corpus
@@ -219,6 +235,68 @@ object MediaOps {
         |       CAST('0x' || substring(md5(text), 5, 4) AS BIGINT) % 1024 + 64
         |         AS pseudo_height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "m02_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         text
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, kind, octet_length(encode(text)) AS n,
+        |    list_transform(generate_series(1, greatest(length(text), 0)),
+        |      i -> ascii(substring(text, i, 1))) AS codes
+        |  FROM m
+        |)
+        |SELECT doc_id, kind, CAST(n AS BIGINT) AS n_bytes,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(list_sum(codes) AS DOUBLE) / n END AS mean_byte,
+        |  CAST(64 + (CASE WHEN n > 0 THEN codes[1] ELSE 0 END % 8) * 32
+        |    AS BIGINT) AS width,
+        |  CAST(64 + (CASE WHEN n > 1 THEN codes[2] ELSE 0 END % 8) * 32
+        |    AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN 1 + n % 240 ELSE 1 END
+        |    AS BIGINT) AS n_frames,
+        |  concat_ws(',',
+        |    CAST(len(list_filter(codes, c -> c // 64 = 0)) AS BIGINT),
+        |    CAST(len(list_filter(codes, c -> c // 64 = 1)) AS BIGINT),
+        |    CAST(len(list_filter(codes, c -> c // 64 = 2)) AS BIGINT),
+        |    CAST(len(list_filter(codes, c -> c // 64 = 3)) AS BIGINT))
+        |    AS histo4_csv
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "m04_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         text
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, kind, octet_length(encode(text)) AS n,
+        |    list_transform(generate_series(1, greatest(length(text), 0)),
+        |      i -> ascii(substring(text, i, 1))) AS codes
+        |  FROM m
+        |),
+        |d AS (
+        |  SELECT doc_id, kind, n, codes,
+        |    64 + (CASE WHEN n > 0 THEN codes[1] ELSE 0 END % 8) * 32 AS w,
+        |    64 + (CASE WHEN n > 1 THEN codes[2] ELSE 0 END % 8) * 32 AS h
+        |  FROM c
+        |)
+        |SELECT doc_id, kind,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(greatest(w // 2, 1) AS BIGINT) AS out_width,
+        |  CAST(greatest(h // 2, 1) AS BIGINT) AS out_height,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST((n + 1) // 2 AS BIGINT) AS out_bytes,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, greatest(n, 1), 2), i -> codes[i])), 0)
+        |    AS BIGINT) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH m AS (
