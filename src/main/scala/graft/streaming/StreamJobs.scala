@@ -120,6 +120,34 @@ object StreamJobs {
       .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
   }
 
+  /** Stream-stream LEFT OUTER time-range join — the streaming twin of
+    * w14's full-outer reconciliation (RelOps): every view emits, either
+    * matched with each click by the same user in the FOLLOWING 30
+    * minutes, or exactly once with null click columns. The null row for
+    * an unmatched view cannot emit as soon as the view arrives — a
+    * matching click may still be in flight — so Spark holds it until
+    * the watermark passes view_ts + 30 min (+ the 10-min delay), at
+    * which point no in-range click can ever arrive and the outer row is
+    * final. Same state-eviction bounds as the inner join: both sides
+    * watermarked, join condition bounds event-time distance, state per
+    * side O(rows within watermark + range).
+    */
+  def viewClickOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+        col("v_user") === col("user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming-native gold refresh (the T4 upgrade of the reference's
     * scheduled batch gold job): drain the silver stream with
     * AvailableNow, and per micro-batch recompute the alert snapshot over

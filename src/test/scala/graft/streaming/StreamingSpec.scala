@@ -178,6 +178,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 201L, 101L)))
   }
 
+  test("viewClickOuter: unmatched views emit null ONLY after the watermark closes the range") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    // user 1's view gets a click in range; user 2's view never does
+    views.addData(
+      Ev(101, ts("2024-01-01 10:00:00"), 1, "view", 0),
+      Ev(102, ts("2024-01-01 10:00:00"), 2, "view", 0))
+    clicks.addData(Ev(201, ts("2024-01-01 10:20:00"), 1, "click", 0))
+    val q = StreamJobs.viewClickOuter(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def got() = spark.table("ssouter")
+      .select($"user_id", $"view_id", $"click_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    // before the watermark passes 10:30 (range end) + 10 min delay, the
+    // unmatched view MUST NOT have emitted — a click could still arrive
+    assert(got() == Set((1L, 101L, Some(201L))),
+      s"outer row emitted before watermark passage: ${got()}")
+    // advance the watermark beyond 10:40 on BOTH inputs (the global
+    // watermark is the MIN across streams): 11:00 events move it to
+    // 10:50 > view_ts + 30m + 10m
+    // (user 8 has no clicks, and the watermark never reaches 11:40 —
+    // this nudge view stays buffered and never emits)
+    views.addData(Ev(103, ts("2024-01-01 11:00:00"), 8, "view", 0))
+    clicks.addData(Ev(202, ts("2024-01-01 11:00:00"), 9, "click", 0))
+    q.processAllAvailable()
+    // watermark updates take effect at the NEXT batch — nudge one more
+    clicks.addData(Ev(203, ts("2024-01-01 11:01:00"), 9, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    assert(got() == Set((1L, 101L, Some(201L)), (2L, 102L, None)),
+      s"unmatched view missing after watermark passage: ${got()}")
+  }
+
   test("streamingUpsert: per-batch dynamic overwrite touches only hot partitions") {
     val src = Files.createTempDirectory("graft_upsert_src")
     val table = Files.createTempDirectory("graft_upsert_table").toString
