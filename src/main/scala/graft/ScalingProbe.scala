@@ -3,19 +3,70 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev utility: similarity-search scaling measurement on a planted
-  * clustered corpus (same geometry as the OpsSpec recall tests, scaled).
-  * `sbt "runMain graft.ScalingProbe 50000 100"` -> n vectors, k clusters;
-  * times banded-LSH and IVF ANN warm (run 2) at that scale.
+/** Dev utility: scaling measurements on planted corpora.
   *
-  * The point: candidate work for both paths is bucket-local, so runtime
-  * should grow ~linearly in n while brute force grows n*q — the numbers
-  * land in NOTES.md next to the d03 10x corpus run.
+  * ANN mode (`sbt "runMain graft.ScalingProbe 50000 100"` -> n vectors,
+  * k clusters): times banded-LSH and IVF ANN warm (run 2) on the same
+  * geometry as the OpsSpec recall tests, scaled. Candidate work for
+  * both paths is bucket-local, so runtime should grow ~linearly in n
+  * while brute force grows n*q.
+  *
+  * Dedup mode (`sbt "runMain graft.ScalingProbe dedup 500000"` -> n
+  * docs): times d08-shaped decontamination and d09-shaped incremental
+  * dedup warm on a deterministic word-soup corpus with planted
+  * contamination (consecutive docs share a 10-token window -> 7 shared
+  * 4-grams around every doc_id%97 benchmark doc) and planted duplicates
+  * (1/7 of the incoming batch re-sends corpus text, 1/7 duplicates its
+  * in-batch neighbor). Measures the postures the docs claim: benchmark
+  * grams broadcast + corpus scanned once (d08); hash-only anti join,
+  * corpus text never read (d09).
+  *
+  * All numbers land in NOTES.md next to the d03 10x corpus run.
   */
 object ScalingProbe {
+
+  private def time(name: String, n: Int)(body: => Long): Unit =
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"$name n=$n run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
+      Caches.unpersistAll()
+    }
+
+  /** Deterministic word-soup corpus: doc i = 50 six-char tokens drawn
+    * from a global token stream with stride 40, so adjacent docs share
+    * 10 tokens (7 four-grams) — planted contamination, no rand().
+    */
+  private def wordSoup(spark: SparkSession, n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n.toLong).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 49)," +
+        " j -> substring(md5(CAST(id * 40 + j AS STRING)), 1, 6)), ' ')")
+        .as("text"))
+
+  private def dedupProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = wordSoup(spark, n)
+    time("d08_decontaminate", n) {
+      graft.ops.DedupOps.decontaminate(docs).count()
+    }
+    // d09 shape: 80/20 corpus/batch split; incoming re-uses corpus text
+    // (id%7=0 -> corpus hit) or its in-batch neighbor's (id%7=1)
+    val cut = (n * 0.8).toLong
+    val hashed = spark.range(n.toLong).select(col("id").as("doc_id"),
+      md5(expr(s"""array_join(transform(sequence(0, 49), j ->
+        substring(md5(CAST((CASE
+          WHEN id >= $cut AND id % 7 = 0 THEN id - $cut
+          WHEN id >= $cut AND id % 7 = 1 THEN id - 1
+          ELSE id END) * 40 + j AS STRING)), 1, 6)), ' ')"""))
+        .as("text_hash"))
+    time("d09_incremental", n) {
+      graft.ops.DedupOps.incrementalDedup(
+        hashed.filter(col("doc_id") < cut),
+        hashed.filter(col("doc_id") >= cut)).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toInt else 50000
-    val k = if (args.length > 1) args(1).toInt else 100
+    val dedupMode = args.headOption.contains("dedup")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,24 +76,24 @@ object ScalingProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    if (dedupMode) {
+      dedupProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+
+    val n = if (args.nonEmpty) args(0).toInt else 50000
+    val k = if (args.length > 1) args(1).toInt else 100
     val vecs = PlantedVectors.corpus(n, k)
     val emb = vecs.toDF("vec_id", "embedding")
     val every = math.max(1, n / 100) // ~100 query points (all rows if n < 100)
     val prepared = graft.ops.SimOps.prepareVectors(emb)
       .withColumn("label", expr(s"CAST(vec_id DIV ${n / k} AS INT)"))
 
-    def time(name: String)(body: => Long): Unit =
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val rows = body
-        println(f"$name n=$n run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
-        Caches.unpersistAll()
-      }
-
-    time("banded_lsh") {
+    time("banded_lsh", n) {
       graft.ops.SimOps.bandedTopK(prepared, col("vec_id") % every === 0, 5).count()
     }
-    time("ivf_nprobe2") {
+    time("ivf_nprobe2", n) {
       graft.ops.SimOps.ivfTopK(prepared, col("vec_id") % every === 0, 2, 5).count()
     }
     spark.stop()

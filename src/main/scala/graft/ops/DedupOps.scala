@@ -264,6 +264,53 @@ object DedupOps {
     labels
   }
 
+  /** The PRODUCTION connected-components path next to d07's fixed
+    * 4-round unroll: iterate min-label propagation until no label
+    * changes, so components of ANY diameter converge (a diameter-d
+    * chain takes d rounds; d07's fixed unroll under-merges beyond 4 —
+    * deliberately, for oracle bit-parity). Not oracle-checked: DuckDB
+    * has no data-dependent iteration; the spec pins it on a planted
+    * diameter-6 chain instead.
+    *
+    * Scale mechanics: `localCheckpoint` per round truncates lineage —
+    * without it the logical plan doubles every round and the driver
+    * chokes on plan analysis long before data is the problem.
+    * Convergence is detected by the (monotonically decreasing) sum of
+    * labels: labels only ever decrease under `least`, so an unchanged
+    * sum means a fixpoint — one cheap global agg per round instead of a
+    * self-join diff. Each round stays one join + one hash agg keyed on
+    * vertex id.
+    */
+  private[graft] def propagateToFixpoint(
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    var labels = edges.select(col("v").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")),
+          Seq("u"))
+        .groupBy(col("v").as("doc_id"))
+        .agg(min(col("ulabel")).as("nlabel"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      rounds += 1
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+    }
+    (labels, rounds)
+  }
+
   def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.Caches.cache(
       d03LshNearDup(spark, dir).select("doc_a", "doc_b"))
@@ -300,11 +347,13 @@ object DedupOps {
     * hint so Spark can fall back to a shuffled hash join on gram (the
     * hint overrides size estimates and would OOM instead of degrade).
     */
-  def d08Decontamination(spark: SparkSession, dir: String): DataFrame = {
+  /** The d08 core over any (doc_id, text) frame — exposed so the
+    * ScalingProbe can feed synthetic corpora at 10x scale.
+    */
+  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
     val words = "split(text, ' ')"
     val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-3, 1))," +
       s" i -> array_join(slice($words, i, 4), ' ')))"
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
     def explGrams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), explode(expr(grams)).as("gram"))
     val bench = explGrams(docs.filter(col("doc_id") % 97 === 0))
@@ -316,6 +365,9 @@ object DedupOps {
         min(col("bench_id")).as("first_bench_id"))
       .orderBy("doc_id")
   }
+
+  def d08Decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir).select("doc_id", "text"))
 
   /** Incremental (continual-ingest) dedup: an incoming batch
     * (doc_id >= 400 stands in for today's crawl) dedups against BOTH the

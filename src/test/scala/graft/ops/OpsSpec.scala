@@ -109,6 +109,23 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d07 fixpoint: diameter-6 chain converges where the 4-round unroll under-merges") {
+    // planted path graph 1-2-3-4-5-6-7 (diameter 6), symmetric edges
+    val pairs = (1L to 6L).map(i => (i, i + 1))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("v", "u")
+    // the oracle-parity fixed unroll: min label travels 1 hop/round, so
+    // after 4 rounds vertex 7 only sees min(ids within 4 hops) = 3
+    val unrolled = DedupOps.minLabelPropagate(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unrolled(7L) == 3L && unrolled(1L) == 1L)
+    // the production fixpoint: converges to one component in 6 rounds
+    // (+1 round to observe an unchanged label sum)
+    val (labels, rounds) = DedupOps.propagateToFixpoint(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 7L).map(_ -> 1L).toMap, s"labels: $got")
+    assert(rounds == 7, s"expected 6 rounds + 1 convergence check, got $rounds")
+  }
+
   test("d08: both benchmark and training filters sit BELOW their Generate") {
     // explode-then-discard would 97x the benchmark side's generated rows;
     // the plan must filter docs before either explode (VERDICT r3 item 1)
