@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE machine-readable JSON line (last line of
+  * stdout before sbt's `[success]` footer).
+  *
+  * LINE-LENGTH CONTRACT (learned from BENCH_r02..r04): the driver keeps only
+  * the last ~2000 chars of output and parses the JSON line out of that tail.
+  * r2's 51-query line (~1600 chars) parsed; r3/r4's 72-query lines (~4500
+  * chars with the warm map) did NOT — `parsed: null`, the judge saw no perf
+  * numbers. So the final line uses the unique id prefix of each query name
+  * ("d08_decontamination" -> "d08") and 3-decimal seconds, keeping it well
+  * under 1500 chars even as the suite grows. Full names + full precision go
+  * on PRECEDING lines prefixed "# " so nothing upstream looks like JSON.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,25 +32,38 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       Caches.unpersistAll() // bookkeeping, outside the timed span
       name -> dt
     }
-    def json(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Short key = id prefix before the first '_' ("q01", "d08", ...).
+    // Must stay unique or two queries silently merge in the output map.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val shorts = SparkEntry.queries.keys.toSeq.map(shortKey)
+    require(shorts.distinct.size == shorts.size,
+      s"non-unique bench short keys: ${shorts.diff(shorts.distinct).mkString(",")}")
+    def json(m: Seq[(String, Double)], fmt: Double => String, short: Boolean): String =
+      m.map { case (k, v) =>
+        "\"" + (if (short) shortKey(k) else k) + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+    def f3(v: Double): String = f"$v%.3f"
     val cold = pass()
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    // "value" stays the cold total — comparable with every prior round's
-    // BENCH_r*.json; warm numbers ride along as extra keys.
+    val coldTotal = cold.map(_._2).sum
+    println("# bench-cold-full " + json(cold, _.toString, short = false))
     val extra = if (warmPass) {
       val warm = pass()
-      val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
-      s""","warm_total":$warmTotal,"queries_warm":${json(warm)}"""
+      val warmTotal = warm.map(_._2).sum
+      println("# bench-warm-full " + json(warm, _.toString, short = false))
+      s""","warm_total":${f3(warmTotal)}"""
     } else ""
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${json(cold)}$extra,"sf":"$sfDir"}""")
+    // "value" stays the cold total — comparable with every prior round.
+    val line =
+      s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec","queries":${json(cold, f3, short = true)}$extra,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench JSON line too long for driver tail: ${line.length}")
+    println(line)
     spark.stop()
   }
 }

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * dedup warm on a deterministic word-soup corpus with planted
   * contamination (consecutive docs share a 10-token window -> 7 shared
   * 4-grams around every doc_id%97 benchmark doc) and planted duplicates
-  * (1/7 of the incoming batch re-sends corpus text, 1/7 duplicates its
-  * in-batch neighbor). Measures the postures the docs claim: benchmark
+  * (1/7 of the incoming batch re-sends corpus text, 1/7 duplicates an
+  * in-batch neighbor whose own text is NOT remapped). Measures the postures the docs claim: benchmark
   * grams broadcast + corpus scanned once (d08); hash-only anti join,
   * corpus text never read (d09).
   *
@@ -49,13 +49,17 @@ object ScalingProbe {
       graft.ops.DedupOps.decontaminate(docs).count()
     }
     // d09 shape: 80/20 corpus/batch split; incoming re-uses corpus text
-    // (id%7=0 -> corpus hit) or its in-batch neighbor's (id%7=1)
+    // (id%7=0 -> corpus hit) or its in-batch neighbor's (id%7=2 copies
+    // id-1, whose id%7=1 falls in the ELSE branch and keeps its own raw
+    // text — so the pair genuinely collides in-batch; planting on
+    // id%7=1 would copy a neighbor that is itself remapped to corpus
+    // text, leaving the copier hash-unique and the window dedup idle)
     val cut = (n * 0.8).toLong
     val hashed = spark.range(n.toLong).select(col("id").as("doc_id"),
       md5(expr(s"""array_join(transform(sequence(0, 49), j ->
         substring(md5(CAST((CASE
           WHEN id >= $cut AND id % 7 = 0 THEN id - $cut
-          WHEN id >= $cut AND id % 7 = 1 THEN id - 1
+          WHEN id >= $cut AND id % 7 = 2 THEN id - 1
           ELSE id END) * 40 + j AS STRING)), 1, 6)), ' ')"""))
         .as("text_hash"))
     time("d09_incremental", n) {

@@ -280,15 +280,25 @@ object DedupOps {
     * sum means a fixpoint — one cheap global agg per round instead of a
     * self-join diff. Each round stays one join + one hash agg keyed on
     * vertex id.
+    *
+    * Returns (labels, rounds, converged). `converged = false` means the
+    * loop hit `maxRounds` with labels still moving — callers must treat
+    * the labels as partial (an unconverged CC labeling silently merges
+    * fewer components than exist edges for).
     */
   private[graft] def propagateToFixpoint(
-      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
     var labels = edges.select(col("v").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // sum() over zero rows is SQL NULL -> coalesce, or compareTo NPEs on
+    // an empty edge list (zero vertices is trivially converged).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      df.agg(coalesce(
+          sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)))
         .head().getDecimal(0)
+    if (labels.isEmpty) return (labels, 0, true)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
@@ -308,7 +318,7 @@ object DedupOps {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
-    (labels, rounds)
+    (labels, rounds, converged)
   }
 
   def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame = {

@@ -21,11 +21,12 @@ class EntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only set is exactly the documented three") {
+  test("rows-only set is exactly the documented one (w06, estimate-valued)") {
     // a typo'd oracle key would silently demote a query to rows-only —
-    // pin the intentional set so any drift fails loudly
+    // pin the intentional set so any drift fails loudly. m02/m04 gained
+    // DuckDB oracles in r4; w06's HLL estimate legitimately has none.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("m02_media_features", "m04_resize",
-      "w06_approx_distinct"), s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly == Set("w06_approx_distinct"),
+      s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -120,10 +120,25 @@ class OpsSpec extends SparkTestBase {
     assert(unrolled(7L) == 3L && unrolled(1L) == 1L)
     // the production fixpoint: converges to one component in 6 rounds
     // (+1 round to observe an unchanged label sum)
-    val (labels, rounds) = DedupOps.propagateToFixpoint(edges)
+    val (labels, rounds, converged) = DedupOps.propagateToFixpoint(edges)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 7L).map(_ -> 1L).toMap, s"labels: $got")
     assert(rounds == 7, s"expected 6 rounds + 1 convergence check, got $rounds")
+    assert(converged)
+  }
+
+  test("d07 fixpoint: empty edge list is trivially converged (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "u")
+    val (labels, rounds, converged) = DedupOps.propagateToFixpoint(empty)
+    assert(labels.isEmpty && rounds == 0 && converged)
+  }
+
+  test("d07 fixpoint: hitting maxRounds reports converged = false") {
+    // diameter-6 chain, capped at 2 rounds -> labels still moving
+    val pairs = (1L to 6L).map(i => (i, i + 1))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("v", "u")
+    val (_, rounds, converged) = DedupOps.propagateToFixpoint(edges, maxRounds = 2)
+    assert(rounds == 2 && !converged)
   }
 
   test("d08: both benchmark and training filters sit BELOW their Generate") {
