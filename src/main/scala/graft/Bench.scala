@@ -32,12 +32,27 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
-    def pass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // The warm repeat runs BACK-TO-BACK with the cold run, not as a
+    // second full sweep: Spark's whole-stage-codegen class cache holds
+    // only 100 generated classes, and 72 queries generate far more per
+    // sweep — a sweep-then-sweep "warm" pass (r4) recompiled everything
+    // and measured compile again (s08 "warm" 9.4s vs 1.1s genuinely
+    // warm). Back-to-back, the repeat hits the still-hot cache and is
+    // the steady-state number. Both runs pay their own cache population
+    // (unpersistAll between).
+    def benchOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       Caches.unpersistAll() // bookkeeping, outside the timed span
-      name -> dt
+      dt
+    }
+    def pass(): Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        val coldT = benchOne(fn)
+        val warmT = if (warmPass) benchOne(fn) else -1.0
+        (name, coldT, warmT)
     }
     // Short key = id prefix before the first '_' ("q01", "d08", ...).
     // Must stay unique or two queries silently merge in the output map.
@@ -50,11 +65,12 @@ object Bench {
         "\"" + (if (short) shortKey(k) else k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
     def f3(v: Double): String = f"$v%.3f"
-    val cold = pass()
+    val both = pass()
+    val cold = both.map { case (n, c, _) => n -> c }
     val coldTotal = cold.map(_._2).sum
     println("# bench-cold-full " + json(cold, _.toString, short = false))
     val extra = if (warmPass) {
-      val warm = pass()
+      val warm = both.map { case (n, _, w) => n -> w }
       val warmTotal = warm.map(_._2).sum
       println("# bench-warm-full " + json(warm, _.toString, short = false))
       s""","warm_total":${f3(warmTotal)}"""
