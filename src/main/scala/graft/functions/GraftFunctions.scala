@@ -176,7 +176,19 @@ object GraftFunctions {
     "graft_long_dot" -> ((es: Seq[Expression]) => LongDot(es(0), es(1))),
     "graft_sorted_common" -> ((es: Seq[Expression]) => SortedCommon(es(0), es(1))),
     "graft_topk" -> ((es: Seq[Expression]) =>
-      TopKAgg(es(0), es(1), literalK(es(2)))))
+      TopKAgg(es(0), es(1), literalK(es(2)))),
+    // Spark's own runtime-filter machinery (the expressions behind
+    // spark.sql.optimizer.runtime.bloomFilter), surfaced as callable
+    // functions so an operator can build a bloom over a small side and
+    // prefilter a huge scan with it (DedupOps.d10). The analyzer wraps
+    // the AggregateFunction in an AggregateExpression, same as
+    // graft_topk.
+    "graft_bloom_agg" -> ((es: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1))),
+    "graft_bloom_contains" -> ((es: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -413,7 +413,57 @@ object DedupOps {
       docs.filter(col("doc_id") >= 400))
   }
 
+  /** Bloom-prefiltered decontamination (5-gram overlap vs a doc_id % 89
+    * eval suite): build a Bloom filter over the benchmark grams with
+    * Spark's own BloomFilterAggregate (the runtime-filter sketch), then
+    * drop non-matching corpus grams BEFORE the verify join. No false
+    * negatives, and the exact join removes the bloom's false positives,
+    * so the result is bit-identical to the plain exact SQL — the oracle
+    * states exact semantics and the bloom is purely a plan property
+    * (pinned by spec).
+    *
+    * Why this exists next to d08: d08's broadcast-the-bench-side join is
+    * right while the eval suite fits in executor memory as a HASHED JOIN
+    * TABLE. A few-hundred-MB gram set stops broadcasting long before its
+    * ~9-bits-per-item bloom (a few MB) does; shipping the bloom keeps the
+    * corpus-side shuffle at (contamination + fpp) x corpus grams instead
+    * of ALL corpus grams. That is exactly Spark's injected runtime
+    * bloom-filter join, made explicit so it applies to a driver-built
+    * sketch of ANY small side.
+    */
+  private[graft] def bloomDecontaminate(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val words = "split(text, ' ')"
+    val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-4, 1))," +
+      s" i -> array_join(slice($words, i, 5), ' ')))"
+    def explGrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(expr(grams)).as("gram"))
+    val bench = explGrams(docs.filter(col("doc_id") % 89 === 0))
+      .select(col("gram"), col("doc_id").as("bench_id"))
+    // One tiny job over the eval suite builds the sketch (the same
+    // build-then-reuse shape as Spark's InjectRuntimeFilter subquery).
+    val bloom = bench
+      .agg(expr("graft_bloom_agg(xxhash64(gram), CAST(100000 AS BIGINT))"))
+      .head().getAs[Array[Byte]](0)
+    val training = explGrams(docs.filter(col("doc_id") % 89 =!= 0))
+    // Empty eval suite -> null sketch -> nothing can be contaminated.
+    val prefiltered =
+      if (bloom == null) training.filter(lit(false))
+      else training.filter(call_function(
+        "graft_bloom_contains", lit(bloom), xxhash64(col("gram"))))
+    prefiltered
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_ngrams"),
+        min(col("bench_id")).as("first_bench_id"))
+      .orderBy("doc_id")
+  }
+
+  def d10BloomDecontamination(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(Tables.documents(spark, dir).select("doc_id", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_bloom_decontamination" -> (d10BloomDecontamination _),
     "d09_incremental_dedup" -> (d09IncrementalDedup _),
     "d08_decontamination" -> (d08Decontamination _),
     "d07_neardup_components" -> (d07NeardupComponents _),
@@ -578,6 +628,24 @@ object DedupOps {
         |  SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0) b
         |  USING (gram)
         |WHERE t.doc_id % 97 <> 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // Exact semantics of d10: the bloom prefilter has no false negatives
+    // and the verify join removes false positives, so the oracle is the
+    // plain exact 5-gram overlap (no sketch on the DuckDB side).
+    "d10_bloom_decontamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' '))-4, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS gram
+        |  FROM documents
+        |)
+        |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_ngrams,
+        |       min(b.bench_id) AS first_bench_id
+        |FROM g t JOIN (
+        |  SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 89 = 0) b
+        |  USING (gram)
+        |WHERE t.doc_id % 89 <> 0
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   )
 }

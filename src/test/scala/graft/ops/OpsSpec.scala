@@ -141,6 +141,42 @@ class OpsSpec extends SparkTestBase {
     assert(rounds == 2 && !converged)
   }
 
+  test("d10: bloom prefilter is IN the plan and changes nothing vs exact join") {
+    // the sketch is a plan property only — result must equal the plain
+    // exact 5-gram overlap (bloom has no false negatives; the verify
+    // join removes false positives)
+    val docs = (0L to 200L).map { i =>
+      val base = s"tok${i % 13} alpha bravo charlie delta echo foxtrot " +
+        s"golf hotel india w$i x$i y$i z$i"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val got = DedupOps.bloomDecontaminate(docs)
+    assert(got.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom prefilter missing from the physical plan")
+    // exact twin: same pipeline, no bloom
+    val words = "split(text, ' ')"
+    val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-4, 1))," +
+      s" i -> array_join(slice($words, i, 5), ' ')))"
+    def expl(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(expr(grams)).as("gram"))
+    val bench = expl(docs.filter(col("doc_id") % 89 === 0))
+      .select(col("gram"), col("doc_id").as("bench_id"))
+    val exact = expl(docs.filter(col("doc_id") % 89 =!= 0))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_ngrams"),
+        min(col("bench_id")).as("first_bench_id"))
+      .orderBy("doc_id")
+    val g = got.collect().toSeq
+    assert(g.nonEmpty && g == exact.collect().toSeq)
+  }
+
+  test("d10: empty eval suite (null bloom) yields an empty result, no NPE") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text") // no doc_id % 89 == 0 rows
+    assert(DedupOps.bloomDecontaminate(docs).isEmpty)
+  }
+
   test("d08: both benchmark and training filters sit BELOW their Generate") {
     // explode-then-discard would 97x the benchmark side's generated rows;
     // the plan must filter docs before either explode (VERDICT r3 item 1)
