@@ -365,6 +365,74 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** Per-vector int8 scalar quantization (symmetric, like FAISS SQ8):
+    * scale = max |component|, q_i = round(x_i * 127 / scale). The CASE
+    * guards the all-zero vector (scale 0 -> divide by 1, q stays 0).
+    */
+  private val absMax8 =
+    "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+  private val quantize8 =
+    s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / " +
+      s"(CASE WHEN $absMax8 = 0 THEN CAST(1 AS DOUBLE) ELSE $absMax8 END)) AS BIGINT))"
+
+  /** Quantize-then-rescore KNN (the SQ8 recipe): the corpus-wide scan
+    * ranks candidates by INT8 cosine (per-query top-20 via the map-side
+    * graft_topk heap), then only that 20-candidate pool is re-scored at
+    * full precision for the final top-5. Both stages are deterministic
+    * (integer dots, fixed double expression trees), so the result is
+    * oracle-exact — no recall estimate needed.
+    *
+    * 100 TB posture: the expensive pass over the whole corpus touches
+    * only the 8-bit codes — in a production layout a packed binary
+    * column an eighth the size of the float vectors (here array<bigint>
+    * carries the VALUES; the packing is storage engineering, the
+    * quantize -> coarse-rank -> rescore plan is the operator) — and the
+    * full-precision vectors are read for just k' << n candidates per
+    * query via the pool join. Shuffle = 20 rows/query out of the heap
+    * agg, then a pool-sized join; never the corpus.
+    */
+  def s10QuantizedRescore(spark: SparkSession, dir: String): DataFrame =
+    quantizedRescoreTopK(vectors(spark, dir), col("vec_id") % 50 === 0,
+      poolK = 20, k = 5)
+
+  /** SQ8 core over any prepared (vec_id, qv, vnorm, embedding) frame —
+    * exposed so the spec can measure pool recall on planted corpora.
+    */
+  private[graft] def quantizedRescoreTopK(
+      prepared: DataFrame, isQuery: Column, poolK: Int, k: Int): DataFrame = {
+    val v = graft.Caches.cache(
+      prepared
+        .withColumn("q8", expr(quantize8))
+        .withColumn("n8", expr(dotSq("q8", "q8"))))
+    val q = v.filter(isQuery).select(
+      col("vec_id").as("qid"), col("q8").as("qemb8"), col("n8").as("qn8"),
+      col("qv").as("qemb"), col("vnorm").as("qnorm"))
+    // stage 1: int8 coarse ranking, bounded heap per query
+    val pool = v.select("vec_id", "q8", "n8")
+      .crossJoin(broadcast(q.select("qid", "qemb8", "qn8")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("q_cosine", expr(dotSq("qemb8", "q8")).cast("double") /
+        (sqrt(col("qn8").cast("double")) * sqrt(col("n8").cast("double"))))
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk(q_cosine, vec_id, $poolK)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"),
+        col("t.score").as("q_cosine"))
+    // stage 2: full-precision rescore of the pool only
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pool
+      .join(v.select("vec_id", "qv", "vnorm"), Seq("vec_id"))
+      .join(broadcast(q.select("qid", "qemb", "qnorm")), Seq("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"), col("q_cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** s01's semantics re-planned with the graft_topk
     * TypedImperativeAggregate: per-partition bounded heaps partially
     * aggregate map-side, so the shuffle carries k rows per partition per
@@ -415,7 +483,8 @@ object SimOps {
     "s05_lsh_multiprobe" -> (s05LshMultiprobe _),
     "s07_banded_ann" -> (s07BandedAnn _),
     "s08_ivf_ann" -> (s08IvfAnn _),
-    "s09_knn_join" -> (s09KnnJoin _)
+    "s09_knn_join" -> (s09KnnJoin _),
+    "s10_quantized_rescore" -> (s10QuantizedRescore _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -493,9 +562,64 @@ object SimOps {
        |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB twin of `quantize8` (per-row int8 codes, unnested). */
+  private val unnest8Sql = {
+    val mx = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    s"""u8 AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127 /
+       |           (CASE WHEN $mx = 0 THEN CAST(1 AS DOUBLE) ELSE $mx END))
+       |           AS BIGINT) AS x8
+       |  FROM embeddings
+       |),
+       |n8 AS (SELECT vec_id, SUM(x8 * x8) AS norm8 FROM u8 GROUP BY vec_id)"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s10_quantized_rescore" ->
+      s"""WITH $unnestSql,
+         |$unnest8Sql,
+         |d8 AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x8 * v.x8) AS dot8
+         |  FROM u8 q JOIN u8 v USING (i)
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |c8 AS (
+         |  SELECT qid, vid, CAST(dot8 AS DOUBLE) /
+         |    (sqrt(CAST(nq.norm8 AS DOUBLE)) * sqrt(CAST(nv.norm8 AS DOUBLE)))
+         |      AS q_cosine
+         |  FROM d8 JOIN n8 nq ON nq.vec_id = qid JOIN n8 nv ON nv.vec_id = vid
+         |),
+         |pool AS (
+         |  SELECT qid, vid, q_cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY q_cosine DESC, vid ASC) AS r8 FROM c8)
+         |  WHERE r8 <= 20
+         |),
+         |d AS (
+         |  SELECT p.qid, p.vid, SUM(uq.x * uv.x) AS dot
+         |  FROM pool p
+         |  JOIN u uq ON uq.vec_id = p.qid
+         |  JOIN u uv ON uv.vec_id = p.vid AND uv.i = uq.i
+         |  GROUP BY p.qid, p.vid
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine, q_cosine FROM (
+         |  SELECT c.qid, c.vid, c.cosine, p.q_cosine,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY c.cosine DESC, c.vid ASC) AS rank
+         |  FROM c JOIN pool p ON p.qid = c.qid AND p.vid = c.vid)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "s07_banded_ann" -> bandedAnnSql(queryMod = 50),
     "s09_knn_join" -> bandedAnnSql(queryMod = 10),

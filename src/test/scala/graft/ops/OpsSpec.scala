@@ -327,6 +327,19 @@ class OpsSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("s10: SQ8 rescore recall@5 >= 0.95 on a planted clustered corpus") {
+    // int8 quantization perturbs cosines by ~1/127 per component — far
+    // smaller than the 0.25-noise cluster separation, so the 20-wide
+    // coarse pool virtually always contains the exact top-5 and the
+    // full-precision rescore restores the exact ranking.
+    val emb = plantedVecs.toDF("vec_id", "embedding")
+    val recall = recallOf(SimOps.quantizedRescoreTopK(
+      SimOps.prepareVectors(emb), col("vec_id") % 50 === 0, poolK = 20, k = 5))
+    info(f"SQ8 rescore recall@5 on clustered corpus: $recall%.3f")
+    assert(recall >= 0.95, f"recall@5 = $recall%.3f < 0.95")
+    graft.Caches.unpersistAll()
+  }
+
   test("d08: contamination flags only training docs, against real benchmark ids") {
     val r = DedupOps.d08Decontamination(spark, sf0001).collect()
     assert(r.nonEmpty)

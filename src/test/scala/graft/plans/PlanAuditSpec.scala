@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkTestBase {
     "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
     "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
+    // SQ8 coarse stage = corpus x broadcast queries, same family as s01
+    "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
     // scalar broadcast + windows over tiny aggregated frames
     "p08_quality_deciles" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
