@@ -321,7 +321,11 @@ object DedupOps {
     (labels, rounds, converged)
   }
 
-  def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by d07 (reports components) and d11 (dedups the corpus):
+    * d03's verified near-dup pairs -> symmetric edges -> 4 fixed rounds
+    * of min-label propagation.
+    */
+  private def neardupLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.Caches.cache(
       d03LshNearDup(spark, dir).select("doc_a", "doc_b"))
     // symmetric edge list (+ implicit self via the left join below)
@@ -334,7 +338,33 @@ object DedupOps {
     // unrolled rounds regardless of convergence. A diameter-d chain needs
     // d rounds; raising the cap means adding the same rounds to d07Sql.
     minLabelPropagate(edges, 4)
+  }
+
+  def d07NeardupComponents(spark: SparkSession, dir: String): DataFrame =
+    neardupLabels(spark, dir)
       .select(col("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+
+  /** End-to-end fuzzy-dedup pipeline — the operator a training-data run
+    * actually calls, composing the stages d02/d03/d07 expose one at a
+    * time: MinHash -> banded LSH candidates -> exact-Jaccard verify ->
+    * 4-round min-label components -> keep the smallest doc_id per
+    * family -> emit the deduplicated corpus (doc_id, text_hash).
+    *
+    * 100 TB posture: nothing new executes beyond d07's stages — the
+    * composition anti-joins the corpus against the REMOVED id set
+    * (labels where label < doc_id), which is near-dup-population-sized
+    * (far smaller than the corpus), so it broadcasts; the corpus itself
+    * is scanned once and never shuffled by the final stage. This is the
+    * keep-set shape production dedup jobs write back to the lakehouse.
+    */
+  def d11DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val removed = neardupLabels(spark, dir)
+      .filter(col("label") < col("doc_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy("doc_id")
   }
 
@@ -464,6 +494,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_bloom_decontamination" -> (d10BloomDecontamination _),
+    "d11_dedup_pipeline" -> (d11DedupPipeline _),
     "d09_incremental_dedup" -> (d09IncrementalDedup _),
     "d08_decontamination" -> (d08Decontamination _),
     "d07_neardup_components" -> (d07NeardupComponents _),
@@ -582,6 +613,17 @@ object DedupOps {
     "d03_lsh_near_dup" -> d03Sql,
 
     "d07_neardup_components" -> d07Sql,
+
+    // d11 = documents minus the non-minimal-label members of d07's
+    // families; md5 re-stated so the kept rows are self-verifying.
+    "d11_dedup_pipeline" ->
+      s"""WITH lab AS (SELECT * FROM ($d07Sql))
+         |SELECT d.doc_id, md5(d.text) AS text_hash
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM lab l
+         |                  WHERE l.doc_id = d.doc_id
+         |                    AND l.component < l.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
 
     "d04_simhash" -> simhashSql,

@@ -432,7 +432,31 @@ object RelOps {
       .select("user_id", "event_type", "n")
       .orderBy("user_id", "event_type")
 
+  /** Explicit GROUPING SETS — the third member of the grouped-analytics
+    * family next to w04 (ROLLUP) and w10 (CUBE): an arbitrary set list
+    * that neither rollup nor cube can express without waste — here
+    * (status, priority), (priority), and grand total, deliberately
+    * SKIPPING the (status) set cube would force. Catalyst expands the
+    * sets into one Expand + a single hash agg: one shuffle regardless of
+    * how many sets, vs one scan per set if hand-unioned.
+    */
+  def w16GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_w16_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pr,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |         AS sum_price
+        |FROM graft_w16_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_grouping_sets" -> (w16GroupingSets _),
     "w06_approx_distinct" -> (w06ApproxDistinct _),
     "w15_unpivot" -> (w15Unpivot _),
     "w14_full_outer" -> (w14FullOuter _),
@@ -451,6 +475,18 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w16_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin,
+
     "w15_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type

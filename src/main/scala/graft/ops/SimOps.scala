@@ -321,9 +321,12 @@ object SimOps {
   /** IVF core over any (vec_id, qv, label, vnorm) frame — exposed so
     * tests can measure recall on synthetic clustered corpora.
     */
-  private[graft] def ivfTopK(
-      v: DataFrame, isQuery: Column, nProbe: Int, k: Int): DataFrame = {
-    // TRAIN: per-label mean components, rounded back to the 1e6 scale.
+  /** TRAIN+SCORE, shared by s08 (IVF probing) and s11 (semantic dedup):
+    * per-label mean components rounded back to the 1e6 integer scale
+    * form the codebook; every vector is cosine-scored against the
+    * broadcast codebook. Cached — assignment and probing both read it.
+    */
+  private def cellScores(v: DataFrame): DataFrame = {
     val cells = v
       .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
@@ -334,16 +337,26 @@ object SimOps {
         .as("cvec"))
       .select(col("label").cast("long").as("cell"), col("cvec"),
         expr(dotSq("cvec", "cvec")).as("cnorm"))
-    // ASSIGN + PROBE share one scored frame (vector x broadcast codebook).
-    val scored = graft.Caches.cache(
+    graft.Caches.cache(
       v.crossJoin(broadcast(cells))
         .withColumn("ccos", expr(dotSq("qv", "cvec")).cast("double") /
           (sqrt(col("vnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
         .select(col("vec_id"), col("cell"), col("ccos")))
-    val assigned = scored
-      .groupBy("vec_id")
-      .agg(expr("graft_topk(ccos, cell, 1)").as("top"))
-      .select(col("vec_id"), element_at(col("top"), 1).getField("id").as("cell"))
+  }
+
+  /** Nearest-centroid assignment off a cellScores frame: map-side
+    * graft_topk(k=1) — one shuffled row per vector, ties to the lower
+    * cell id (matching the oracle's `ORDER BY ccos DESC, cell ASC`).
+    */
+  private def assignCells(scored: DataFrame): DataFrame = scored
+    .groupBy("vec_id")
+    .agg(expr("graft_topk(ccos, cell, 1)").as("top"))
+    .select(col("vec_id"), element_at(col("top"), 1).getField("id").as("cell"))
+
+  private[graft] def ivfTopK(
+      v: DataFrame, isQuery: Column, nProbe: Int, k: Int): DataFrame = {
+    val scored = cellScores(v)
+    val assigned = assignCells(scored)
     val probes = scored.filter(isQuery)
       .groupBy(col("vec_id").as("qid"))
       .agg(expr(s"graft_topk(ccos, cell, $nProbe)").as("top"))
@@ -433,6 +446,55 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** s11 similarity threshold: this corpus's near-dup convention (s03
+    * uses the same 0.35 — its cosines top out ~0.47, so a "dedup-like"
+    * 0.95+ bar would be vacuously empty here; production corpora run
+    * 0.95-0.99).
+    */
+  private val SemDedupTau = 0.35
+
+  /** Semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, call two
+    * documents semantic duplicates only if they sit in the SAME cell
+    * with cosine >= tau, and keep the smallest vec_id among duplicates
+    * (a vector is removed iff a smaller-id cell-mate dominates it).
+    * Output is the full per-vector verdict: cell, kept flag, dominating
+    * keeper and the strongest in-cell similarity.
+    *
+    * 100 TB posture: candidate pairs exist WITHIN a cell only — the
+    * pairwise stage is a self-join on the cell key, never all-pairs;
+    * assignment reuses s08's broadcast-codebook scan (one shuffled row
+    * per vector via the k=1 heap). The removed set is duplicate-sized,
+    * so downstream corpus filtering anti-joins a broadcast, exactly like
+    * d11. Cell population bounds the quadratic term: at scale the
+    * codebook's cluster count must grow with the corpus (the paper runs
+    * ~100k clusters for web-scale corpora) — here the fixture's label
+    * codebook stands in and the spec pins the within-cell pair count.
+    */
+  def s11SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    val m = graft.Caches.cache(
+      v.select("vec_id", "qv", "vnorm")
+        .join(assignCells(cellScores(v)), Seq("vec_id")))
+    val a = m.select(col("cell"), col("vec_id").as("id_a"),
+      col("qv").as("emb_a"), col("vnorm").as("qnorm"))
+    val b = m.select(col("cell"), col("vec_id").as("id_b"),
+      col("qv").as("emb_b"), col("vnorm").as("vnorm"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(dotSq("emb_a", "emb_b")))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("max_cosine"))
+    m.select("vec_id", "cell")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("keeper_id").isNull.as("kept"),
+        col("keeper_id"), col("max_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** s01's semantics re-planned with the graft_topk
     * TypedImperativeAggregate: per-partition bounded heaps partially
     * aggregate map-side, so the shuffle carries k rows per partition per
@@ -484,7 +546,8 @@ object SimOps {
     "s07_banded_ann" -> (s07BandedAnn _),
     "s08_ivf_ann" -> (s08IvfAnn _),
     "s09_knn_join" -> (s09KnnJoin _),
-    "s10_quantized_rescore" -> (s10QuantizedRescore _)
+    "s10_quantized_rescore" -> (s10QuantizedRescore _),
+    "s11_semantic_dedup" -> (s11SemanticDedup _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -562,6 +625,39 @@ object SimOps {
        |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Codebook + nearest-centroid assignment CTEs (twin of cellScores/
+    * assignCells), shared by the s08 and s11 oracles. Expects `u`/`n`
+    * from unnestSql in scope.
+    */
+  private val cellAsgSql =
+    """cs AS (
+      |  SELECT e.label AS cell, u.i AS dim,
+      |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+      |           AS cx
+      |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+      |  GROUP BY e.label, u.i
+      |),
+      |cn AS (
+      |  SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell
+      |),
+      |sc AS (
+      |  SELECT u.vec_id, cs.cell,
+      |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+      |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+      |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+      |  FROM u
+      |  JOIN cs ON cs.dim = u.i
+      |  JOIN n nv ON nv.vec_id = u.vec_id
+      |  JOIN cn ON cn.cell = cs.cell
+      |  GROUP BY u.vec_id, cs.cell, nv.normsq, cn.cnormsq
+      |),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, cell ASC) AS r FROM sc)
+      |  WHERE r = 1
+      |)""".stripMargin
+
   /** DuckDB twin of `quantize8` (per-row int8 codes, unnested). */
   private val unnest8Sql = {
     val mx = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
@@ -626,33 +722,7 @@ object SimOps {
 
     "s08_ivf_ann" ->
       s"""WITH $unnestSql,
-         |cs AS (
-         |  SELECT e.label AS cell, u.i AS dim,
-         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
-         |           AS cx
-         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
-         |  GROUP BY e.label, u.i
-         |),
-         |cn AS (
-         |  SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell
-         |),
-         |sc AS (
-         |  SELECT u.vec_id, cs.cell,
-         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
-         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
-         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
-         |  FROM u
-         |  JOIN cs ON cs.dim = u.i
-         |  JOIN n nv ON nv.vec_id = u.vec_id
-         |  JOIN cn ON cn.cell = cs.cell
-         |  GROUP BY u.vec_id, cs.cell, nv.normsq, cn.cnormsq
-         |),
-         |asg AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell ASC) AS r FROM sc)
-         |  WHERE r = 1
-         |),
+         |$cellAsgSql,
          |probe AS (
          |  SELECT vec_id AS qid, cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -678,6 +748,31 @@ object SimOps {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "s11_semantic_dedup" ->
+      s"""WITH $unnestSql,
+         |$cellAsgSql,
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         CAST(SUM(ua.x * ub.x) AS DOUBLE) /
+         |           (sqrt(CAST(na.normsq AS DOUBLE)) *
+         |            sqrt(CAST(nb.normsq AS DOUBLE))) AS cos
+         |  FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |  JOIN u ua ON ua.vec_id = a.vec_id
+         |  JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id, na.normsq, nb.normsq
+         |),
+         |dom AS (
+         |  SELECT ib AS vec_id, min(ia) AS keeper_id, max(cos) AS max_cosine
+         |  FROM p WHERE cos >= $SemDedupTau GROUP BY ib
+         |)
+         |SELECT g.vec_id, CAST(g.cell AS BIGINT) AS cell,
+         |       dom.keeper_id IS NULL AS kept,
+         |       dom.keeper_id, dom.max_cosine
+         |FROM asg g LEFT JOIN dom ON dom.vec_id = g.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
 
     "s06_label_centroids" ->
       s"""WITH $unnestSql

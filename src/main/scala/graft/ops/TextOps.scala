@@ -176,8 +176,49 @@ object TextOps {
       .limit(20)
   }
 
+  /** Unigram-LM surprisal scoring (the CCNet/Gopher perplexity-filter
+    * shape with an in-corpus unigram model): every token instance is
+    * scored against the corpus-wide unigram frequency table, and each
+    * document gets (a) its exact mean token probability and (b) a mean
+    * surprisal in bits built from floor(log2(count)) frequency buckets.
+    * Buckets are computed as binary-digit counts (`length(conv(n,10,2))-1`
+    * here, `length(format('{:b}', n))-1` in the oracle) — pure integer/
+    * string work, so no transcendental function whose last ulp could
+    * differ across engines; every double in the output is one division
+    * of exact integers (the t05/t06 determinism rule).
+    *
+    * Plan at scale: one explode, one hash agg for the frequency table
+    * (map-side partial; output O(vocabulary)), one shuffle join of token
+    * instances against that table on the token key, one per-doc hash agg.
+    * The scalar corpus total rides a broadcast cross join exactly like
+    * t05's doc count. Nothing is ever collected to the driver.
+    */
+  def t08UnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val cf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n_total"))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    val perDoc = tok.join(cf, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cf")).as("sum_cf"),
+        sum(bits(col("cf"))).as("sum_bucket"),
+        sum(when(col("cf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+    perDoc.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_cf").cast("double") / col("n_tokens") / col("n_total"))
+          .as("mean_token_prob"),
+        ((bits(col("n_total")) * col("n_tokens") - col("sum_bucket"))
+          .cast("double") / col("n_tokens")).as("mean_surprisal_bits"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01TokenCounts _),
+    "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
     "t07_ngram_stats" -> (t07NgramStats _),
     "t02_langid" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
@@ -187,6 +228,29 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t08_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |),
+        |cf AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM cf),
+        |a AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens, SUM(c.cf) AS sum_cf,
+        |         SUM(length(format('{:b}', c.cf)) - 1) AS sum_bucket,
+        |         count(*) FILTER (c.cf <= 2) AS n_rare
+        |  FROM tok t JOIN cf c USING (token)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT a.doc_id, a.n_tokens,
+        |  CAST(a.sum_cf AS DOUBLE) / a.n_tokens / t.n_total
+        |    AS mean_token_prob,
+        |  CAST((length(format('{:b}', t.n_total)) - 1) * a.n_tokens
+        |       - a.sum_bucket AS DOUBLE) / a.n_tokens
+        |    AS mean_surprisal_bits,
+        |  CAST(a.n_rare AS DOUBLE) / a.n_tokens AS rare_frac
+        |FROM a CROSS JOIN tot t ORDER BY a.doc_id""".stripMargin,
+
     "t07_ngram_stats" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -442,6 +442,79 @@ class OpsSpec extends SparkTestBase {
     assert(!data.toFile.exists() && success.toFile.exists() && ckpt.toFile.exists())
   }
 
+  test("t08: corpus-level identity pins the per-doc surprisal aggregates") {
+    val r = TextOps.t08UnigramSurprisal(spark, sf0001)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val p = row.getAs[Double]("mean_token_prob")
+      val s = row.getAs[Double]("mean_surprisal_bits")
+      val rf = row.getAs[Double]("rare_frac")
+      assert(p > 0.0 && p <= 1.0)
+      assert(s >= 0.0)
+      assert(rf >= 0.0 && rf <= 1.0)
+    }
+    // identity: sum over docs of n_tokens * mean_token_prob * N equals
+    // sum over the vocabulary of cf^2 (both count token-instance pairs
+    // sharing a token) — an independent recomputation from raw data
+    val tok = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val cf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+    val n = cf.agg(sum("cf")).head.getLong(0)
+    val sumSq = cf.agg(sum(col("cf") * col("cf"))).head.getLong(0)
+    val lhs = rows.map(x =>
+      x.getAs[Long]("n_tokens") * x.getAs[Double]("mean_token_prob") * n).sum
+    assert(math.abs(lhs - sumSq) / sumSq < 1e-9)
+  }
+
+  test("d11: keeps exactly one member per near-dup pair, all of the rest") {
+    val kept = DedupOps.d11DedupPipeline(spark, sf0001)
+    val pairs = DedupOps.d03LshNearDup(spark, sf0001).select("doc_a", "doc_b")
+    val total = graft.Tables.documents(spark, sf0001).count()
+    val keptIds = kept.select("doc_id")
+    // no verified near-dup pair survives intact
+    val bothKept = pairs
+      .join(keptIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(keptIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .count()
+    assert(bothKept == 0)
+    // every doc outside the pair graph is kept
+    val inGraph = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct().count()
+    assert(kept.count() >= total - inGraph)
+    assert(kept.count() < total) // something was actually removed
+  }
+
+  test("s11: removals are same-cell, smaller-keeper, above-threshold") {
+    val r = SimOps.s11SemanticDedup(spark, sf0001)
+    val rows = r.collect()
+    assert(rows.length == graft.Tables.embeddings(spark, sf0001).count())
+    val cellOf = rows.map(x =>
+      x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
+    val removed = rows.filter(!_.getAs[Boolean]("kept"))
+    assert(removed.nonEmpty)
+    removed.foreach { row =>
+      val keeper = row.getAs[Long]("keeper_id")
+      assert(keeper < row.getAs[Long]("vec_id"))
+      assert(cellOf(keeper) == row.getAs[Long]("cell"))
+      assert(row.getAs[Double]("max_cosine") >= 0.35)
+    }
+    rows.filter(_.getAs[Boolean]("kept")).foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("keeper_id")))
+    }
+  }
+
+  test("w16: grouping sets emit exactly the three requested set families") {
+    val r = RelOps.w16GroupingSets(spark, sf0001).collect()
+    val fams = r.map(x => (x.getAs[Long]("g_st"), x.getAs[Long]("g_pr")))
+    assert(fams.toSet == Set((0L, 0L), (1L, 0L), (1L, 1L))) // no (0,1): cube would add it
+    val total = graft.Tables.orders(spark, sf0001).count()
+    val grand = r.filter(x => x.getAs[Long]("g_st") == 1 && x.getAs[Long]("g_pr") == 1)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == total)
+    val detailSum = r.filter(x => x.getAs[Long]("g_st") == 0).map(_.getAs[Long]("n")).sum
+    assert(detailSum == total)
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")

@@ -24,12 +24,17 @@ class PlanAuditSpec extends SparkTestBase {
     "q05_gold_alerts" -> Set("BroadcastNestedLoopJoin"),
     "q20_global_filter_anti" -> Set("BroadcastNestedLoopJoin"),
     "t05_tfidf" -> Set("BroadcastNestedLoopJoin"),
+    // t05's scalar pattern: 1-row corpus-total broadcast cross join
+    "t08_unigram_surprisal" -> Set("BroadcastNestedLoopJoin"),
     // broadcast query-set / codebook top-k scans
     "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
     "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
     // SQ8 coarse stage = corpus x broadcast queries, same family as s01
     "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
+    // s08's codebook scan (vectors x broadcast centroids); the pairwise
+    // stage itself is an equality join on the cell key
+    "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
     // scalar broadcast + windows over tiny aggregated frames
     "p08_quality_deciles" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
