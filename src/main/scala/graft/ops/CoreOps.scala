@@ -312,7 +312,43 @@ object CoreOps {
     spark.sql(sharedPricingSql)
   }
 
+  /** Subquery SQL surface: one query exercising correlated EXISTS,
+    * correlated NOT EXISTS, a correlated scalar aggregate subquery, and
+    * an uncorrelated scalar subquery — the four shapes Catalyst's
+    * RewritePredicateSubquery / RewriteCorrelatedScalarSubquery turn
+    * into semi-join, anti-join, left-outer-join+agg and a broadcast
+    * scalar. Like q19, the SAME text runs in both engines: the surface
+    * under test is the rewrite, not the SQL dialect. Deterministic:
+    * integer counts until two IEEE divisions.
+    */
+  val sharedSubquerySql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name,
+      |    (SELECT count(*) FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey
+      |        AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      |  FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |                WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderpriority = '1-URGENT')
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                      AND o.o_orderstatus = 'F')
+      |)
+      |SELECT c_custkey, c_name, n_urgent,
+      |  CAST(n_urgent AS DOUBLE) /
+      |    (SELECT CAST(sum(n_urgent) AS DOUBLE) / count(*) FROM base)
+      |    AS urgency_ratio
+      |FROM base ORDER BY c_custkey""".stripMargin
+
+  def q22SubquerySurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(sharedSubquerySql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_subquery_surface" -> (q22SubquerySurface _),
     "q21_map_surface" -> (q21MapSurface _),
     "q20_global_filter_anti" -> (q20GlobalFilterAnti _),
     "q17_anti_join" -> (q17AntiJoin _),
@@ -339,6 +375,7 @@ object CoreOps {
 
   val oracle: Map[String, String] = Map(
     "q19_sql_surface" -> sharedPricingSql,
+    "q22_subquery_surface" -> sharedSubquerySql,
 
     "q21_map_surface" ->
       """WITH m AS (

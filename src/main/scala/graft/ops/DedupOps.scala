@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines over `documents`
@@ -492,7 +493,48 @@ object DedupOps {
   def d10BloomDecontamination(spark: SparkSession, dir: String): DataFrame =
     bloomDecontaminate(Tables.documents(spark, dir).select("doc_id", "text"))
 
+  /** Chunk-level corpus dedup with document reconstruction (the CCNet
+    * line-dedup recipe: hash every LINE across the corpus, keep only
+    * first occurrences, write documents back with duplicate lines
+    * removed — here "line" = 16-word non-overlapping chunk, since the
+    * fixture's documents are single-line word streams). Unlike
+    * d01/d11, which keep or drop WHOLE documents, this removes the
+    * boilerplate duplicated INSIDE surviving documents — headers,
+    * nav bars, license blocks — which whole-doc hashing can never see.
+    *
+    * Plan at scale: posexplode to (doc, pos, chunk) — per-row, no
+    * shuffle; ONE shuffle on the chunk text for the first-occurrence
+    * window (row_number over chunk, keep rank 1 with the global
+    * (doc_id, pos) total order); one shuffle back on doc_id to
+    * reassemble (collect_list of the kept (pos, chunk) structs,
+    * array_sort, join). Chunk groups are bounded by the corpus'
+    * duplication factor; a pathological chunk ("click here") makes one
+    * hot group whose row_number is still a single sorted scan, not a
+    * set. Documents whose every chunk was seen earlier reconstruct to
+    * the empty string and stay in the output — dropping them is d11's
+    * whole-doc job, not this one.
+    */
+  def d12ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val words = "split(text, ' ')"
+    val chunks = s"transform(sequence(0, CAST(ceil(size($words) / 16.0) AS INT) - 1)," +
+      s" i -> array_join(slice($words, i * 16 + 1, 16), ' '))"
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(chunks)).as(Seq("pos", "chunk")))
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN keep = 1 THEN struct(pos, chunk) END)), s -> s.chunk)"),
+          " ").as("new_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_chunk_dedup" -> (d12ChunkDedup _),
     "d10_bloom_decontamination" -> (d10BloomDecontamination _),
     "d11_dedup_pipeline" -> (d11DedupPipeline _),
     "d09_incremental_dedup" -> (d09IncrementalDedup _),
@@ -574,6 +616,28 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "d12_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[(i * 16 + 1):(i * 16 + 16)], ' ') AS chunk
+        |  FROM t, unnest(range(0,
+        |    CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS u(i)
+        |),
+        |k AS (
+        |  SELECT doc_id, pos, chunk,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY chunk ORDER BY doc_id, pos) = 1
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM c
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END, ' '
+        |    ORDER BY pos), '') AS new_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d09_incremental_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, md5(text) AS text_hash FROM documents

@@ -455,7 +455,33 @@ object RelOps {
         |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  /** Running COUNT(DISTINCT) over an ordered window — an aggregate Spark's
+    * window operator does not support directly (`count(distinct ...)
+    * OVER` is rejected by the analyzer) and a naive per-row set would be
+    * O(n^2) state. The scalable formulation: flag each row that is the
+    * FIRST occurrence of its (user, event_type) (row_number over the
+    * composite key == 1), then running-sum the flags over the per-user
+    * time order. Two window shuffles, both partition-local sorts over
+    * bounded user partitions — no distinct-set state anywhere, so the
+    * same plan holds when one user has a million events. Order is total
+    * ((ts, event_id) tiebreak), so both engines agree row-for-row.
+    */
+  def w17RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("first_seen")).over(wRun))
+      .select("event_id", "user_id", "ts", "event_type", "n_distinct_types")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w17_running_distinct" -> (w17RunningDistinct _),
     "w16_grouping_sets" -> (w16GroupingSets _),
     "w06_approx_distinct" -> (w06ApproxDistinct _),
     "w15_unpivot" -> (w15Unpivot _),
@@ -475,6 +501,20 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w17_running_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |      THEN 1 ELSE 0 END AS first_seen
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts, event_type,
+        |  CAST(SUM(first_seen) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+        |FROM f ORDER BY event_id""".stripMargin,
+
     "w16_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,

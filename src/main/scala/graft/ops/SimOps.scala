@@ -536,7 +536,38 @@ object SimOps {
         col("n"), col("mean_value"))
       .orderBy("label", "dim")
 
+  /** Maximum-inner-product search (MIPS) top-8 — the retrieval scoring
+    * mode recommender/reranker embeddings use, DISTINCT from cosine:
+    * the vector norm matters, so a long vector can out-score a
+    * better-aligned short one, and cosine-tuned LSH does not apply
+    * directly. Scores are the quantized integer dots themselves —
+    * entirely integer output, zero float divergence risk. The plan is
+    * the s04 shape (broadcast queries, graft_topk map-side k-heaps:
+    * k rows per partition per query reach the shuffle; the dot rides
+    * exactly into the heap's double score, |dot| < 2^53). At 100 TB
+    * the candidate side stays a pure scan; for sub-linear candidates
+    * the published reduction applies — augment rows to
+    * [x; sqrt(M^2-|x|^2)], queries to [q; 0], making MIPS order equal
+    * cosine order so s07/s08's banded/IVF buckets drop in unchanged.
+    */
+  def s12MipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 25).select(
+      col("vec_id").as("qid"), col("qv").as("qemb"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .groupBy(col("qid"))
+      .agg(expr("graft_topk(CAST(dot AS DOUBLE), vec_id, 8)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.score").cast("long").as("dot"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_mips_topk" -> (s12MipsTopk _),
     "s06_label_centroids" -> (s06LabelCentroids _),
     "s01_knn_bruteforce" -> (s01KnnBruteforce _),
     "s02_lsh_ann" -> (s02LshAnn _),
@@ -675,6 +706,20 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s12_mips_topk" ->
+      s"""WITH $unnestSql,
+         |d AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |         CAST(SUM(q.x * v.x) AS BIGINT) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 50 = 25 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY dot DESC, vid ASC) AS rank FROM d)
+         |WHERE rank <= 8 ORDER BY qid, rank""".stripMargin,
 
     "s10_quantized_rescore" ->
       s"""WITH $unnestSql,

@@ -216,7 +216,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit over the corpus unigram distribution (the corpus-health
+    * diagnostic next to t08's per-doc scoring): least-squares slope of
+    * bit-bucket(log2 floor) frequency vs bit-bucket rank, plus vocabulary
+    * size and top-10 token coverage. All sums are exact integers (x, y
+    * are binary digit counts as in t08 — no transcendental whose last
+    * ulp could differ), and the slope/coverage are single IEEE divisions,
+    * so the output is bit-identical across engines.
+    *
+    * Rank at scale: a global `row_number() ORDER BY cf DESC` would sort
+    * the whole vocabulary in ONE task. Instead the p04/p08 two-phase
+    * form: a tiny histogram over DISTINCT cf values (O(distinct
+    * frequencies) rows) yields each frequency class's global offset via
+    * a running sum; the per-token rank is then offset + row_number
+    * WITHIN its cf class — every window partition-local, vocabulary
+    * never globally sorted. The oracle states the direct global
+    * row_number, which this must reproduce exactly.
+    */
+  def t09ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val cf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+    val hist = cf.groupBy("cf").agg(count(lit(1)).as("n_toks"))
+    val wh = Window.orderBy(col("cf").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist
+      .withColumn("offset", coalesce(sum(col("n_toks")).over(wh), lit(0L)))
+      .select("cf", "offset")
+    val wr = Window.partitionBy(col("cf")).orderBy(col("token"))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    val ranked = cf.join(broadcast(off), Seq("cf"))
+      .withColumn("rank", col("offset") + row_number().over(wr))
+      .select(bits(col("rank")).as("x"), bits(col("cf")).as("y"),
+        col("cf"), col("rank"))
+    ranked.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("cf")).as("n_tokens"),
+        sum(when(col("rank") <= 10, col("cf")).otherwise(0L)).as("cov10"))
+      .select(
+        col("n").as("n_vocab"), col("n_tokens"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"),
+        (col("cov10").cast("double") / col("n_tokens")).as("coverage_top10"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_zipf_fit" -> (t09ZipfFit _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
     "t07_ngram_stats" -> (t07NgramStats _),
@@ -228,6 +276,30 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t09_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |),
+        |cf AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+        |r AS (
+        |  SELECT cf,
+        |    row_number() OVER (ORDER BY cf DESC, token ASC) AS rank
+        |  FROM cf
+        |),
+        |b AS (
+        |  SELECT CAST(length(format('{:b}', rank)) - 1 AS BIGINT) AS x,
+        |         CAST(length(format('{:b}', cf)) - 1 AS BIGINT) AS y,
+        |         cf, rank
+        |  FROM r
+        |)
+        |SELECT count(*) AS n_vocab,
+        |  CAST(SUM(cf) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) /
+        |    (count(*) * SUM(x*x) - SUM(x) * SUM(x)) AS zipf_slope,
+        |  CAST(SUM(CASE WHEN rank <= 10 THEN cf ELSE 0 END) AS DOUBLE)
+        |    / SUM(cf) AS coverage_top10
+        |FROM b""".stripMargin,
+
     "t08_unigram_surprisal" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkTestBase {
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
     // SQ8 coarse stage = corpus x broadcast queries, same family as s01
     "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
+    // MIPS scan = corpus x broadcast queries, same family as s01/s04
+    "s12_mips_topk" -> Set("BroadcastNestedLoopJoin"),
     // s08's codebook scan (vectors x broadcast centroids); the pairwise
     // stage itself is an equality join on the cell key
     "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
@@ -42,7 +44,11 @@ class PlanAuditSpec extends SparkTestBase {
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     "q08_health" -> Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // five 1-row global aggs unioned
-    "p03_profile" -> Set("multi-SinglePartition")
+    "p03_profile" -> Set("multi-SinglePartition"),
+    // distinct-cf histogram window (O(distinct frequencies) rows) + the
+    // 1-row global fit agg — both tiny by construction; the vocabulary
+    // itself is never globally sorted (two-phase rank)
+    "t09_zipf_fit" -> Set("multi-SinglePartition")
   )
 
   test("plan audit: no query flags a scale trap outside the allowlist") {
