@@ -13,6 +13,11 @@ import scala.collection.mutable
   */
 object Caches {
   private val live = mutable.Buffer.empty[DataFrame]
+  // (SparkContext, rddId) pairs persisted by eager localCheckpoints —
+  // these bypass the CacheManager, so Dataset.unpersist can't release
+  // them; they are dropped by id instead.
+  private val checkpointed =
+    mutable.Buffer.empty[(org.apache.spark.SparkContext, Int)]
 
   /** `df.cache()` + registration; returns `df` for chaining. */
   def cache(df: DataFrame): DataFrame = synchronized {
@@ -21,11 +26,33 @@ object Caches {
     df
   }
 
+  /** Eager `df.localCheckpoint(true)` + registration of the RDD blocks
+    * it pins (localCheckpoint persists the executed RDD directly,
+    * outside the CacheManager — without registry tracking every
+    * iterative query would leak one persisted RDD per round for the
+    * session's lifetime). The returned frame is only valid until
+    * [[unpersistAll]] — checkpointing truncates lineage, so once the
+    * blocks drop the data is unrecoverable, which is exactly the
+    * intra-query lifecycle this registry manages.
+    */
+  def checkpoint(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+      checkpointed += ((sc, id)))
+    out
+  }
+
   /** Release every registered cache (non-blocking) and clear the
     * registry. Safe to call while nothing is registered.
     */
   def unpersistAll(): Unit = synchronized {
     live.foreach(_.unpersist(false))
     live.clear()
+    checkpointed.foreach { case (sc, id) =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
+    }
+    checkpointed.clear()
   }
 }

@@ -249,18 +249,30 @@ object DedupOps {
     * agg keyed on vertex id — the standard scalable CC loop.
     */
   private[graft] def minLabelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
-    var labels = edges.select(col("v").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Eager localCheckpoint per round (the same mechanic as
+    // propagateToFixpoint): without it the 4 unrolled rounds build ONE
+    // deep DAG referencing the cached edge frame 4x, and AQE's parallel
+    // stage submission races those scans into recomputing the whole
+    // LSH-verify subtree before the cache materializes — measured
+    // 10-39s (run-to-run racy) vs a stable ~3s for d11 at sf0.1.
+    // Checkpointing makes the rounds sequential: round 1's job
+    // populates the edge cache once, rounds 2-4 reuse blocks, and the
+    // final plan seen by later operators is a flat scan of round-4
+    // labels. Values are unchanged (pure determinism, spec-pinned).
+    var labels = graft.Caches.checkpoint(
+      edges.select(col("v").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     (1 to rounds).foreach { _ =>
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")),
           Seq("u"))
         .groupBy(col("v").as("doc_id"))
         .agg(min(col("ulabel")).as("nlabel"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+      labels = graft.Caches.checkpoint(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label")))
     }
     labels
   }
@@ -289,9 +301,9 @@ object DedupOps {
     */
   private[graft] def propagateToFixpoint(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
-    var labels = edges.select(col("v").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    var labels = graft.Caches.checkpoint(
+      edges.select(col("v").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     // sum() over zero rows is SQL NULL -> coalesce, or compareTo NPEs on
     // an empty edge list (zero vertices is trivially converged).
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -309,11 +321,11 @@ object DedupOps {
           Seq("u"))
         .groupBy(col("v").as("doc_id"))
         .agg(min(col("ulabel")).as("nlabel"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+      labels = graft.Caches.checkpoint(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label")))
       rounds += 1
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
@@ -360,11 +372,20 @@ object DedupOps {
     * keep-set shape production dedup jobs write back to the lakehouse.
     */
   def d11DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val removed = neardupLabels(spark, dir)
-      .filter(col("label") < col("doc_id"))
-      .select("doc_id")
+    // Cached WITHOUT a broadcast hint: hiding the whole label pipeline
+    // under a BroadcastExchange made the build job recompute the shared
+    // edge frames instead of reusing them (measured 13.4s vs 5.4s for
+    // this query at sf0.1); cached + unhinted, AQE sees the materialized
+    // few-KB removed set and still picks the broadcast anti join — same
+    // executed join, one-third the cost, and scale-safe if the removed
+    // set ever outgrows broadcast range (degrades to a shuffled hash
+    // anti join instead of OOMing on a forced hint).
+    val removed = graft.Caches.cache(
+      neardupLabels(spark, dir)
+        .filter(col("label") < col("doc_id"))
+        .select("doc_id"))
     Tables.documents(spark, dir)
-      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy("doc_id")
   }
@@ -533,7 +554,40 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring duplicate pairs (the "Deduplicating Training Data
+    * Makes Language Models Better" shape, word-level): two documents are
+    * substring-duplicates when they share at least one exact run of 8
+    * consecutive words. Where d05 scores gram-SET overlap (Jaccard) on
+    * blocked candidates, this detects verbatim shared passages — the
+    * lifted-paragraph / mirrored-page signal set-similarity dilutes away
+    * on long documents.
+    *
+    * Plan at scale: grams explode per-row; the gram groupBy and the
+    * gram join share one hash partitioning (single exchange, reused).
+    * Pair generation is STAR-SHAPED — every doc pairs only with the
+    * minimum doc_id holding that gram — so a gram shared by k docs
+    * emits k-1 rows, never C(k,2): boilerplate grams ("all rights
+    * reserved ...") stay linear instead of quadratic. The pair agg is
+    * one more shuffle on (doc_a, doc_b), output O(true dup pairs).
+    */
+  def d13SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val words = "split(text, ' ')"
+    val grams = s"array_distinct(transform(sequence(1, size($words)-7)," +
+      s" i -> array_join(slice($words, i, 8), ' ')))"
+    val g = Tables.documents(spark, dir)
+      .filter(expr(s"size($words) >= 8"))
+      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+    val rep = g.groupBy("gram").agg(min(col("doc_id")).as("doc_a"))
+    g.join(rep, Seq("gram"))
+      .filter(col("doc_id") > col("doc_a"))
+      .groupBy(col("doc_a"), col("doc_id").as("doc_b"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        min(col("gram")).as("sample_gram"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_substring_dedup" -> (d13SubstringDedup _),
     "d12_chunk_dedup" -> (d12ChunkDedup _),
     "d10_bloom_decontamination" -> (d10BloomDecontamination _),
     "d11_dedup_pipeline" -> (d11DedupPipeline _),
@@ -616,6 +670,24 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "d13_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_aggregate(toks[i:i+7], 'string_agg', ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8
+        |),
+        |r AS (SELECT gram, min(doc_id) AS doc_a FROM g GROUP BY gram),
+        |p AS (
+        |  SELECT r.doc_a, g.doc_id AS doc_b, g.gram
+        |  FROM g JOIN r USING (gram) WHERE g.doc_id > r.doc_a
+        |)
+        |SELECT doc_a, doc_b, count(DISTINCT gram) AS n_shared_grams,
+        |  min(gram) AS sample_gram
+        |FROM p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "d12_chunk_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -194,11 +194,46 @@ object MediaOps {
         concat_ws(",", col("frames")).as("frames_hex"))
       .orderBy("doc_id")
 
+  /** Multimodal training-sample ASSEMBLY — the join that builds one
+    * training row per document from its three modality tables: text
+    * metadata (tokens/lang/source), the binary media payload's size and
+    * kind, and the embedding's label + exact integer norm where one
+    * exists. Embeddings cover only part of the corpus at larger SFs, so
+    * the join is a LEFT join with an explicit has_embedding flag — the
+    * samples a text-only batch builder keeps vs the ones a contrastive
+    * objective can use.
+    *
+    * 100 TB posture: media metadata is derived WITHOUT reading payload
+    * bytes beyond length (column-pruned scan); the embedding side
+    * reduces to (vec_id, label, vnorm) — 3 columns, not the 256-byte
+    * vector — before the join; one hash join on the id. Payload bytes
+    * and raw vectors never co-shuffle; the assembled manifest is what
+    * the batch loader randomizes, fetching payloads lazily.
+    */
+  def m05SampleAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+      .select(col("doc_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val e = SimOps.vectors(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("vnorm"))
+    d.join(m, Seq("doc_id"))
+      .join(e, col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), col("kind"), col("lang"), col("source"),
+        col("n_tokens"), col("n_bytes"), col("label"), col("vnorm"),
+        when(col("vec_id").isNull, 0L).otherwise(1L).as("has_embedding"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
-    "m04_resize" -> (m04Resize _)
+    "m04_resize" -> (m04Resize _),
+    "m05_sample_assembly" -> (m05SampleAssembly _)
   )
 
   /** All four media queries are oracle-checked. m02/m04 run through the
@@ -219,6 +254,32 @@ object MediaOps {
     * would shift instead.
     */
   val oracle: Map[String, String] = Map(
+    "m05_sample_assembly" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         len(string_split(text, ' ')) AS n_tokens, lang, source
+        |  FROM documents
+        |),
+        |u AS (
+        |  SELECT vec_id, label,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, CAST(min(label) AS BIGINT) AS label,
+        |         CAST(SUM(x * x) AS BIGINT) AS vnorm
+        |  FROM u GROUP BY vec_id
+        |)
+        |SELECT m.doc_id, m.kind, m.lang, m.source, m.n_tokens, m.n_bytes,
+        |  n.label, n.vnorm,
+        |  CAST(CASE WHEN n.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS has_embedding
+        |FROM m LEFT JOIN n ON n.vec_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
     "m01_media_meta" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -50,7 +50,7 @@ object SimOps {
     col("dot").cast("double") /
       (sqrt(col("qnorm").cast("double")) * sqrt(col("vnorm").cast("double")))
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("qv", expr(quantize))
@@ -566,7 +566,98 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantization ADC top-8 (the FAISS IndexPQ search shape —
+    * the memory-bound regime's answer, next to s08's IVF and s10's SQ8):
+    * vectors are ENCODED as 8 sub-codeword ids (one per 8-dim subspace,
+    * nearest sub-centroid in integer L2, ties to the lower code), and
+    * queries scan the code table with ASYMMETRIC distance — per query, a
+    * 10x8 table of exact query-to-sub-centroid distances is built once,
+    * and each candidate's distance is 8 table lookups summed, touching
+    * no raw vector data.
+    *
+    * Training reuses s08's deterministic codebook (per-label rounded-mean
+    * components at the 1e6 integer scale, here sliced per subspace), so
+    * every distance is an exact integer sum — bit-identical across
+    * engines, zero float divergence.
+    *
+    * 100 TB posture: the corpus-resident structure is 8 small ints per
+    * vector (vs 64 floats raw — the 32x memory cut that lets a trillion-
+    * vector index fit a cluster's RAM); encoding is one broadcast join
+    * against the 10-row codebook + two narrow shuffles, ADC scanning is
+    * a broadcast-queries scan (the s01/s04 family) whose per-pair cost
+    * is 8 integer lookups instead of a 64-dim dot, with map-side
+    * graft_topk heaps so the shuffle carries k rows per partition per
+    * query. For sub-linear candidate counts this composes directly with
+    * s08: probe IVF cells first, ADC-rank inside each cell.
+    */
+  def s13PqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(graft.Caches.cache(vectors(spark, dir)),
+      col("vec_id") % 50 === 0, k = 8)
+
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace
+
+  /** Per-label rounded-mean codebook (code, cvec) — s08's training step,
+    * reused by PQ as 8 sub-codewords sliced from each 64-dim centroid.
+    */
+  private[graft] def pqCodebook(v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)")
+        .as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)")
+        .as("cvec"))
+      .select(col("label").cast("long").as("code"), col("cvec"))
+
+  /** Integer L2 of every vector against every sub-codeword, one column
+    * (`d0`..`d7`) per subspace — n x |codebook| narrow rows from one
+    * broadcast join. Feeds encoding (argmin per subspace) and the
+    * per-query ADC tables.
+    */
+  private[graft] def pqSubDists(v: DataFrame, cb: DataFrame): DataFrame = {
+    def subDist(m: Int): Column = expr(
+      s"aggregate(sequence(${m * PqSub + 1}, ${(m + 1) * PqSub}), 0L, (acc, j) -> " +
+        "acc + (element_at(qv, CAST(j AS INT)) - element_at(cvec, CAST(j AS INT))) * " +
+        "(element_at(qv, CAST(j AS INT)) - element_at(cvec, CAST(j AS INT))))")
+    v.crossJoin(broadcast(cb))
+      .select(col("vec_id") +: col("code") +:
+        (0 until PqM).map(m => subDist(m).as(s"d$m")): _*)
+  }
+
+  /** ENCODE: per-subspace argmin codeword (struct min: distance, then
+    * lower code) — the 8-codes-per-vector PQ code table.
+    */
+  private[graft] def pqEncode(sd: DataFrame): DataFrame =
+    sd.groupBy("vec_id").agg(
+      array((0 until PqM).map(m =>
+        min(struct(col(s"d$m"), col("code"))).getField("code")): _*).as("codes"))
+
+  private[graft] def pqAdcTopK(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val sd = graft.Caches.cache(pqSubDists(v, pqCodebook(v)))
+    val codes = pqEncode(sd)
+    // Per-query ADC table: code -> its 8 sub-distances, as a broadcast map.
+    val qtab = sd.filter(isQuery)
+      .groupBy(col("vec_id").as("qid"))
+      .agg(map_from_entries(collect_list(struct(col("code"),
+        array((0 until PqM).map(m => col(s"d$m")): _*)))).as("dtab"))
+    codes.crossJoin(broadcast(qtab))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        "aggregate(sequence(0, 7), 0L, (acc, m) -> acc + element_at(" +
+          "element_at(dtab, element_at(codes, CAST(m AS INT) + 1)), " +
+          "CAST(m AS INT) + 1))"))
+      .groupBy("qid")
+      .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), vec_id, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("t.score")).cast("long").as("adc_dist"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_pq_adc" -> (s13PqAdc _),
     "s12_mips_topk" -> (s12MipsTopk _),
     "s06_label_centroids" -> (s06LabelCentroids _),
     "s01_knn_bruteforce" -> (s01KnnBruteforce _),
@@ -706,6 +797,41 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s13_pq_adc" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+        |  FROM embeddings
+        |),
+        |cb AS (
+        |  SELECT label AS code, i,
+        |         CAST(round(CAST(SUM(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM u GROUP BY label, i
+        |),
+        |sd AS (
+        |  SELECT u.vec_id, cb.code, (u.i - 1) // 8 AS m,
+        |         CAST(SUM((u.x - cb.cx) * (u.x - cb.cx)) AS BIGINT) AS d
+        |  FROM u JOIN cb USING (i)
+        |  GROUP BY u.vec_id, cb.code, (u.i - 1) // 8
+        |),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        |    FROM sd) WHERE rn = 1
+        |),
+        |adc AS (
+        |  SELECT q.vec_id AS qid, c.vec_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN sd q ON q.code = c.code AND q.m = c.m
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id
+        |)
+        |SELECT qid, vec_id AS neighbor_id, rank, adc_dist FROM (
+        |  SELECT qid, vec_id, adc_dist, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rank
+        |  FROM adc)
+        |WHERE rank <= 8 ORDER BY qid, rank""".stripMargin,
 
     "s12_mips_topk" ->
       s"""WITH $unnestSql,

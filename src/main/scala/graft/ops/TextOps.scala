@@ -263,7 +263,50 @@ object TextOps {
         (col("cov10").cast("double") / col("n_tokens")).as("coverage_top10"))
   }
 
+  /** Bigram-LM conditional surprisal (the KenLM-style LM quality filter
+    * next to t08's unigram model): every bigram instance (w1, w2) is
+    * scored as bits(cf(w1)) - bits(cf(w1 w2)) — the bit-bucket form of
+    * -log2 P(w2 | w1) — against in-corpus unigram and bigram frequency
+    * tables, and each document gets its mean conditional surprisal plus
+    * the fraction of corpus-unique bigrams. Buckets are the same binary-
+    * digit counts as t08 (no transcendentals; every output double is one
+    * division of exact integers).
+    *
+    * Plan at scale: one explode into (w1, bigram) instances, one hash
+    * agg per frequency table (map-side partial, output O(vocab) /
+    * O(distinct bigrams)), one shuffle join per table on its key, one
+    * per-doc hash agg. Same plan family as t08 with one extra join —
+    * nothing collected, nothing global.
+    */
+  def t10BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val words = "split(text, ' ')"
+    val pairs = s"transform(sequence(1, size($words) - 1)," +
+      s" i -> struct(element_at($words, i) AS w1," +
+      s" array_join(slice($words, i, 2), ' ') AS bigram))"
+    val inst = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(expr(pairs)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+    val cfu = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cfu"))
+    val cfb = inst.groupBy("bigram").agg(count(lit(1)).as("cfb"))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    inst.join(cfb, Seq("bigram")).join(cfu, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits(col("cfu")) - bits(col("cfb"))).as("sum_bits"),
+        sum(when(col("cfb") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_bits").cast("double") / col("n_bigrams"))
+          .as("mean_cond_surprisal_bits"),
+        (col("n_novel").cast("double") / col("n_bigrams")).as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_bigram_surprisal" -> (t10BigramSurprisal _),
     "t09_zipf_fit" -> (t09ZipfFit _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
@@ -276,6 +319,32 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t10_bigram_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |inst AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2
+        |),
+        |tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w1 FROM documents
+        |),
+        |cfu AS (SELECT w1, count(*) AS cfu FROM tok GROUP BY w1),
+        |cfb AS (SELECT bigram, count(*) AS cfb FROM inst GROUP BY bigram),
+        |a AS (
+        |  SELECT i.doc_id, count(*) AS n_bigrams,
+        |    SUM((length(format('{:b}', u.cfu)) - 1)
+        |        - (length(format('{:b}', b.cfb)) - 1)) AS sum_bits,
+        |    count(*) FILTER (b.cfb = 1) AS n_novel
+        |  FROM inst i JOIN cfb b USING (bigram) JOIN cfu u USING (w1)
+        |  GROUP BY i.doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(sum_bits AS DOUBLE) / n_bigrams AS mean_cond_surprisal_bits,
+        |  CAST(n_novel AS DOUBLE) / n_bigrams AS novel_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
     "t09_zipf_fit" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

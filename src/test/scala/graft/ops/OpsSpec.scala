@@ -340,6 +340,35 @@ class OpsSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("s13: ADC lookup-sum equals exact squared L2 to the PQ reconstruction") {
+    // The defining PQ/ADC identity: the table-lookup distance the scan
+    // computes must equal the true squared L2 distance between the query
+    // and the DECODED vector (codes -> sub-centroid slices, concatenated).
+    // This pins encode, table build, map lookup, and the 8-term sum in one
+    // invariant, with the reference built by independent array arithmetic.
+    val v = SimOps.vectors(spark, sf0001)
+    val cb = SimOps.pqCodebook(v)
+    val decoded = SimOps.pqEncode(SimOps.pqSubDists(v, cb))
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(cb, "code")
+      .select(col("neighbor_id"), col("m"),
+        expr("slice(cvec, m * 8 + 1, 8)").as("sub"))
+      .groupBy("neighbor_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub)))," +
+        " s -> s.sub))").as("dvec"))
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qvq"))
+    val checked = SimOps.s13PqAdc(spark, sf0001)
+      .join(q, "qid").join(decoded, "neighbor_id")
+      .withColumn("ref", expr(
+        "aggregate(zip_with(qvq, dvec, (x, y) -> (x - y) * (x - y)), 0L," +
+          " (acc, e) -> acc + e)"))
+    assert(checked.count() === 80)
+    assert(checked.filter(col("ref") =!= col("adc_dist")).count() === 0)
+    graft.Caches.unpersistAll()
+  }
+
   test("d08: contamination flags only training docs, against real benchmark ids") {
     val r = DedupOps.d08Decontamination(spark, sf0001).collect()
     assert(r.nonEmpty)

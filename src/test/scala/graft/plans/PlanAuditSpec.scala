@@ -34,6 +34,10 @@ class PlanAuditSpec extends SparkTestBase {
     "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
     // MIPS scan = corpus x broadcast queries, same family as s01/s04
     "s12_mips_topk" -> Set("BroadcastNestedLoopJoin"),
+    // PQ: codebook scan (vectors x broadcast 10-row codebook) + ADC scan
+    // (code table x broadcast per-query distance tables) — both the
+    // intended s01/s08-family broadcast scans
+    "s13_pq_adc" -> Set("BroadcastNestedLoopJoin"),
     // s08's codebook scan (vectors x broadcast centroids); the pairwise
     // stage itself is an equality join on the cell key
     "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
