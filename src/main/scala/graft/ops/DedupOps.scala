@@ -574,14 +574,22 @@ object DedupOps {
     val words = "split(text, ' ')"
     val grams = s"array_distinct(transform(sequence(1, size($words)-7)," +
       s" i -> array_join(slice($words, i, 8), ' ')))"
-    val g = Tables.documents(spark, dir)
+    // Cached: the representative agg and the pair join both scan it.
+    val g = graft.Caches.cache(Tables.documents(spark, dir)
       .filter(expr(s"size($words) >= 8"))
-      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+      .select(col("doc_id"), explode(expr(grams)).as("gram")))
     val rep = g.groupBy("gram").agg(min(col("doc_id")).as("doc_a"))
-    g.join(rep, Seq("gram"))
+    // count, not countDistinct: (doc_id, gram) rows are already distinct
+    // (array_distinct before the explode) and rep has one row per gram,
+    // so joined (doc_a, doc_b, gram) rows are unique — a plain count
+    // keeps the pair agg a hash agg instead of the sort-based
+    // distinct-aggregate machinery. The oracle states COUNT(DISTINCT)
+    // for the set semantics; the values are identical.
+    val pairs = g.join(rep, Seq("gram"))
       .filter(col("doc_id") > col("doc_a"))
+    pairs
       .groupBy(col("doc_a"), col("doc_id").as("doc_b"))
-      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+      .agg(count(col("gram")).as("n_shared_grams"),
         min(col("gram")).as("sample_gram"))
       .orderBy("doc_a", "doc_b")
   }

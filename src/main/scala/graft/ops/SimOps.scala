@@ -633,30 +633,80 @@ object SimOps {
       array((0 until PqM).map(m =>
         min(struct(col(s"d$m"), col("code"))).getField("code")): _*).as("codes"))
 
-  private[graft] def pqAdcTopK(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val sd = graft.Caches.cache(pqSubDists(v, pqCodebook(v)))
-    val codes = pqEncode(sd)
-    // Per-query ADC table: code -> its 8 sub-distances, as a broadcast map.
-    val qtab = sd.filter(isQuery)
+  /** Per-query ADC table off a sub-distance frame: code -> its 8
+    * sub-distances, as one broadcastable map row per query.
+    */
+  private def pqQueryTabs(sd: DataFrame, isQuery: Column): DataFrame =
+    sd.filter(isQuery)
       .groupBy(col("vec_id").as("qid"))
       .agg(map_from_entries(collect_list(struct(col("code"),
         array((0 until PqM).map(m => col(s"d$m")): _*)))).as("dtab"))
-    codes.crossJoin(broadcast(qtab))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc", expr(
-        "aggregate(sequence(0, 7), 0L, (acc, m) -> acc + element_at(" +
-          "element_at(dtab, element_at(codes, CAST(m AS INT) + 1)), " +
-          "CAST(m AS INT) + 1))"))
-      .groupBy("qid")
-      .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), vec_id, $k)").as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("qid"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        (-col("t.score")).cast("long").as("adc_dist"))
-      .orderBy("qid", "rank")
+
+  /** The ADC lookup sum: 8 map probes into the query's distance table,
+    * indexed by the candidate's codes — no vector data touched.
+    */
+  private val adcSum = expr(
+    "aggregate(sequence(0, 7), 0L, (acc, m) -> acc + element_at(" +
+      "element_at(dtab, element_at(codes, CAST(m AS INT) + 1)), " +
+      "CAST(m AS INT) + 1))")
+
+  /** Rank + present a (qid, vec_id, adc) pair frame via map-side k-heaps. */
+  private def adcTopK(pairs: DataFrame, k: Int): DataFrame = pairs
+    .groupBy("qid")
+    .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), vec_id, $k)").as("top"))
+    .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+    .select(col("qid"), col("t.id").as("neighbor_id"),
+      (col("pos") + 1).cast("long").as("rank"),
+      (-col("t.score")).cast("long").as("adc_dist"))
+    .orderBy("qid", "rank")
+
+  private[graft] def pqAdcTopK(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val sd = graft.Caches.cache(pqSubDists(v, pqCodebook(v)))
+    adcTopK(
+      pqEncode(sd).crossJoin(broadcast(pqQueryTabs(sd, isQuery)))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcSum),
+      k)
+  }
+
+  /** IVF + PQ composed (the FAISS IndexIVFPQ shape — THE standard
+    * billion-scale ANN index): s08's coarse quantizer prunes the corpus
+    * to each query's nProbe=2 nearest cells, and s13's ADC ranks inside
+    * those cells by table lookups over the 8-byte PQ codes. Neither
+    * raw vectors nor sub-distances ever reach the scan: the corpus side
+    * of the search is (vec_id, cell, codes) — the code table IS the
+    * index.
+    *
+    * 100 TB posture: this closes the gap s13's scan leaves — candidates
+    * per query drop from n to ~n*nProbe/cells BEFORE any distance work,
+    * while the per-candidate cost stays 8 integer lookups. The cell
+    * join keys the corpus by `cell` (the IVF partition key a real
+    * deployment co-partitions storage by), the probe side broadcasts
+    * (queries x nProbe rows + their 80-entry tables), and the top-k is
+    * the map-side heap shuffle. Train/encode are the same one-broadcast-
+    * join passes as s08/s13.
+    */
+  def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    val isQuery = col("vec_id") % 50 === 0
+    val scored = cellScores(v)
+    val assigned = assignCells(scored)
+    val probes = scored.filter(isQuery)
+      .groupBy(col("vec_id").as("qid"))
+      .agg(expr("graft_topk(ccos, cell, 2)").as("top"))
+      .select(col("qid"), explode(col("top").getField("id")).as("cell"))
+    val sd = graft.Caches.cache(pqSubDists(v, pqCodebook(v)))
+    adcTopK(
+      pqEncode(sd).join(assigned, Seq("vec_id"))
+        .join(broadcast(probes.join(pqQueryTabs(sd, isQuery), Seq("qid"))),
+          Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcSum),
+      k = 5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_ivf_pq" -> (s14IvfPq _),
     "s13_pq_adc" -> (s13PqAdc _),
     "s12_mips_topk" -> (s12MipsTopk _),
     "s06_label_centroids" -> (s06LabelCentroids _),
@@ -797,6 +847,50 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s14_ivf_pq" ->
+      s"""WITH $unnestSql,
+         |$cellAsgSql,
+         |probe AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r
+         |    FROM sc WHERE vec_id % 50 = 0)
+         |  WHERE r <= 2
+         |),
+         |cb AS (
+         |  SELECT e.label AS code, u.i,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  GROUP BY e.label, u.i
+         |),
+         |sd AS (
+         |  SELECT u.vec_id, cb.code, (u.i - 1) // 8 AS m,
+         |         CAST(SUM((u.x - cb.cx) * (u.x - cb.cx)) AS BIGINT) AS d
+         |  FROM u JOIN cb USING (i)
+         |  GROUP BY u.vec_id, cb.code, (u.i - 1) // 8
+         |),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+         |    FROM sd) WHERE rn = 1
+         |),
+         |adc AS (
+         |  SELECT p.qid, a.vec_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist
+         |  FROM probe p
+         |  JOIN asg a ON a.cell = p.cell
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  JOIN sd q ON q.vec_id = p.qid AND q.code = c.code AND q.m = c.m
+         |  WHERE a.vec_id <> p.qid
+         |  GROUP BY p.qid, a.vec_id
+         |)
+         |SELECT qid, vec_id AS neighbor_id, rank, adc_dist FROM (
+         |  SELECT qid, vec_id, adc_dist, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "s13_pq_adc" ->
       """WITH u AS (

@@ -283,21 +283,29 @@ object TextOps {
     val pairs = s"transform(sequence(1, size($words) - 1)," +
       s" i -> struct(element_at($words, i) AS w1," +
       s" array_join(slice($words, i, 2), ' ') AS bigram))"
-    val inst = Tables.documents(spark, dir)
+    // Cached: both the bigram frequency table and the scoring join read
+    // it — uncached, the explode runs twice.
+    val inst = graft.Caches.cache(Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), explode(expr(pairs)).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram")))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    // bits() is string work (decimal -> binary digits) — computed ONCE
+    // per distinct token/bigram on the O(vocab)-sized frequency tables,
+    // never on the corpus-sized instance join.
     val cfu = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cfu"))
+      .select(col("w1"), bits(col("cfu")).as("bits_u"))
     val cfb = inst.groupBy("bigram").agg(count(lit(1)).as("cfb"))
-    def bits(c: Column): Column =
-      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+      .select(col("bigram"), bits(col("cfb")).as("bits_b"),
+        when(col("cfb") === 1, 1L).otherwise(0L).as("novel"))
     inst.join(cfb, Seq("bigram")).join(cfu, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(bits(col("cfu")) - bits(col("cfb"))).as("sum_bits"),
-        sum(when(col("cfb") === 1, 1L).otherwise(0L)).as("n_novel"))
+        sum(col("bits_u") - col("bits_b")).as("sum_bits"),
+        sum(col("novel")).as("n_novel"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_bits").cast("double") / col("n_bigrams"))
           .as("mean_cond_surprisal_bits"),

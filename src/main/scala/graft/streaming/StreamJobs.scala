@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Typed rows for the custom-state example. */
@@ -256,5 +257,53 @@ object StreamJobs {
           state.update(next)
           Iterator(next)
         })
+  }
+
+  /** `runningUserMax` re-planned on transformWithState (the Spark 4
+    * arbitrary-state API, SPARK-40434): a StatefulProcessor holding one
+    * ValueState per key. Same semantics as the flatMapGroupsWithState
+    * form — the spec asserts output parity batch-by-batch — but the
+    * operator model is the production-grade one: typed state variables
+    * with per-variable TTL, timers, and schema evolution, backed by the
+    * RocksDB state store (transformWithState requires the RocksDB
+    * provider; the session must set
+    * spark.sql.streaming.stateStore.providerClass to
+    * ...state.RocksDBStateStoreProvider). At 100 TB the practical wins
+    * over fMGWS are incremental state reads (no full-value
+    * deserialization per key visit for list/map state) and disk-backed
+    * state capacity beyond executor heap.
+    */
+  def runningUserMaxTws(events: Dataset[UserEvent]): Dataset[UserMaxState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** StatefulProcessor for [[StreamJobs.runningUserMaxTws]]: running
+  * per-user max/count in a single ValueState — state is read once and
+  * written once per key per micro-batch.
+  */
+class RunningMaxProcessor
+    extends StatefulProcessor[Long, UserEvent, UserMaxState] {
+  @transient private var state: ValueState[UserMaxState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserMaxState]("maxState",
+      org.apache.spark.sql.Encoders.product[UserMaxState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserMaxState] = {
+    val prev = Option(state.get())
+      .getOrElse(UserMaxState(uid, Double.NegativeInfinity, 0L))
+    var mx = prev.max_value
+    var n = prev.n
+    rows.foreach { r => if (r.value > mx) mx = r.value; n += 1 }
+    val next = UserMaxState(uid, mx, n)
+    state.update(next)
+    Iterator(next)
   }
 }

@@ -38,6 +38,9 @@ class PlanAuditSpec extends SparkTestBase {
     // (code table x broadcast per-query distance tables) — both the
     // intended s01/s08-family broadcast scans
     "s13_pq_adc" -> Set("BroadcastNestedLoopJoin"),
+    // IVF+PQ: the two training scans (vectors x broadcast centroids /
+    // codebook); the search itself joins on the cell key
+    "s14_ivf_pq" -> Set("BroadcastNestedLoopJoin"),
     // s08's codebook scan (vectors x broadcast centroids); the pairwise
     // stage itself is an equality join on the cell key
     "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),

@@ -318,6 +318,38 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Set((1L, 3L, 9.0), (2L, 2L, 7.0)))
   }
 
+  test("runningUserMaxTws: transformWithState matches flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    // (rocksdbjni ships with Spark); restore the default after so the
+    // HDFS-backed suites are unaffected.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val q = StreamJobs.runningUserMaxTws(mem.toDS())
+        .writeStream.format("memory").queryName("usermax_tws")
+        .outputMode("update").start()
+      mem.addData(UserEvent(1, 5.0), UserEvent(1, 3.0), UserEvent(2, 7.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 9.0), UserEvent(2, 1.0))
+      q.processAllAvailable(); q.stop()
+      // same per-user final state the fMGWS spec pins
+      val last = spark.table("usermax_tws")
+        .groupBy("user_id")
+        .agg(max("n").as("n"), max("max_value").as("mx"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(last == Set((1L, 3L, 9.0), (2L, 2L, 7.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingNetFlow: stateful lag matches batch EnrichJob across batches") {
     implicit val sqlCtx = spark.sqlContext
     val b1 = Seq(
