@@ -91,14 +91,26 @@ object ScalingProbe {
     val vecs = PlantedVectors.corpus(n, k)
     val emb = vecs.toDF("vec_id", "embedding")
     val every = math.max(1, n / 100) // ~100 query points (all rows if n < 100)
+    // Persisted OUTSIDE the Caches registry (unpersistAll runs between
+    // timed runs): the corpus is a driver-side LocalRelation, and every
+    // uncached scan re-serializes n x 64 floats out of the driver —
+    // probe noise that has nothing to do with the measured operators.
     val prepared = graft.ops.SimOps.prepareVectors(emb)
       .withColumn("label", expr(s"CAST(vec_id DIV ${n / k} AS INT)"))
+      .persist()
+    prepared.count() // materialize before any timing
 
     time("banded_lsh", n) {
       graft.ops.SimOps.bandedTopK(prepared, col("vec_id") % every === 0, 5).count()
     }
     time("ivf_nprobe2", n) {
       graft.ops.SimOps.ivfTopK(prepared, col("vec_id") % every === 0, 2, 5).count()
+    }
+    // PQ-ADC full scan: candidate count stays n x q (like brute force)
+    // but per-pair work drops from a 64-dim dot to 8 map lookups —
+    // measures the compute cut the code table buys before IVF pruning.
+    time("pq_adc_scan", n) {
+      graft.ops.SimOps.pqAdcTopK(prepared, col("vec_id") % every === 0, 5).count()
     }
     spark.stop()
   }

@@ -321,13 +321,13 @@ object SimOps {
   /** IVF core over any (vec_id, qv, label, vnorm) frame — exposed so
     * tests can measure recall on synthetic clustered corpora.
     */
-  /** TRAIN+SCORE, shared by s08 (IVF probing) and s11 (semantic dedup):
-    * per-label mean components rounded back to the 1e6 integer scale
-    * form the codebook; every vector is cosine-scored against the
-    * broadcast codebook. Cached — assignment and probing both read it.
+  /** TRAIN: per-label mean components rounded back to the 1e6 integer
+    * scale form the codebook — eagerly materialized (L tiny rows), so
+    * the several scoring passes that read it never race its corpus-wide
+    * training agg into duplicate computation (the d11 AQE lesson).
     */
-  private def cellScores(v: DataFrame): DataFrame = {
-    val cells = v
+  private def cellCentroids(v: DataFrame): DataFrame =
+    graft.Caches.checkpoint(v
       .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
       .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)")
@@ -336,13 +336,20 @@ object SimOps {
       .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)")
         .as("cvec"))
       .select(col("label").cast("long").as("cell"), col("cvec"),
-        expr(dotSq("cvec", "cvec")).as("cnorm"))
-    graft.Caches.cache(
-      v.crossJoin(broadcast(cells))
-        .withColumn("ccos", expr(dotSq("qv", "cvec")).cast("double") /
-          (sqrt(col("vnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
-        .select(col("vec_id"), col("cell"), col("ccos")))
-  }
+        expr(dotSq("cvec", "cvec")).as("cnorm")))
+
+  /** SCORE a vector frame against a trained codebook (broadcast scan). */
+  private def scoreCells(vs: DataFrame, cells: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cells))
+      .withColumn("ccos", expr(dotSq("qv", "cvec")).cast("double") /
+        (sqrt(col("vnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
+      .select(col("vec_id"), col("cell"), col("ccos"))
+
+  /** TRAIN+SCORE, shared by s08/s14 (via their own split calls) and s11
+    * (semantic dedup): cached — s11's pair stage reads it twice.
+    */
+  private def cellScores(v: DataFrame): DataFrame =
+    graft.Caches.cache(scoreCells(v, cellCentroids(v)))
 
   /** Nearest-centroid assignment off a cellScores frame: map-side
     * graft_topk(k=1) — one shuffled row per vector, ties to the lower
@@ -355,9 +362,15 @@ object SimOps {
 
   private[graft] def ivfTopK(
       v: DataFrame, isQuery: Column, nProbe: Int, k: Int): DataFrame = {
-    val scored = cellScores(v)
-    val assigned = assignCells(scored)
-    val probes = scored.filter(isQuery)
+    // One corpus-wide scoring pass feeds the assignment; the probe side
+    // re-scores only the tiny query set against the same materialized
+    // codebook. Nothing corpus-sized is shared between subtrees, so
+    // AQE's parallel stage submission has nothing to race (measured on
+    // the 50k-vector ScalingProbe: the old shared-cache form ran the
+    // scoring pass up to twice, 42s warm; this form is stable ~10s).
+    val cells = cellCentroids(v)
+    val assigned = assignCells(scoreCells(v, cells))
+    val probes = scoreCells(v.filter(isQuery), cells)
       .groupBy(col("vec_id").as("qid"))
       .agg(expr(s"graft_topk(ccos, cell, $nProbe)").as("top"))
       .select(col("qid"), explode(col("top").getField("id")).as("cell"))
@@ -610,20 +623,19 @@ object SimOps {
         .as("cvec"))
       .select(col("label").cast("long").as("code"), col("cvec"))
 
-  /** Integer L2 of every vector against every sub-codeword, one column
-    * (`d0`..`d7`) per subspace — n x |codebook| narrow rows from one
-    * broadcast join. Feeds encoding (argmin per subspace) and the
-    * per-query ADC tables.
+  /** Integer L2 of every vector against every sub-codeword — n x
+    * |codebook| narrow rows (vec_id, code, ds[8]) from one broadcast
+    * join. The 8 per-subspace sums come from the codegen'd
+    * graft_pq_dists kernel: same values as the
+    * aggregate(sequence(...)) higher-order form, but one JVM loop per
+    * pair instead of 8 interpreted lambdas (ArrayAggregate is
+    * CodegenFallback — measured 2x end-to-end on the 50k ScalingProbe).
+    * Feeds encoding (argmin per subspace) and the per-query ADC tables.
     */
-  private[graft] def pqSubDists(v: DataFrame, cb: DataFrame): DataFrame = {
-    def subDist(m: Int): Column = expr(
-      s"aggregate(sequence(${m * PqSub + 1}, ${(m + 1) * PqSub}), 0L, (acc, j) -> " +
-        "acc + (element_at(qv, CAST(j AS INT)) - element_at(cvec, CAST(j AS INT))) * " +
-        "(element_at(qv, CAST(j AS INT)) - element_at(cvec, CAST(j AS INT))))")
+  private[graft] def pqSubDists(v: DataFrame, cb: DataFrame): DataFrame =
     v.crossJoin(broadcast(cb))
-      .select(col("vec_id") +: col("code") +:
-        (0 until PqM).map(m => subDist(m).as(s"d$m")): _*)
-  }
+      .select(col("vec_id"), col("code"),
+        expr("graft_pq_dists(qv, cvec)").as("ds"))
 
   /** ENCODE: per-subspace argmin codeword (struct min: distance, then
     * lower code) — the 8-codes-per-vector PQ code table.
@@ -631,24 +643,34 @@ object SimOps {
   private[graft] def pqEncode(sd: DataFrame): DataFrame =
     sd.groupBy("vec_id").agg(
       array((0 until PqM).map(m =>
-        min(struct(col(s"d$m"), col("code"))).getField("code")): _*).as("codes"))
+        min(struct(element_at(col("ds"), m + 1), col("code")))
+          .getField("code")): _*).as("codes"))
 
-  /** Per-query ADC table off a sub-distance frame: code -> its 8
-    * sub-distances, as one broadcastable map row per query.
+  /** Per-query ADC table: the 8 sub-distances of EVERY codeword,
+    * flattened code-major into one array — lookup index is
+    * code*8 + m + 1, an O(1) array load (a code->array MAP here costs a
+    * LINEAR probe of the map per lookup — measured 3x slower end-to-end
+    * at a 100-codeword codebook). Requires dense 0..L-1 codeword ids,
+    * which `label` satisfies in this fixture and any k-means codebook
+    * satisfies by construction.
+    *
+    * Built from a QUERY-ONLY sub-distance frame: queries are the tiny
+    * side, so this never touches the corpus-wide (vector x codeword)
+    * frame — sharing one cached frame between the encode and the table
+    * build measurably backfires (AQE submits the two independent
+    * subtrees in parallel and they race the cache into duplicate
+    * computation; the d11/minLabelPropagate lesson).
     */
-  private def pqQueryTabs(sd: DataFrame, isQuery: Column): DataFrame =
-    sd.filter(isQuery)
-      .groupBy(col("vec_id").as("qid"))
-      .agg(map_from_entries(collect_list(struct(col("code"),
-        array((0 until PqM).map(m => col(s"d$m")): _*)))).as("dtab"))
+  private def pqQueryTabs(sdQ: DataFrame): DataFrame =
+    sdQ.groupBy(col("vec_id").as("qid"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(code, ds)))," +
+        " s -> s.ds))").as("dtab"))
 
-  /** The ADC lookup sum: 8 map probes into the query's distance table,
-    * indexed by the candidate's codes — no vector data touched.
+  /** The ADC lookup sum: 8 array loads from the query's distance table,
+    * indexed by the candidate's codes — no vector data touched
+    * (codegen'd graft_adc kernel).
     */
-  private val adcSum = expr(
-    "aggregate(sequence(0, 7), 0L, (acc, m) -> acc + element_at(" +
-      "element_at(dtab, element_at(codes, CAST(m AS INT) + 1)), " +
-      "CAST(m AS INT) + 1))")
+  private val adcSum = expr("graft_adc(dtab, codes)")
 
   /** Rank + present a (qid, vec_id, adc) pair frame via map-side k-heaps. */
   private def adcTopK(pairs: DataFrame, k: Int): DataFrame = pairs
@@ -660,10 +682,18 @@ object SimOps {
       (-col("t.score")).cast("long").as("adc_dist"))
     .orderBy("qid", "rank")
 
+  /** Codebook, eagerly materialized: both the encode scan and the query
+    * tables read it, and it is L rows — one tiny job now beats two
+    * concurrent recomputations of its corpus-wide training agg later.
+    */
+  private def pqTrainedCodebook(v: DataFrame): DataFrame =
+    graft.Caches.checkpoint(pqCodebook(v))
+
   private[graft] def pqAdcTopK(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val sd = graft.Caches.cache(pqSubDists(v, pqCodebook(v)))
+    val cb = pqTrainedCodebook(v)
     adcTopK(
-      pqEncode(sd).crossJoin(broadcast(pqQueryTabs(sd, isQuery)))
+      pqEncode(pqSubDists(v, cb))
+        .crossJoin(broadcast(pqQueryTabs(pqSubDists(v.filter(isQuery), cb))))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("adc", adcSum),
       k)
@@ -689,16 +719,17 @@ object SimOps {
   def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.Caches.cache(vectors(spark, dir))
     val isQuery = col("vec_id") % 50 === 0
-    val scored = cellScores(v)
-    val assigned = assignCells(scored)
-    val probes = scored.filter(isQuery)
+    val cells = cellCentroids(v)
+    val assigned = assignCells(scoreCells(v, cells))
+    val probes = scoreCells(v.filter(isQuery), cells)
       .groupBy(col("vec_id").as("qid"))
       .agg(expr("graft_topk(ccos, cell, 2)").as("top"))
       .select(col("qid"), explode(col("top").getField("id")).as("cell"))
-    val sd = graft.Caches.cache(pqSubDists(v, pqCodebook(v)))
+    val cb = pqTrainedCodebook(v)
     adcTopK(
-      pqEncode(sd).join(assigned, Seq("vec_id"))
-        .join(broadcast(probes.join(pqQueryTabs(sd, isQuery), Seq("qid"))),
+      pqEncode(pqSubDists(v, cb)).join(assigned, Seq("vec_id"))
+        .join(broadcast(probes.join(
+          pqQueryTabs(pqSubDists(v.filter(isQuery), cb)), Seq("qid"))),
           Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("adc", adcSum),
