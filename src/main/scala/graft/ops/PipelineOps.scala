@@ -280,7 +280,49 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-filter CASCADE (the C4/Gopher recipe shape): every document
+    * is scored against a battery of independent rejection rules in ONE
+    * pass, emitting the measured stats, a fail bitmask (bit per rule),
+    * and the keep verdict — so a pipeline can filter on `keep`, audit
+    * per-rule rejection rates from the mask, and tune thresholds without
+    * re-scanning. Rules over this fixture: too short (< 40 tokens, bit
+    * 1), stopword ratio < 0.04 (bit 2, the "not prose" signal),
+    * duplicate-bigram ratio > 0.05 (bit 4, the t06 repetition signal),
+    * unique-word ratio < 0.35 (bit 8, low lexical diversity).
+    *
+    * Plan at scale: pure per-row scan work — no shuffle except the
+    * presentation sort; this is the map-side gate that runs in front of
+    * the shuffling stages (d11 dedup, p07 mixing). Every ratio is one
+    * division of exact integer counts, so the doubles and the threshold
+    * comparisons are bit-identical across engines.
+    */
+  def p09FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = org.apache.spark.sql.functions.size(t)
+    val bigrams = "transform(sequence(1, greatest(size(split(text, ' '))-1, 1))," +
+      " i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+    val stopRatio = (org.apache.spark.sql.functions.size(filter(t, x =>
+      x.isin(Seq("the", "a", "of", "and", "is", "to", "in").map(lit(_)): _*)))
+      .cast("double") / nTok).as("stop_ratio")
+    val dupBigram = (lit(1.0) -
+      org.apache.spark.sql.functions.size(array_distinct(expr(bigrams)))
+        .cast("double") / greatest(nTok - 1, lit(1))).as("dup_bigram_ratio")
+    val uniqRatio = (org.apache.spark.sql.functions.size(array_distinct(t))
+      .cast("double") / nTok).as("uniq_ratio")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        stopRatio, dupBigram, uniqRatio)
+      .withColumn("fail_mask",
+        (when(col("n_tokens") < 40, 1L).otherwise(0L) +
+          when(col("stop_ratio") < 0.04, 2L).otherwise(0L) +
+          when(col("dup_bigram_ratio") > 0.05, 4L).otherwise(0L) +
+          when(col("uniq_ratio") < 0.35, 8L).otherwise(0L)).as("fail_mask"))
+      .withColumn("keep", when(col("fail_mask") === 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_filter_cascade" -> (p09FilterCascade _),
     "p01_corpus_clean" -> (p01CorpusClean _),
     "p06_chunk" -> (p06Chunk _),
     "p07_domain_mix" -> (p07DomainMix _),
@@ -292,6 +334,36 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p09_filter_cascade" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x ->
+        |      x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio,
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |        range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])))
+        |        AS DOUBLE) / greatest(len(toks) - 1, 1) AS dup_bigram_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+        |  FROM s
+        |),
+        |f AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN n_tokens < 40 THEN 1 ELSE 0 END
+        |       + CASE WHEN stop_ratio < 0.04 THEN 2 ELSE 0 END
+        |       + CASE WHEN dup_bigram_ratio > 0.05 THEN 4 ELSE 0 END
+        |       + CASE WHEN uniq_ratio < 0.35 THEN 8 ELSE 0 END AS BIGINT)
+        |      AS fail_mask
+        |  FROM m
+        |)
+        |SELECT doc_id, n_tokens, stop_ratio, dup_bigram_ratio, uniq_ratio,
+        |  fail_mask,
+        |  CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "p08_quality_deciles" ->
       s"""WITH d AS (
          |  SELECT doc_id, $qualitySql AS score FROM documents
