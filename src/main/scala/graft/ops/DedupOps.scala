@@ -570,12 +570,20 @@ object DedupOps {
     * reserved ...") stay linear instead of quadratic. The pair agg is
     * one more shuffle on (doc_a, doc_b), output O(true dup pairs).
     */
-  def d13SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+  def d13SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringPairs(Tables.documents(spark, dir))
+
+  /** The d13 core over any (doc_id, text) frame — exposed so the spec
+    * can plant gram-sharing families and pin the star-shaped pair
+    * contract (k sharers -> exactly k-1 pairs, all anchored at the
+    * minimum doc_id).
+    */
+  private[graft] def substringPairs(docs: DataFrame): DataFrame = {
     val words = "split(text, ' ')"
     val grams = s"array_distinct(transform(sequence(1, size($words)-7)," +
       s" i -> array_join(slice($words, i, 8), ' ')))"
     // Cached: the representative agg and the pair join both scan it.
-    val g = graft.Caches.cache(Tables.documents(spark, dir)
+    val g = graft.Caches.cache(docs
       .filter(expr(s"size($words) >= 8"))
       .select(col("doc_id"), explode(expr(grams)).as("gram")))
     val rep = g.groupBy("gram").agg(min(col("doc_id")).as("doc_a"))

@@ -340,6 +340,25 @@ class OpsSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("d13: shared grams produce star-shaped pairs anchored at the min doc id") {
+    import spark.implicits._
+    // Docs 10/20/30 embed the SAME 8-word run inside distinct filler;
+    // doc 40 shares nothing. Star contract: k=3 sharers -> exactly the
+    // 2 pairs (10,20), (10,30) — never the transitive (20,30).
+    def soup(seed: Int, n: Int): String =
+      (0 until n).map(j => s"w$seed-$j").mkString(" ")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (10L, s"${soup(1, 10)} $shared ${soup(2, 10)}"),
+      (20L, s"${soup(3, 12)} $shared ${soup(4, 8)}"),
+      (30L, s"$shared ${soup(5, 15)}"),
+      (40L, soup(6, 30))).toDF("doc_id", "text")
+    val pairs = DedupOps.substringPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 20L), (10L, 30L)))
+    graft.Caches.unpersistAll()
+  }
+
   test("s13: ADC lookup-sum equals exact squared L2 to the PQ reconstruction") {
     // The defining PQ/ADC identity: the table-lookup distance the scan
     // computes must equal the true squared L2 distance between the query
