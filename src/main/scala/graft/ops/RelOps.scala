@@ -125,6 +125,31 @@ object RelOps {
       .orderBy("custkey")
   }
 
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the
+    * multiset twins w05's DISTINCT forms can't express: duplicate
+    * CARDINALITY matters (a customer with 3 qualifying orders and 1
+    * urgent one keeps 2 copies under EXCEPT ALL, where EXCEPT keeps
+    * none). One query emits both ops tagged, totally ordered.
+    *
+    * Plan at scale: Spark compiles exceptAll/intersectAll to per-key
+    * count aggregation + replicated-row generation — one hash shuffle
+    * per side on the key, output rows regenerated from counts; never a
+    * row-by-row comparison. The same shape holds at any duplication
+    * factor.
+    */
+  def w18SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    a.exceptAll(b).select(lit("except_all").as("op"), col("custkey"))
+      .union(a.intersectAll(b)
+        .select(lit("intersect_all").as("op"), col("custkey")))
+      .orderBy("op", "custkey")
+  }
+
   /** Distinct-cardinality sketch (HLL++): the shuffle-light scale path for
     * A4's COUNT(DISTINCT) (SURVEY.md §2.4). No oracle — sketch estimates
     * are engine-specific, so the driver records a rows-only check; the
@@ -482,6 +507,7 @@ object RelOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w17_running_distinct" -> (w17RunningDistinct _),
+    "w18_set_ops_all" -> (w18SetOpsAll _),
     "w16_grouping_sets" -> (w16GroupingSets _),
     "w06_approx_distinct" -> (w06ApproxDistinct _),
     "w15_unpivot" -> (w15Unpivot _),
@@ -501,6 +527,21 @@ object RelOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "w18_set_ops_all" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |),
+        |b AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT 'except_all' AS op, custkey FROM (
+        |  SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, custkey FROM (
+        |  SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+        |ORDER BY op, custkey""".stripMargin,
+
     "w17_running_distinct" ->
       """WITH f AS (
         |  SELECT event_id, user_id, ts, event_type,
