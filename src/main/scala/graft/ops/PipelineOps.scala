@@ -321,7 +321,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Epoch/repeat-factor mixing plan (the "how many epochs of each
+    * dataset" step a training run's data card publishes): given each
+    * source's token inventory and a total token budget (2x the corpus
+    * here, so upsampling genuinely occurs), assign every source an
+    * equal target and emit its repeat factor split into full epochs +
+    * a remainder sampling rate. p07 DOWN-samples overrepresented
+    * sources to a target mix; this is the complementary UP-sampling
+    * planner (repeat factors > 1) whose output drives the loader.
+    *
+    * All arithmetic is exact-integer until two final single divisions
+    * (repeat_factor, remainder_rate), so both engines emit identical
+    * doubles. Plan: one hash agg to O(sources) rows + a 1-row budget
+    * broadcast — nothing corpus-sized moves.
+    */
+  def p10EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("available_tokens"))
+    val budget = perSource.agg(
+      (sum(col("available_tokens")) * 2).as("budget_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(budget))
+      .select(col("source"), col("available_tokens"),
+        expr("budget_tokens div n_sources").as("target_tokens"))
+      .select(col("source"), col("available_tokens"), col("target_tokens"),
+        (col("target_tokens").cast("double") / col("available_tokens"))
+          .as("repeat_factor"),
+        expr("target_tokens div available_tokens").as("full_epochs"),
+        ((col("target_tokens") % col("available_tokens")).cast("double") /
+          col("available_tokens")).as("remainder_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_epoch_plan" -> (p10EpochPlan _),
     "p09_filter_cascade" -> (p09FilterCascade _),
     "p01_corpus_clean" -> (p01CorpusClean _),
     "p06_chunk" -> (p06Chunk _),
@@ -334,6 +370,31 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p10_epoch_plan" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |      AS available_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |b AS (
+        |  SELECT CAST(SUM(available_tokens) * 2 AS BIGINT) AS budget_tokens,
+        |         count(*) AS n_sources
+        |  FROM s
+        |),
+        |t AS (
+        |  SELECT s.source, s.available_tokens,
+        |         CAST(b.budget_tokens // b.n_sources AS BIGINT)
+        |           AS target_tokens
+        |  FROM s CROSS JOIN b
+        |)
+        |SELECT source, available_tokens, target_tokens,
+        |  CAST(target_tokens AS DOUBLE) / available_tokens AS repeat_factor,
+        |  CAST(target_tokens // available_tokens AS BIGINT) AS full_epochs,
+        |  CAST(target_tokens % available_tokens AS DOUBLE) / available_tokens
+        |    AS remainder_rate
+        |FROM t ORDER BY source""".stripMargin,
+
     "p09_filter_cascade" ->
       """WITH s AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Typed rows for the custom-state example. */
@@ -278,6 +279,53 @@ object StreamJobs {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningMaxProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Running per-(user, event_type) counts on transformWithState
+    * MapState — see [[TypeCountProcessor]] for why this beats a map
+    * carried in a flatMapGroupsWithState value at wide per-user state.
+    */
+  def runningTypeCountsTws(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Typed rows for the MapState example. */
+case class TypedEvent(user_id: Long, event_type: String)
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** StatefulProcessor for [[StreamJobs.runningTypeCountsTws]]: running
+  * per-(user, event_type) counts in a MapState. The point vs a
+  * flatMapGroupsWithState Map[String, Long] value: only the keys a
+  * micro-batch TOUCHES are read and written (point lookups against the
+  * RocksDB store), never the user's whole map — the difference between
+  * O(batch) and O(state) work per key when per-user state grows wide.
+  */
+class TypeCountProcessor
+    extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[TypedEvent],
+      timerValues: TimerValues): Iterator[TypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach { r =>
+      val cur = touched.getOrElse(r.event_type,
+        if (counts.containsKey(r.event_type)) counts.getValue(r.event_type)
+        else 0L)
+      touched(r.event_type) = cur + 1
+    }
+    touched.foreach { case (t, n) => counts.updateValue(t, n) }
+    touched.iterator.map { case (t, n) => TypeCount(uid, t, n) }
   }
 }
 

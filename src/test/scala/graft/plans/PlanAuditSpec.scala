@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkTestBase {
   private val allow: Map[String, Set[String]] = Map(
     // 1-row scalar broadcasts
     "p07_domain_mix" -> Set("BroadcastNestedLoopJoin"),
+    "p10_epoch_plan" -> Set("BroadcastNestedLoopJoin"),
     "q05_gold_alerts" -> Set("BroadcastNestedLoopJoin"),
     "q20_global_filter_anti" -> Set("BroadcastNestedLoopJoin"),
     "t05_tfidf" -> Set("BroadcastNestedLoopJoin"),

@@ -350,6 +350,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("runningTypeCountsTws: MapState counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[TypedEvent]
+      val q = StreamJobs.runningTypeCountsTws(mem.toDS())
+        .writeStream.format("memory").queryName("typecounts")
+        .outputMode("update").start()
+      mem.addData(TypedEvent(1, "click"), TypedEvent(1, "click"),
+        TypedEvent(1, "view"), TypedEvent(2, "view"))
+      q.processAllAvailable()
+      mem.addData(TypedEvent(1, "click"), TypedEvent(2, "error"))
+      q.processAllAvailable(); q.stop()
+      // final count per (user, type) across both batches
+      val last = spark.table("typecounts")
+        .groupBy("user_id", "event_type").agg(max("n").as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(last == Set((1L, "click", 3L), (1L, "view", 1L),
+        (2L, "view", 1L), (2L, "error", 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingNetFlow: stateful lag matches batch EnrichJob across batches") {
     implicit val sqlCtx = spark.sqlContext
     val b1 = Seq(
