@@ -112,6 +112,11 @@ object ScalingProbe {
     time("pq_adc_scan", n) {
       graft.ops.SimOps.pqAdcTopK(prepared, col("vec_id") % every === 0, 5).count()
     }
+    // Composed IVF+PQ (the s14 shape): same encode pass, scan side cut
+    // to ~nProbe/k-th of the corpus before any distance work.
+    time("ivf_pq_nprobe2", n) {
+      graft.ops.SimOps.ivfPqTopK(prepared, col("vec_id") % every === 0, 2, 5).count()
+    }
     spark.stop()
   }
 }

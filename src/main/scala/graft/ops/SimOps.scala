@@ -716,14 +716,20 @@ object SimOps {
     * the map-side heap shuffle. Train/encode are the same one-broadcast-
     * join passes as s08/s13.
     */
-  def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = graft.Caches.cache(vectors(spark, dir))
-    val isQuery = col("vec_id") % 50 === 0
+  def s14IvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(graft.Caches.cache(vectors(spark, dir)),
+      col("vec_id") % 50 === 0, nProbe = 2, k = 5)
+
+  /** The s14 core over any prepared vectors frame — exposed so the
+    * ScalingProbe can measure the composed index at 10x corpora.
+    */
+  private[graft] def ivfPqTopK(
+      v: DataFrame, isQuery: Column, nProbe: Int, k: Int): DataFrame = {
     val cells = cellCentroids(v)
     val assigned = assignCells(scoreCells(v, cells))
     val probes = scoreCells(v.filter(isQuery), cells)
       .groupBy(col("vec_id").as("qid"))
-      .agg(expr("graft_topk(ccos, cell, 2)").as("top"))
+      .agg(expr(s"graft_topk(ccos, cell, $nProbe)").as("top"))
       .select(col("qid"), explode(col("top").getField("id")).as("cell"))
     val cb = pqTrainedCodebook(v)
     adcTopK(
@@ -733,7 +739,7 @@ object SimOps {
           Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("adc", adcSum),
-      k = 5)
+      k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

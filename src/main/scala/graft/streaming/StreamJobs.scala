@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Typed rows for the custom-state example. */
@@ -291,6 +291,28 @@ object StreamJobs {
       .transformWithState(new TypeCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Session summaries via transformWithState EVENT-TIME TIMERS: each
+    * user's open session extends with every event, and a timer at
+    * (session end + gap) re-arms per batch; when the WATERMARK passes
+    * it, handleExpiredTimer emits the closed session and clears state.
+    * This is the push-based session close fMGWS can only approximate
+    * with processing-time timeouts (wall-clock-dependent, replay-
+    * unsafe): event-time timers fire deterministically from data
+    * progress, so a replay produces byte-identical output. The
+    * w02/session_window aggregation is the pull-based twin; the timer
+    * form is what powers emit-on-close alerting and state GC at 100 TB
+    * (state is O(open sessions), closed sessions leave the store the
+    * moment the watermark passes them).
+    */
+  def sessionCloseTws(events: Dataset[SessionEvent],
+      gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Typed rows for the MapState example. */
@@ -326,6 +348,59 @@ class TypeCountProcessor
     }
     touched.foreach { case (t, n) => counts.updateValue(t, n) }
     touched.iterator.map { case (t, n) => TypeCount(uid, t, n) }
+  }
+}
+
+/** Typed rows for the event-time-timer session example. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessionSummary(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long)
+case class SessionAcc(start: Long, end: Long, n: Long)
+
+/** StatefulProcessor for [[StreamJobs.sessionCloseTws]]: ValueState
+  * session accumulator + one event-time timer per key, re-armed at
+  * (session end + gap) on every batch that touches the key.
+  */
+class SessionTimerProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, SessionEvent, SessionSummary] {
+  @transient private var sess: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessionAcc]("sess",
+      org.apache.spark.sql.Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[SessionEvent],
+      timerValues: TimerValues): Iterator[SessionSummary] = {
+    val times = rows.map(_.ts.getTime).toSeq
+    val prev = Option(sess.get())
+    val acc = SessionAcc(
+      math.min(prev.map(_.start).getOrElse(Long.MaxValue), times.min),
+      math.max(prev.map(_.end).getOrElse(Long.MinValue), times.max),
+      prev.map(_.n).getOrElse(0L) + times.size)
+    sess.update(acc)
+    // single live timer per key: drop the stale one, arm at end + gap
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(acc.end + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      uid: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+    val s = sess.get()
+    if (s == null) Iterator.empty
+    else {
+      sess.clear()
+      Iterator(SessionSummary(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n))
+    }
   }
 }
 

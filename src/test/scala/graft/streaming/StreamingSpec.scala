@@ -380,6 +380,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sessionCloseTws: event-time timer emits the session only after watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SessionEvent]
+      val q = StreamJobs.sessionCloseTws(mem.toDS(), gapMs = 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      // batch 1: user 1's session [10:00, 10:05] -> timer armed at 10:35;
+      // watermark still 0, so nothing can emit
+      mem.addData(SessionEvent(1, ts("2024-01-01 10:00:00")),
+        SessionEvent(1, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws").isEmpty, "no emission before watermark")
+      // batch 2: unrelated user at 11:30 advances the watermark past the
+      // 10:35 timer (the engine schedules a no-data batch on watermark
+      // change, so processAllAvailable includes the timer firing):
+      // user 1's session closes; user 2's (timer 12:00) stays open
+      mem.addData(SessionEvent(2, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sess_tws")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(got == Set((1L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:05:00"), 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingNetFlow: stateful lag matches batch EnrichJob across batches") {
     implicit val sqlCtx = spark.sqlContext
     val b1 = Seq(
