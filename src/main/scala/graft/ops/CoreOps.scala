@@ -347,7 +347,34 @@ object CoreOps {
     spark.sql(sharedSubquerySql)
   }
 
+  /** Recursive-CTE reachability (Spark 4's WITH RECURSIVE, SPARK-24497)
+    * over the d03 near-dup pair graph: pairs are oriented doc_a < doc_b,
+    * so the edge set is a DAG and the recursion provably terminates in
+    * both engines; each source doc (never a doc_b) expands to every doc
+    * reachable through ascending near-dup edges. The data-DEPENDENT
+    * iteration d07 had to fix at 4 unrolled rounds (and
+    * propagateToFixpoint drives from the driver) runs here entirely
+    * inside the SQL engine — the third, declarative form of the same
+    * graph computation, recursion depth bounded by the longest ascending
+    * chain (family diameter, not corpus size).
+    */
+  def q23Reachability(spark: SparkSession, dir: String): DataFrame = {
+    DedupOps.d03LshNearDup(spark, dir).select("doc_a", "doc_b")
+      .createOrReplaceTempView("neardup_edges")
+    spark.sql(
+      """WITH RECURSIVE reach(root, node) AS (
+        |  SELECT doc_a, doc_a FROM (
+        |    SELECT DISTINCT doc_a FROM neardup_edges
+        |    WHERE doc_a NOT IN (SELECT doc_b FROM neardup_edges))
+        |  UNION ALL
+        |  SELECT r.root, e.doc_b
+        |  FROM reach r JOIN neardup_edges e ON e.doc_a = r.node
+        |)
+        |SELECT DISTINCT root, node FROM reach ORDER BY root, node""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_reachability" -> (q23Reachability _),
     "q22_subquery_surface" -> (q22SubquerySurface _),
     "q21_map_surface" -> (q21MapSurface _),
     "q20_global_filter_anti" -> (q20GlobalFilterAnti _),
@@ -374,6 +401,21 @@ object CoreOps {
   import EventsAdapter.{silverSql, enrichedSql, goldSql}
 
   val oracle: Map[String, String] = Map(
+    "q23_reachability" ->
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT doc_a, doc_b FROM (${DedupOps.d03Sql})
+         |),
+         |roots AS (
+         |  SELECT DISTINCT doc_a FROM edges
+         |  WHERE doc_a NOT IN (SELECT doc_b FROM edges)
+         |),
+         |reach(root, node) AS (
+         |  SELECT doc_a, doc_a FROM roots
+         |  UNION ALL
+         |  SELECT r.root, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.node
+         |)
+         |SELECT DISTINCT root, node FROM reach ORDER BY root, node""".stripMargin,
+
     "q19_sql_surface" -> sharedPricingSql,
     "q22_subquery_surface" -> sharedSubquerySql,
 

@@ -621,7 +621,7 @@ object DedupOps {
   private val bandsSqlList = (0 until numBands).map(bandSql)
 
   /** d03's oracle body, shared with the d07 component propagation. */
-  private val d03Sql: String =
+  private[graft] val d03Sql: String =
 
       s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents),
          |keyed AS (
