@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Typed rows for the custom-state example. */
@@ -313,6 +313,18 @@ object StreamJobs {
       .transformWithState(new SessionTimerProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Per-user last-k values on transformWithState ListState — the
+    * online-feature-buffer shape ("most recent k interactions per
+    * user"); see [[RecentValuesProcessor]] for the incremental-append
+    * contrast with a flatMapGroupsWithState buffer.
+    */
+  def recentValuesTws(events: Dataset[UserEvent], k: Int): Dataset[RecentValues] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentValuesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
 
 /** Typed rows for the MapState example. */
@@ -401,6 +413,49 @@ class SessionTimerProcessor(gapMs: Long)
       Iterator(SessionSummary(uid, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.end), s.n))
     }
+  }
+}
+
+/** Typed output row for the ListState example: a user's most recent
+  * values (newest first) after each batch that touches the user.
+  */
+case class RecentValues(user_id: Long, recent: Seq[Double], n_total: Long)
+
+/** StatefulProcessor for [[StreamJobs.recentValuesTws]]: a bounded
+  * last-k buffer per user in a ListState (+ total count in a
+  * ValueState). ListState appends are incremental writes — a batch
+  * appends its rows without rewriting the existing buffer; only the
+  * k-trim rewrites, and only when the buffer overflows. The
+  * flatMapGroupsWithState equivalent deserializes and reserializes the
+  * whole buffer every time the key appears.
+  */
+class RecentValuesProcessor(k: Int)
+    extends StatefulProcessor[Long, UserEvent, RecentValues] {
+  @transient private var buf: ListState[Double] = _
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[Double]("recent",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[RecentValues] = {
+    val incoming = rows.map(_.value).toArray
+    incoming.foreach(buf.appendValue)
+    val n = Option(total.get()).getOrElse(0L) + incoming.length
+    total.update(n)
+    val all = buf.get().toArray
+    val kept = all.takeRight(k)
+    if (all.length > k) { // trim: rewrite only on overflow
+      buf.clear()
+      kept.foreach(buf.appendValue)
+    }
+    Iterator(RecentValues(uid, kept.reverse.toSeq, n))
   }
 }
 

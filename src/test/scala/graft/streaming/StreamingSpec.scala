@@ -416,6 +416,34 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("recentValuesTws: ListState keeps a bounded newest-first buffer") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val q = StreamJobs.recentValuesTws(mem.toDS(), k = 3)
+        .writeStream.format("memory").queryName("recent_tws")
+        .outputMode("update").start()
+      mem.addData(UserEvent(1, 1.0), UserEvent(1, 2.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 3.0), UserEvent(1, 4.0))
+      q.processAllAvailable(); q.stop()
+      // after 4 appends with k=3: newest-first [4,3,2], total 4
+      val last = spark.table("recent_tws")
+        .as[(Long, Seq[Double], Long)].collect()
+        .filter(_._3 == 4L)
+      assert(last.toSeq == Seq((1L, Seq(4.0, 3.0, 2.0), 4L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingNetFlow: stateful lag matches batch EnrichJob across batches") {
     implicit val sqlCtx = spark.sqlContext
     val b1 = Seq(
