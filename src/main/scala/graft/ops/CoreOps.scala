@@ -373,7 +373,64 @@ object CoreOps {
         |SELECT DISTINCT root, node FROM reach ORDER BY root, node""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery: per-customer top-2 orders by price.
+    * The subquery references the outer row AND carries ORDER BY + LIMIT —
+    * the shape Catalyst decorrelates into a window-rank rewrite
+    * (DecorrelateInnerQuery): one hash shuffle on the join key, a
+    * per-key rank, never a per-customer probe. The same text runs in
+    * DuckDB (q19 discipline) modulo nothing — identical SQL.
+    *
+    * Scale posture: the rewrite is exactly W2's per-group top-k plan
+    * (partial rank pushdown via WindowGroupLimit), so a billion
+    * customers cost one shuffle; a nested-loop per outer row — what a
+    * naive LATERAL executor does — would be a per-row subquery storm.
+    */
+  val sharedLateralSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2
+      |) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  def q24LateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(sharedLateralSql)
+  }
+
+  /** NULL-semantics surface: NULLIF-planted nulls, count(*) vs
+    * count(col), a null-grouping key, and a null-safe equi-join
+    * (Spark `<=>` / DuckDB IS NOT DISTINCT FROM) against a 3-row dim
+    * whose key includes NULL. Spark keeps EqualNullSafe as a HASH join
+    * key (no nested loop for the null bucket); explicit NULLS FIRST on
+    * both sides because the engines' default null sort order differs.
+    */
+  def q25NullSurface(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nn"),
+        when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("price_nn"))
+    val dim = o.sparkSession.createDataFrame(Seq(
+        (Option("F"), "finished"), (Option("P"), "pending"),
+        (Option.empty[String], "open"))).toDF("s", "status_label")
+    o.join(broadcast(dim), col("status_nn") <=> col("s"), "left")
+      .groupBy(col("status_nn"), col("status_label"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        count(col("price_nn")).cast("long").as("n_price"),
+        sum(when(col("price_nn").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_null_price"),
+        countDistinct(col("o_custkey")).cast("long").as("n_cust"))
+      .orderBy(asc_nulls_first("status_nn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_lateral_topk" -> (q24LateralTopK _),
+    "q25_null_surface" -> (q25NullSurface _),
     "q23_reachability" -> (q23Reachability _),
     "q22_subquery_surface" -> (q22SubquerySurface _),
     "q21_map_surface" -> (q21MapSurface _),
@@ -418,6 +475,28 @@ object CoreOps {
 
     "q19_sql_surface" -> sharedPricingSql,
     "q22_subquery_surface" -> sharedSubquerySql,
+    "q24_lateral_topk" -> sharedLateralSql,
+
+    "q25_null_surface" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    NULLIF(o_orderstatus, 'O') AS status_nn,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |         ELSE o_totalprice END AS price_nn
+        |  FROM orders
+        |),
+        |dim(s, status_label) AS (
+        |  VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open')
+        |)
+        |SELECT status_nn, status_label,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(price_nn) AS BIGINT) AS n_price,
+        |  CAST(sum(CASE WHEN price_nn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_price,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM o LEFT JOIN dim ON status_nn IS NOT DISTINCT FROM s
+        |GROUP BY status_nn, status_label
+        |ORDER BY status_nn NULLS FIRST""".stripMargin,
 
     "q21_map_surface" ->
       """WITH m AS (

@@ -356,7 +356,52 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** PII scrub: regex redaction of emails, IPv4 addresses and phone
+    * numbers with per-rule hit counts — the map-side privacy pass every
+    * crawl pipeline runs before text leaves quarantine. The testdata
+    * corpus is synthetic and PII-free by construction, so each row first
+    * gets deterministic planted PII derived from doc_id (every doc an
+    * email, every 3rd an IPv4, every 5th a phone); the oracle then
+    * checks ENGINE PARITY of the regex surface (Java regex vs RE2 over
+    * the compatible subset: char classes, bounded repeats, `\b`) on
+    * rows where every rule provably fires, not a lucky zero-match.
+    * Rules apply in order (email first — its domain contains dots that
+    * must not leak into the IPv4 pass) and each rule counts matches on
+    * the text it actually rewrites.
+    *
+    * Scale posture: pure per-row map work, zero shuffles before the
+    * oracle-only sort; regex state compiles once per task. The planted
+    * concat stands in for the real corpus having PII inline.
+    */
+  def p11PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipPat = """\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"""
+    val phonePat = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val aug = concat(col("text"),
+      lit(" contact user"), s(id), lit("@mail-"), s(id % 7), lit(".example"),
+      when(id % 3 === 0,
+        concat(lit(" ip 10."), s(id % 256), lit(".0."), s(id % 100)))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" tel 415-555-"), s(lit(1000) + id % 9000)))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(id, aug.as("aug"))
+      .withColumn("n_email", regexp_count(col("aug"), lit(emailPat)).cast("long"))
+      .withColumn("t1", regexp_replace(col("aug"), emailPat, "<EMAIL>"))
+      .withColumn("n_ip", regexp_count(col("t1"), lit(ipPat)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), ipPat, "<IP>"))
+      .withColumn("n_phone", regexp_count(col("t2"), lit(phonePat)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("t2"), phonePat, "<PHONE>"))
+      .select(id, col("n_email"), col("n_ip"), col("n_phone"),
+        col("redacted"), length(col("redacted")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_pii_redaction" -> (p11PiiRedaction _),
     "p10_epoch_plan" -> (p10EpochPlan _),
     "p09_filter_cascade" -> (p09FilterCascade _),
     "p01_corpus_clean" -> (p01CorpusClean _),
@@ -370,6 +415,48 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p11_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' tel 415-555-' ||
+        |      CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS aug
+        |  FROM documents
+        |),
+        |r1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_email,
+        |    regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM aug
+        |),
+        |r2 AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1,
+        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ip,
+        |    regexp_replace(t1, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b',
+        |      '<IP>', 'g') AS t2
+        |  FROM r1
+        |),
+        |r3 AS (
+        |  SELECT doc_id, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+        |      '<PHONE>', 'g') AS redacted
+        |  FROM r2
+        |)
+        |SELECT doc_id, n_email, n_ip, n_phone, redacted,
+        |  CAST(length(redacted) AS BIGINT) AS redacted_len
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+
     "p10_epoch_plan" ->
       """WITH s AS (
         |  SELECT source,

@@ -150,6 +150,96 @@ object RelOps {
       .orderBy("op", "custkey")
   }
 
+  /** Two-sided interval-OVERLAP join via bin replication — the
+    * generalization of w12's point-in-interval range join. Left side:
+    * per-user 30-min-gap sessions (the w02 derivation) as closed
+    * [s_start, s_end] microsecond intervals. Right side: "spike hours"
+    * — hour buckets whose event count exceeds 1.1x the mean bucket
+    * count (integer cross-multiplied: cnt*n_buckets*10 > total*11 — no
+    * division, scale-free, deterministic). Overlap pairs = session x
+    * spike hour they intersect.
+    *
+    * Scale mechanics: each session EXPLODES into the hour bins it
+    * touches (`sequence(start div H, end div H)` — replication bounded
+    * by interval length / bin width), spikes are keyed by their bin,
+    * and the join is pure EQUALITY on the bin — a hash join, never the
+    * inequality nested-loop a naive overlap predicate compiles to. A
+    * spike spans exactly one bin so no pair-dedup pass is needed;
+    * general right-side intervals would bin-replicate too and dedup on
+    * the pair key. This is THE standard temporal/spatial overlap plan
+    * at 100 TB (bin width trades replication factor vs join fanout).
+    */
+  def w19IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L // 1h in microseconds
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1)
+      .otherwise(0)
+    val sessions = ev
+      .withColumn("sess_id",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_start"),
+        max(unix_micros(col("ts"))).as("s_end"))
+    val buckets = ev
+      .select(expr(s"unix_micros(ts) div $H").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    val tot = buckets.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_buckets"))
+    val spikes = buckets.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("n_buckets") * 10 > col("total") * 11)
+      .select(col("h"), col("cnt").as("n_spike_events"))
+    val binned = sessions.select(col("user_id"), col("sess_id"),
+      col("s_start"), col("s_end"),
+      explode(expr(s"sequence(s_start div $H, s_end div $H)")).as("h"))
+    binned.join(spikes, Seq("h"))
+      .select(col("user_id"), col("sess_id"), col("s_start"), col("s_end"),
+        (col("h") * H).as("spike_start_us"), col("n_spike_events"),
+        (least(col("s_end"), col("h") * H + (H - 1)) -
+          greatest(col("s_start"), col("h") * H)).as("overlap_us"))
+      .orderBy("user_id", "sess_id", "spike_start_us")
+  }
+
+  /** Z-order (Morton-curve) clustering stats — the arithmetic core of
+    * Delta/Iceberg `OPTIMIZE ZORDER BY(a, b)`: min-max scale two
+    * dimensions (user_id, event hour) to 16-bit rank space, interleave
+    * their bits into a 32-bit z-value, bucket on the top 6 z-bits (an
+    * 8x8 grid) and report each bucket's 2-D bounding box. The payoff
+    * the stats exhibit: every z-bucket is TIGHT IN BOTH dimensions
+    * (~1/8 of each global range, spec-pinned), so files written in
+    * z-bucket order let min/max file stats prune scans with predicates
+    * on EITHER dimension — a 1-D sort gives tight bounds on one
+    * dimension and useless full-range bounds on the other.
+    *
+    * All-integer pipeline (scale, interleave, bucket are exact bit/÷
+    * arithmetic — bit-identical across engines); the only shuffles are
+    * the 1-row min/max agg (broadcast back) and the O(64)-group bucket
+    * agg. At 100 TB the same z column feeds repartitionByRange +
+    * sortWithinPartitions before the write — the layout step itself is
+    * I/O, not compute.
+    */
+  def w20ZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("u"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+    val stats = ev.agg(min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+      min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+    ev.crossJoin(broadcast(stats))
+      .select(col("u"), col("h"),
+        expr("(u - min_u) * 65535 div greatest(max_u - min_u, 1)").as("a"),
+        expr("(h - min_h) * 65535 div greatest(max_h - min_h, 1)").as("b"))
+      .withColumn("z", graft.sources.ZOrder.zCol(col("a"), col("b"), 16))
+      .withColumn("z_bucket", graft.sources.ZOrder.bucket(col("z"), 16, 3))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("u")).as("min_user"), max(col("u")).as("max_user"),
+        min(col("h")).as("min_hour"), max(col("h")).as("max_hour"))
+      .orderBy("z_bucket")
+  }
+
   /** Distinct-cardinality sketch (HLL++): the shuffle-light scale path for
     * A4's COUNT(DISTINCT) (SURVEY.md §2.4). No oracle — sketch estimates
     * are engine-specific, so the driver records a rows-only check; the
@@ -506,6 +596,8 @@ object RelOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w20_zorder_stats" -> (w20ZorderStats _),
+    "w19_interval_overlap" -> (w19IntervalOverlap _),
     "w17_running_distinct" -> (w17RunningDistinct _),
     "w18_set_ops_all" -> (w18SetOpsAll _),
     "w16_grouping_sets" -> (w16GroupingSets _),
@@ -526,7 +618,79 @@ object RelOps {
     "w05_set_ops" -> (w05SetOps _)
   )
 
+  private val zSqlExpr = (0 until 16).map(i =>
+    s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "w20_zorder_stats" ->
+      s"""WITH ev AS (
+         |  SELECT user_id AS u, epoch_us(ts) // 3600000000 AS h FROM events
+         |),
+         |st AS (
+         |  SELECT min(u) AS min_u, max(u) AS max_u,
+         |         min(h) AS min_h, max(h) AS max_h
+         |  FROM ev
+         |),
+         |scaled AS (
+         |  SELECT u, h,
+         |    (u - min_u) * 65535 // greatest(max_u - min_u, 1) AS a,
+         |    (h - min_h) * 65535 // greatest(max_h - min_h, 1) AS b
+         |  FROM ev, st
+         |),
+         |z AS (SELECT u, h, ($zSqlExpr) AS z FROM scaled)
+         |SELECT z // 67108864 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(u) AS min_user, max(u) AS max_user,
+         |  min(h) AS min_hour, max(h) AS max_hour
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+
+    "w19_interval_overlap" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |y AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS sess_id
+        |  FROM x
+        |),
+        |s AS (
+        |  SELECT user_id, sess_id,
+        |    min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+        |  FROM y GROUP BY user_id, sess_id
+        |),
+        |b AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |),
+        |t AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total, count(*) AS n_buckets
+        |  FROM b
+        |),
+        |sp AS (
+        |  SELECT h, cnt AS n_spike_events FROM b, t
+        |  WHERE cnt * n_buckets * 10 > total * 11
+        |),
+        |bin AS (
+        |  SELECT user_id, sess_id, s_start, s_end,
+        |    unnest(generate_series(s_start // 3600000000,
+        |                           s_end // 3600000000)) AS h
+        |  FROM s
+        |)
+        |SELECT bin.user_id, bin.sess_id, bin.s_start, bin.s_end,
+        |  CAST(sp.h * 3600000000 AS BIGINT) AS spike_start_us,
+        |  CAST(sp.n_spike_events AS BIGINT) AS n_spike_events,
+        |  CAST(least(bin.s_end, sp.h * 3600000000 + 3599999999) -
+        |       greatest(bin.s_start, sp.h * 3600000000) AS BIGINT)
+        |    AS overlap_us
+        |FROM bin JOIN sp ON bin.h = sp.h
+        |ORDER BY user_id, sess_id, spike_start_us""".stripMargin,
+
     "w18_set_ops_all" ->
       """WITH a AS (
         |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000

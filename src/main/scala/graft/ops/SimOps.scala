@@ -742,7 +742,71 @@ object SimOps {
       k)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09 — the fusion modern lexical+vector search stacks run):
+    * for each query doc (doc_id % 100 = 0, embeddings align 1:1 with
+    * documents on id), rank candidates on a LEXICAL channel
+    * (shared-distinct-word-bigram count — the d05 n-gram idiom) and a
+    * VECTOR channel (exact quantized cosine, the s01 idiom), keep each
+    * channel's top-20, fuse with rrf = 1/(60+r_text) + 1/(60+r_vec)
+    * (absent-from-list contributes 0), emit the fused top-10.
+    *
+    * Determinism: ranks are integer row_numbers with doc_id tiebreaks;
+    * rrf is two IEEE divisions and ONE addition in fixed order —
+    * bit-identical across engines. Scale posture: the lexical channel
+    * is an equality join on bigram (broadcast query side, map-side
+    * combine into the (qid, doc) agg); the vector channel is the
+    * broadcast-queries corpus scan (swap in s07/s08 banding per query
+    * volume); the fusion full-outer join touches only the two bounded
+    * top-k lists — 40 rows per query, never corpus-sized.
+    */
+  def s15RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams =
+      "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-1, 1))," +
+        " i -> array_join(slice(split(text, ' '), i, 2), ' ')))"
+    val bg = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(bigrams)).as("bg")))
+    val qb = bg.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("bg"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("shared").desc, col("doc_id").asc)
+    val textTop = bg.join(broadcast(qb), Seq("bg"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("text_rank", row_number().over(wT))
+      .filter(col("text_rank") <= 20)
+      .select(col("qid"), col("doc_id"),
+        col("text_rank").cast("long").as("text_rank"))
+    val v = vectors(spark, dir)
+    val qv = v.filter(col("vec_id") % 100 === 0).select(
+      col("vec_id").as("qid"), col("qv").as("qemb"),
+      col("vnorm").as("qnorm"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val vecTop = v.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("vec_rank", row_number().over(wV))
+      .filter(col("vec_rank") <= 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("vec_rank").cast("long").as("vec_rank"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    textTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .withColumn("final_rank", row_number().over(wF))
+      .filter(col("final_rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("text_rank"), col("vec_rank"),
+        col("rrf"), col("final_rank").cast("long").as("final_rank"))
+      .orderBy("qid", "final_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_rrf_hybrid" -> (s15RrfHybrid _),
     "s14_ivf_pq" -> (s14IvfPq _),
     "s13_pq_adc" -> (s13PqAdc _),
     "s12_mips_topk" -> (s12MipsTopk _),
@@ -884,6 +948,61 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s15_rrf_hybrid" ->
+      s"""WITH $unnestSql,
+         |bgx AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split(text, ' '))-1, 1)),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))))
+         |    AS bg
+         |  FROM documents
+         |),
+         |tt AS (
+         |  SELECT q.doc_id AS qid, d.doc_id AS doc_id, count(*) AS shared
+         |  FROM bgx d JOIN bgx q ON d.bg = q.bg
+         |  WHERE q.doc_id % 100 = 0 AND d.doc_id <> q.doc_id
+         |  GROUP BY q.doc_id, d.doc_id
+         |),
+         |ttop AS (
+         |  SELECT qid, doc_id, CAST(rr AS BIGINT) AS text_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY shared DESC, doc_id ASC) AS rr FROM tt)
+         |  WHERE rr <= 20
+         |),
+         |d AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS doc_id, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |c AS (
+         |  SELECT qid, d.doc_id, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid
+         |         JOIN n nv ON nv.vec_id = d.doc_id
+         |),
+         |vtop AS (
+         |  SELECT qid, doc_id, CAST(rr AS BIGINT) AS vec_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, doc_id ASC) AS rr FROM c)
+         |  WHERE rr <= 20
+         |),
+         |fused AS (
+         |  SELECT COALESCE(t.qid, v.qid) AS qid,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    t.text_rank, v.vec_rank,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + t.text_rank), 0.0) +
+         |      COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf
+         |  FROM ttop t FULL OUTER JOIN vtop v
+         |    ON t.qid = v.qid AND t.doc_id = v.doc_id
+         |)
+         |SELECT qid, doc_id, text_rank, vec_rank, rrf,
+         |  CAST(fr AS BIGINT) AS final_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, doc_id ASC) AS fr FROM fused)
+         |WHERE fr <= 10 ORDER BY qid, final_rank""".stripMargin,
 
     "s14_ivf_pq" ->
       s"""WITH $unnestSql,

@@ -563,6 +563,90 @@ class OpsSpec extends SparkTestBase {
     assert(detailSum == total)
   }
 
+  test("p11: planted PII is redacted completely and counted per rule") {
+    val rows = PipelineOps.p11PiiRedaction(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""".r
+    val ip = """\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b""".r
+    val phone = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b""".r
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val red = r.getAs[String]("redacted")
+      assert(r.getAs[Long]("n_email") >= 1 && red.contains("<EMAIL>"))
+      if (id % 3 == 0)
+        assert(r.getAs[Long]("n_ip") >= 1 && red.contains("<IP>"))
+      if (id % 5 == 0)
+        assert(r.getAs[Long]("n_phone") >= 1 && red.contains("<PHONE>"))
+      // completeness: nothing PII-shaped survives any rule's pass
+      assert(email.findFirstIn(red).isEmpty)
+      assert(ip.findFirstIn(red).isEmpty)
+      assert(phone.findFirstIn(red).isEmpty)
+    }
+  }
+
+  test("s15: RRF score is exactly the rank formula, descending per query") {
+    val rows = SimOps.s15RrfHybrid(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = Option(r.getAs[java.lang.Long]("text_rank")).map(_.toLong)
+      val v = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      assert(t.nonEmpty || v.nonEmpty) // fused rows come from a real list
+      t.foreach(x => assert(x >= 1 && x <= 20))
+      v.foreach(x => assert(x >= 1 && x <= 20))
+      val exp = t.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        v.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == exp)
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("final_rank"))
+      assert(sorted.map(_.getAs[Long]("final_rank")).toSeq == (1 to rs.length))
+      val sc = sorted.map(_.getAs[Double]("rrf")).toSeq
+      assert(sc == sc.sorted.reverse)
+    }
+  }
+
+  test("q24: lateral top-2 equals the window-rank formulation") {
+    val lat = CoreOps.q24LateralTopK(spark, sf0001).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val exp = graft.Tables.orders(spark, sf0001)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .join(graft.Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+      .collect()
+    assert(lat.nonEmpty && lat.toSet == exp.toSet)
+  }
+
+  test("w19: overlaps are positive, bounded by the hour, and genuine") {
+    val rows = RelOps.w19IntervalOverlap(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val H = 3600000000L
+    rows.foreach { r =>
+      val (s0, s1) = (r.getAs[Long]("s_start"), r.getAs[Long]("s_end"))
+      val w0 = r.getAs[Long]("spike_start_us")
+      // the session really intersects the spike hour (closed intervals)
+      assert(s0 <= w0 + H - 1 && w0 <= s1)
+      val ov = r.getAs[Long]("overlap_us")
+      assert(ov >= 0 && ov <= H - 1 && ov <= (s1 - s0))
+    }
+  }
+
+  test("w20: every z-bucket is tight in BOTH dimensions") {
+    val rows = RelOps.w20ZorderStats(spark, sf0001).collect()
+    assert(rows.length > 8) // a genuine 2-D grid, not a 1-D degenerate
+    val gu = rows.map(_.getAs[Long]("max_user")).max -
+      rows.map(_.getAs[Long]("min_user")).min
+    val gh = rows.map(_.getAs[Long]("max_hour")).max -
+      rows.map(_.getAs[Long]("min_hour")).min
+    rows.foreach { r =>
+      // 8x8 grid => each cell spans ~1/8 of each range; allow 4x slack
+      assert(r.getAs[Long]("max_user") - r.getAs[Long]("min_user") <= gu / 4)
+      assert(r.getAs[Long]("max_hour") - r.getAs[Long]("min_hour") <= gh / 4)
+    }
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")

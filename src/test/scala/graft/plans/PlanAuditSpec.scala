@@ -27,6 +27,11 @@ class PlanAuditSpec extends SparkTestBase {
     "t05_tfidf" -> Set("BroadcastNestedLoopJoin"),
     // t05's scalar pattern: 1-row corpus-total broadcast cross join
     "t08_unigram_surprisal" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row bucket-totals broadcast gating the spike filter; the overlap
+    // join itself is equality on the hour bin
+    "w19_interval_overlap" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row dim-bounds broadcast feeding the min-max scaling
+    "w20_zorder_stats" -> Set("BroadcastNestedLoopJoin"),
     // broadcast query-set / codebook top-k scans
     "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
     "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
@@ -35,6 +40,10 @@ class PlanAuditSpec extends SparkTestBase {
     "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
     // MIPS scan = corpus x broadcast queries, same family as s01/s04
     "s12_mips_topk" -> Set("BroadcastNestedLoopJoin"),
+    // hybrid RRF: the vector channel is the s01-family broadcast-queries
+    // scan; the lexical channel joins on bigram, the fusion join on
+    // (qid, doc_id) — both hash
+    "s15_rrf_hybrid" -> Set("BroadcastNestedLoopJoin"),
     // PQ: codebook scan (vectors x broadcast 10-row codebook) + ADC scan
     // (code table x broadcast per-query distance tables) — both the
     // intended s01/s08-family broadcast scans

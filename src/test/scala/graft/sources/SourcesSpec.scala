@@ -184,6 +184,42 @@ class SourcesSpec extends SparkTestBase {
     assert(scans.head.metadata("PartitionFilters").nonEmpty)
   }
 
+  test("z-order layout: a 2-D query box prunes to the intersecting buckets") {
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    // full 256x256 grid, one row per cell — every bucket exactly 1024 rows
+    val base = spark.range(65536).select(
+      expr("id div 256").as("x"), (col("id") % 256).as("y"))
+    val (bits, bb) = (8, 3) // 8x8 buckets over the 256x256 domain
+    base.withColumn("zb",
+        ZOrder.bucket(ZOrder.zCol(col("x"), col("y"), bits), bits, bb))
+      .repartition(col("zb"))
+      .write.partitionBy("zb").parquet(s"$dir/z")
+    // 1-D layout: directories on x only; y spread across files inside
+    base.withColumn("xb", expr("x div 32")).withColumn("yb", expr("y div 32"))
+      .repartition(64, col("xb"), col("yb"))
+      .write.partitionBy("xb").parquet(s"$dir/linear")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      assert(df.collect().length == 65536 / 8) // y-stripe = 1/8 of rows
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    // query box: the y < 32 stripe (predicate on the NON-leading dim)
+    val buckets = ZOrder.bucketsFor(0, 255, 0, 31, bits, bb)
+    assert(buckets.size == 8) // one row of the 8x8 grid
+    val zFiles = filesRead(spark.read.parquet(s"$dir/z")
+      .filter(col("zb").isin(buckets: _*) && col("y") < 32))
+    val linFiles = filesRead(
+      spark.read.parquet(s"$dir/linear").filter(col("y") < 32))
+    // z-order: file listing prunes to the 8 intersecting cells; the
+    // x-sorted layout must read every file (y spans the full range in
+    // each) — the EITHER-dimension pruning 1-D sorting cannot give
+    assert(zFiles == 8, s"expected 8 z-bucket files, read $zFiles")
+    assert(zFiles * 3 <= linFiles,
+      s"z-order should prune vs linear: z=$zFiles linear=$linFiles")
+  }
+
   test("schema evolution: mergeSchema unions old and new partition schemas") {
     val dir = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath + "/t"
     // old partition: no ebike column; new partition adds it
