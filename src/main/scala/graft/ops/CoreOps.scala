@@ -359,7 +359,14 @@ object CoreOps {
     * chain (family diameter, not corpus size).
     */
   def q23Reachability(spark: SparkSession, dir: String): DataFrame = {
-    DedupOps.d03LshNearDup(spark, dir).select("doc_a", "doc_b")
+    // EAGERLY materialize the edge list (localCheckpoint) before the
+    // recursion: the recursive UNION ALL re-scans this view once per
+    // iteration, and an un-pinned view would recompute the whole d03
+    // LSH-candidate + verify subtree each round (measured 8-11s at
+    // sf0.1 vs ~3s pinned — the d11/AQE lesson in NOTES applies to
+    // recursion too).
+    graft.Caches.checkpoint(
+        DedupOps.d03LshNearDup(spark, dir).select("doc_a", "doc_b"))
       .createOrReplaceTempView("neardup_edges")
     spark.sql(
       """WITH RECURSIVE reach(root, node) AS (

@@ -805,7 +805,53 @@ object SimOps {
       .orderBy("qid", "final_rank")
   }
 
+  /** Sparse TF-cosine near-dup pairs over word-4-gram postings — the
+    * SPARSE-vector twin of s03's dense embedding channel (and the
+    * cosine twin of d05's set Jaccard): docs are sparse count vectors
+    * in 4-gram space, dot products accumulate through a posting-list
+    * self-join on the gram (sum tf_a*tf_b over shared grams — the
+    * classic search-engine/DISCO formulation), norms are per-doc
+    * integer aggregates, and the >= 0.6 cosine gate is evaluated as
+    * the integer cross-multiplication 25*dot^2 >= 9*na*nb — no float
+    * enters the predicate, so the pair set is bit-identical across
+    * engines (the reported cosine is one IEEE expression per row).
+    *
+    * Scale mechanics: join work is sum over grams of df(g)^2 — 4-gram
+    * df concentrates near 1 (measured max df 6 at sf0.1), so the join
+    * stays linear-ish in corpus size; a natural-language corpus caps
+    * hot grams (stopword runs) with a df ceiling on the CANDIDATE side
+    * or reuses d03's banding, then verifies with this exact dot. One
+    * hash shuffle on gram + one on the pair key; norms broadcast-join
+    * the O(pairs) result.
+    */
+  def s16SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val grams = "transform(sequence(1, greatest(size(split(text, ' '))-3, 1))," +
+      " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+    val p = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(grams)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf")))
+    val n = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
+    val d = p.select(col("doc_id").as("doc_a"), col("g"), col("tf").as("tfa"))
+      .join(p.select(col("doc_id").as("doc_b"), col("g"), col("tf").as("tfb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    d.join(n.select(col("doc_id").as("doc_a"), col("nsq").as("norm_a")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("nsq").as("norm_b")),
+        Seq("doc_b"))
+      .filter(col("dot") * col("dot") * 25 >= col("norm_a") * col("norm_b") * 9)
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("norm_a"), col("norm_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("norm_a").cast("double")) *
+            sqrt(col("norm_b").cast("double")))).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_sparse_cosine" -> (s16SparseCosine _),
     "s15_rrf_hybrid" -> (s15RrfHybrid _),
     "s14_ivf_pq" -> (s14IvfPq _),
     "s13_pq_adc" -> (s13PqAdc _),
@@ -948,6 +994,35 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    "s16_sparse_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id, g, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(t)-3, 1)),
+        |      i -> array_to_string(t[i:i+3], ' '))) AS g
+        |    FROM toks)
+        |  GROUP BY doc_id, g
+        |),
+        |n AS (SELECT doc_id, SUM(tf*tf) AS nsq FROM p GROUP BY doc_id),
+        |d AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         SUM(a.tf * b.tf) AS dot
+        |  FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+        |  CAST(na.nsq AS BIGINT) AS norm_a, CAST(nb.nsq AS BIGINT) AS norm_b,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+        |    AS cosine
+        |FROM d JOIN n na ON na.doc_id = doc_a
+        |       JOIN n nb ON nb.doc_id = doc_b
+        |WHERE 25 * dot * dot >= 9 * na.nsq * nb.nsq
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "s15_rrf_hybrid" ->
       s"""WITH $unnestSql,

@@ -647,6 +647,20 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("s16: sparse-cosine pairs are oriented, gated, and Cauchy-Schwarz") {
+    val rows = SimOps.s16SparseCosine(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val (dot, na, nb) = (r.getAs[Long]("dot"),
+        r.getAs[Long]("norm_a"), r.getAs[Long]("norm_b"))
+      assert(25 * dot * dot >= 9 * na * nb) // the integer >= 0.6 gate
+      assert(dot * dot <= na * nb) // Cauchy-Schwarz: cosine <= 1
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.6 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
