@@ -69,8 +69,20 @@ object ScalingProbe {
     }
   }
 
+  /** s16 shape: sparse 4-gram TF-cosine posting join on the same
+    * word-soup corpus (adjacent docs share 7 grams, everything else is
+    * unique — gram df concentrates at 1-2, the 4-gram regime s16's
+    * Scaladoc claims). Work = sum of df(g)^2, so runtime should scale
+    * ~linearly in n.
+    */
+  private def sparseProbe(spark: SparkSession, n: Int): Unit =
+    time("s16_sparse_cosine", n) {
+      graft.ops.SimOps.sparseCosinePairs(wordSoup(spark, n)).count()
+    }
+
   def main(args: Array[String]): Unit = {
     val dedupMode = args.headOption.contains("dedup")
+    val sparseMode = args.headOption.contains("sparse")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -82,6 +94,11 @@ object ScalingProbe {
 
     if (dedupMode) {
       dedupProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (sparseMode) {
+      sparseProbe(spark, if (args.length > 1) args(1).toInt else 500000)
       spark.stop()
       return
     }

@@ -824,10 +824,17 @@ object SimOps {
     * hash shuffle on gram + one on the pair key; norms broadcast-join
     * the O(pairs) result.
     */
-  def s16SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+  def s16SparseCosine(spark: SparkSession, dir: String): DataFrame =
+    sparseCosinePairs(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** The s16 core over any (doc_id, text) frame — exposed so the
+    * ScalingProbe can measure the posting-join posture on a planted
+    * corpus (`ScalingProbe sparse <n>`).
+    */
+  private[graft] def sparseCosinePairs(docs: DataFrame): DataFrame = {
     val grams = "transform(sequence(1, greatest(size(split(text, ' '))-3, 1))," +
       " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-    val p = graft.Caches.cache(Tables.documents(spark, dir)
+    val p = graft.Caches.cache(docs
       .select(col("doc_id"), explode(expr(grams)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf")))
     val n = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
