@@ -156,6 +156,48 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * component-agreement estimate (matching minhash components / 15)
+    * next to the EXACT shingle Jaccard the estimator approximates —
+    * the measurement that justifies trusting d03's banding math in
+    * production (E[matches/k] = J; with k=15, sigma = sqrt(J(1-J)/15)
+    * ~ 0.1, spec-pinned at 5 sigma). Candidates only — the estimate is
+    * free (signatures already exist), the exact verify is the d03
+    * merge kernel, and the whole query shares d03's cached frames and
+    * O(n) candidate bound; nothing corpus-squared anywhere.
+    */
+  def d14MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cand = lshCandidates(spark, dir)
+    val sigs = graft.Caches.cache(Tables.documents(spark, dir)
+      .withColumn("sig", expr("graft_minhash(text)"))
+      .select(col("doc_id"), col("sig")))
+    val sh = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr")))
+    val estExpr = (0 until NumHashes).map(i =>
+      s"(CASE WHEN element_at(sig_a, ${i + 1}) = element_at(sig_b, ${i + 1})" +
+        " THEN 1 ELSE 0 END)").mkString(" + ")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(estExpr).cast("long").as("est_matches"),
+        expr("graft_sorted_common(sh_a, sh_b)").as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("est_jaccard",
+        col("est_matches").cast("double") / NumHashes)
+      .withColumn("exact_jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash: 16 hex-position majority votes over per-token md5 digests ->
     * 16-bit fingerprint. Near-identical token multisets collapse to the
     * same signature; at scale, grouping on the signature (or signature
@@ -603,6 +645,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_minhash_calibration" -> (d14MinhashCalibration _),
     "d13_substring_dedup" -> (d13SubstringDedup _),
     "d12_chunk_dedup" -> (d12ChunkDedup _),
     "d10_bloom_decontamination" -> (d10BloomDecontamination _),
@@ -686,6 +729,55 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "d14_minhash_calibration" ->
+      s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, unnest([${bandsSqlList.mkString(", ")}]) AS key,
+         |         unnest([${(0 until numBands).mkString(", ")}]) AS band
+         |  FROM hxt
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id
+         |),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${(0 until NumHashes).map(i => s"${mhSql(i)} AS m$i")
+        .mkString(",\n    ")}
+         |  FROM hxt
+         |),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ${(0 until NumHashes).map(i =>
+        s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+         |      AS est_matches
+         |  FROM cand c
+         |  JOIN sigs a ON a.doc_id = c.doc_a
+         |  JOIN sigs b ON b.doc_id = c.doc_b
+         |)
+         |SELECT e.doc_a, e.doc_b,
+         |  CAST(e.est_matches AS BIGINT) AS est_matches,
+         |  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+         |  CAST(e.est_matches AS DOUBLE) / $NumHashes AS est_jaccard,
+         |  CAST(COALESCE(cm.n_common, 0) AS DOUBLE) /
+         |    (za.n_sh + zb.n_sh - COALESCE(cm.n_common, 0)) AS exact_jaccard
+         |FROM est e
+         |LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+         |JOIN sizes za ON za.doc_id = e.doc_a
+         |JOIN sizes zb ON zb.doc_id = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
     "d13_substring_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

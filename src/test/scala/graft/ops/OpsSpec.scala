@@ -661,6 +661,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("d14: minhash estimate tracks exact Jaccard within 5 sigma") {
+    val rows = DedupOps.d14MinhashCalibration(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
+      // k=15 components: sigma = sqrt(J(1-J)/15) <= 0.13; 5 sigma bound
+      assert(math.abs(est - ex) <= 0.65,
+        s"estimator off by ${math.abs(est - ex)} on pair " +
+          s"(${r.getAs[Long]("doc_a")}, ${r.getAs[Long]("doc_b")})")
+    }
+    // planted near-dups (exact J >= 0.8) must score high estimates too
+    val hi = rows.filter(_.getAs[Double]("exact_jaccard") >= 0.8)
+    assert(hi.nonEmpty)
+    hi.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.4))
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
