@@ -400,7 +400,54 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (CDC, Rabin-style): a chunk boundary
+    * falls BEFORE every token whose md5 leads with nibble 0 or 8
+    * (P = 1/8 — measured ~5.5-token average chunks including doc
+    * starts), then duplicated chunks across the corpus are surfaced by
+    * content hash. Unlike p06's fixed windows or d12's fixed 16-word
+    * chunks, CDC boundaries RESYNCHRONIZE after insertions/deletions —
+    * a one-word edit shifts at most the chunk it lands in, so shared
+    * boilerplate keeps identical chunk hashes across revisions (the
+    * rsync/backup-dedup property, and how production corpus dedup
+    * catches templated spans whole-doc hashing misses).
+    *
+    * Scale: one window shuffle keyed on doc_id (per-doc token order —
+    * bounded by doc length, never corpus-wide), one hash agg on the
+    * chunk hash; output O(duplicated boilerplate chunks).
+    */
+  /** The CDC core over any (doc_id, text) frame: one row per
+    * content-defined chunk — exposed so the spec can pin the
+    * resynchronization property on a planted edit.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos0"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .withColumn("b",
+        when(substring(md5(col("tok")), 1, 1).isin("0", "8"), 1).otherwise(0))
+      .withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos0"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
+  def p12CdcChunk(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(spark, dir).select("doc_id", "text"))
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(count(lit(1)).cast("long").as("n_copies"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("example_doc"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_cdc_chunk" -> (p12CdcChunk _),
     "p11_pii_redaction" -> (p11PiiRedaction _),
     "p10_epoch_plan" -> (p10EpochPlan _),
     "p09_filter_cascade" -> (p09FilterCascade _),
@@ -415,6 +462,38 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p12_cdc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN substring(md5(tok), 1, 1) IN ('0', '8')
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM t
+        |),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+        |  FROM f
+        |),
+        |ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        |    count(*) AS n_tokens
+        |  FROM c GROUP BY doc_id, chunk_id
+        |)
+        |SELECT md5(chunk_text) AS chunk_hash,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS example_doc,
+        |  CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        |FROM ch GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
+
     "p11_pii_redaction" ->
       """WITH aug AS (
         |  SELECT doc_id,

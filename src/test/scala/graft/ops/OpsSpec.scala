@@ -679,6 +679,26 @@ class OpsSpec extends SparkTestBase {
     hi.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.4))
   }
 
+  test("p12: CDC boundaries resynchronize after a one-word edit") {
+    // doc 2 = doc 1 with ONE middle word replaced; CDC must keep every
+    // chunk hash except the edited chunk's (fixed windows would shift
+    // every downstream chunk if the edit changed token count — here we
+    // also verify the structural claim that only ONE chunk differs)
+    val words = (1 to 60).map(i => s"tok$i")
+    val orig = words.mkString(" ")
+    val edited = words.updated(29, "CHANGED").mkString(" ")
+    val docs = Seq((1L, orig), (2L, edited)).toDF("doc_id", "text")
+    val ch = PipelineOps.cdcChunks(docs)
+      .select(col("doc_id"), col("chunk_text")).collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    assert(h1.size > 4) // the probe doc really splits into many chunks
+    // every chunk except the edited one (and at most its neighbor, if
+    // the replaced word was a boundary) survives byte-identical
+    assert((h1 -- h2).size <= 2, s"unshared: ${h1 -- h2}")
+    assert((h2 -- h1).size <= 2)
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
