@@ -400,6 +400,38 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
 
+  /** Quality-aware keeper selection per near-dup family: production
+    * dedup keeps the BEST member of each duplicate family, not the
+    * smallest id (d11's policy) — the crawl with the least boilerplate,
+    * the longest clean revision. Quality here is the integer lexical
+    * diversity n_distinct_tokens * 1e6 div n_tokens (no float anywhere;
+    * any scoring column drops in), keeper = top quality with doc_id as
+    * the total-order tiebreak.
+    *
+    * 100 TB posture: families come from d07's propagation (one join +
+    * agg per round); the keeper rank is a window over FAMILY members
+    * only (families are near-dup-population-sized, never corpus-sized),
+    * and the quality join touches just those members.
+    */
+  def d15QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val quality = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
+      " * 1000000 div size(split(text, ' '))"
+    val members = neardupLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("component"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(quality).as("quality")), Seq("doc_id"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val counts = members.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(counts, Seq("component"))
+      .select(col("component"), col("n_members"),
+        col("doc_id").as("keeper_doc_id"), col("quality").as("keeper_quality"))
+      .orderBy("component")
+  }
+
   /** End-to-end fuzzy-dedup pipeline — the operator a training-data run
     * actually calls, composing the stages d02/d03/d07 expose one at a
     * time: MinHash -> banded LSH candidates -> exact-Jaccard verify ->
@@ -645,6 +677,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_quality_keeper" -> (d15QualityKeeper _),
     "d14_minhash_calibration" -> (d14MinhashCalibration _),
     "d13_substring_dedup" -> (d13SubstringDedup _),
     "d12_chunk_dedup" -> (d12ChunkDedup _),
@@ -729,6 +762,34 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "d15_quality_keeper" ->
+      s"""WITH comp AS (
+         |  SELECT doc_id, component FROM ($d07Sql)
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      * 1000000 // len(string_split(text, ' ')) AS quality
+         |  FROM documents
+         |),
+         |j AS (
+         |  SELECT c.doc_id, c.component, q.quality
+         |  FROM comp c JOIN q ON q.doc_id = c.doc_id
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY component
+         |    ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM j
+         |),
+         |m AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM j GROUP BY component
+         |)
+         |SELECT r.component, m.n_members, r.doc_id AS keeper_doc_id,
+         |       CAST(r.quality AS BIGINT) AS keeper_quality
+         |FROM r JOIN m ON m.component = r.component
+         |WHERE rn = 1 ORDER BY r.component""".stripMargin,
+
     "d14_minhash_calibration" ->
       s"""WITH hxt AS (SELECT doc_id, $baseHashSql AS hx FROM documents),
          |keyed AS (

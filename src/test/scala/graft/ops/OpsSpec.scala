@@ -699,6 +699,25 @@ class OpsSpec extends SparkTestBase {
     assert((h2 -- h1).size <= 2)
   }
 
+  test("d15: keeper is the family member with the best (quality, -id)") {
+    val keepers = DedupOps.d15QualityKeeper(spark, sf0001).collect()
+    assert(keepers.nonEmpty)
+    val members = DedupOps.d07NeardupComponents(spark, sf0001)
+      .join(graft.Tables.documents(spark, sf0001).select(col("doc_id"),
+        expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
+          " * 1000000 div size(split(text, ' '))").as("q")), Seq("doc_id"))
+      .collect()
+      .groupBy(_.getAs[Long]("component"))
+    assert(keepers.map(_.getAs[Long]("component")).toSet == members.keySet)
+    keepers.foreach { k =>
+      val fam = members(k.getAs[Long]("component"))
+      assert(k.getAs[Long]("n_members") == fam.length)
+      val best = fam.map(m => (m.getAs[Long]("q"), -m.getAs[Long]("doc_id"))).max
+      assert((k.getAs[Long]("keeper_quality"),
+        -k.getAs[Long]("keeper_doc_id")) == best)
+    }
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
