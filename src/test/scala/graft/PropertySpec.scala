@@ -213,4 +213,21 @@ object SparkWindowProps extends Properties("spark-windows") {
         }
       }
     }
+
+  property("ZOrder.bucketsFor = exactly the grid cells the box intersects") =
+    Prop.forAll(
+      Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L),
+      Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)) { (a1, a2, b1, b2) =>
+      import graft.sources.ZOrder
+      val (bits, bb) = (8, 3)
+      val (aLo, aHi) = (math.min(a1, a2), math.max(a1, a2))
+      val (bLo, bHi) = (math.min(b1, b2), math.max(b1, b2))
+      val got = ZOrder.bucketsFor(aLo, aHi, bLo, bHi, bits, bb).toSet
+      // brute force: a cell is in iff some point of the box z-buckets to it
+      val cell = 1L << (bits - bb)
+      val expected = (for {
+        a <- aLo to aHi; b <- bLo to bHi
+      } yield ZOrder.zValue(a / cell, b / cell, bb)).toSet
+      got == expected
+    }
 }
