@@ -729,7 +729,7 @@ object DedupOps {
          |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 4 unrolled min-label-propagation rounds over d03's pair graph. */
-  private val d07Sql: String = {
+  private[graft] val d07Sql: String = {
     def round(k: Int): String =
       s"""l${k} AS (
          |  SELECT l.doc_id,

@@ -446,7 +446,37 @@ object PipelineOps {
       .filter(col("n_copies") > 1)
       .orderBy("chunk_hash")
 
+  /** Leakage-safe train/val/test split: p02's salted-hash split keyed
+    * on the NEAR-DUP FAMILY instead of the document, so no family ever
+    * straddles train and eval — the split-leakage bug (a near-duplicate
+    * of a training doc landing in test) that silently inflates evals.
+    * family_id = d07's component label, or the doc's own id for
+    * singletons — so every non-duplicated doc keeps EXACTLY the p02
+    * split (same salt, same hash), and only family members move, onto
+    * their family's bucket. Both properties are spec-pinned.
+    *
+    * 100 TB posture: the family-label frame is near-dup-population-
+    * sized (far smaller than the corpus) so the left join broadcasts;
+    * everything else is the same per-row hash map work as p02.
+    */
+  def p13LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val fam = DedupOps.d07NeardupComponents(spark, dir)
+    Tables.documents(spark, dir).select("doc_id")
+      .join(broadcast(fam), Seq("doc_id"), "left")
+      .withColumn("family_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(family_id AS STRING)))," +
+          " 1, 8), 16, 10) AS BIGINT) % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select("doc_id", "family_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_leakage_safe_split" -> (p13LeakageSafeSplit _),
     "p12_cdc_chunk" -> (p12CdcChunk _),
     "p11_pii_redaction" -> (p11PiiRedaction _),
     "p10_epoch_plan" -> (p10EpochPlan _),
@@ -462,6 +492,26 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p13_leakage_safe_split" ->
+      s"""WITH comp AS (
+         |  SELECT doc_id, component FROM (${DedupOps.d07Sql})
+         |),
+         |f AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS family_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, CAST(family_id AS BIGINT) AS family_id,
+         |  CAST('0x' || substring(md5('split:' || CAST(family_id AS VARCHAR)),
+         |    1, 8) AS BIGINT) % 10 AS bucket,
+         |  CASE WHEN CAST('0x' ||
+         |         substring(md5('split:' || CAST(family_id AS VARCHAR)), 1, 8)
+         |         AS BIGINT) % 10 < 8 THEN 'train'
+         |       WHEN CAST('0x' ||
+         |         substring(md5('split:' || CAST(family_id AS VARCHAR)), 1, 8)
+         |         AS BIGINT) % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "p12_cdc_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -718,6 +718,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("p13: no near-dup family straddles splits; singletons match p02") {
+    val split = PipelineOps.p13LeakageSafeSplit(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("family_id"), r.getAs[String]("split"))).toMap
+    val fams = DedupOps.d07NeardupComponents(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("component"))
+    assert(fams.nonEmpty)
+    // leakage safety: every member of a family lands in the same split
+    fams.foreach { case (_, members) =>
+      val splits = members.map(m => split(m.getAs[Long]("doc_id"))._2).toSet
+      assert(splits.size == 1, s"family straddles splits: $splits")
+    }
+    // singletons (no family) keep exactly the p02 assignment
+    val famDocs = fams.values.flatten.map(_.getAs[Long]("doc_id")).toSet
+    val p02 = PipelineOps.p02HashSplit(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val singles = split.keySet -- famDocs
+    assert(singles.nonEmpty)
+    singles.foreach(id => assert(split(id)._2 == p02(id)))
+  }
+
   test("retention: deletes only files older than the cutoff") {
     val dir = Files.createTempDirectory("graft_retention")
     val old = dir.resolve("old.parquet"); val fresh = dir.resolve("new.parquet")
