@@ -595,7 +595,36 @@ object RelOps {
       .orderBy("event_id")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) build: turn a change log
+    * (orders = "customer's priority changed to X at date D") into the
+    * versioned dimension table — one row per (key, version) with
+    * [valid_from, valid_to) half-open validity, valid_to = next
+    * change's date (NULL on the current version), version_no dense per
+    * key, is_current flag. This is the table Delta's MERGE-based SCD2
+    * recipe maintains incrementally; facts then join by key + as-of
+    * (w03's union trick) — the build itself is the missing half.
+    *
+    * One window shuffle on the dimension key (lead + row_number share
+    * the same sort); the dimension is key-population-sized, never
+    * fact-sized. Ties within a date break on o_orderkey so versions
+    * are totally ordered in both engines.
+    */
+  def w21Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version_no"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .orderBy("custkey", "version_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w21_scd2_build" -> (w21Scd2Build _),
     "w20_zorder_stats" -> (w20ZorderStats _),
     "w19_interval_overlap" -> (w19IntervalOverlap _),
     "w17_running_distinct" -> (w17RunningDistinct _),
@@ -623,6 +652,18 @@ object RelOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "w21_scd2_build" ->
+      """SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version_no,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, version_no""".stripMargin,
+
     "w20_zorder_stats" ->
       s"""WITH ev AS (
          |  SELECT user_id AS u, epoch_us(ts) // 3600000000 AS h FROM events
