@@ -359,22 +359,25 @@ object CoreOps {
     * chain (family diameter, not corpus size).
     */
   def q23Reachability(spark: SparkSession, dir: String): DataFrame = {
-    // EAGERLY materialize the edge list (localCheckpoint) before the
-    // recursion: the recursive UNION ALL re-scans this view once per
-    // iteration, and an un-pinned view would recompute the whole d03
-    // LSH-candidate + verify subtree each round (measured 8-11s at
-    // sf0.1 vs ~3s pinned — the d11/AQE lesson in NOTES applies to
-    // recursion too).
-    graft.Caches.checkpoint(
-        DedupOps.d03LshNearDup(spark, dir).select("doc_a", "doc_b"))
+    // The recursion re-scans this view once per iteration; it is a scan
+    // of the write-once materialized pair graph (DedupOps.pairGraph), so
+    // each round costs a tiny parquet read — no recompute, no pin needed.
+    DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b")
       .createOrReplaceTempView("neardup_edges")
+    // DISTINCT inside the recursive step: the working table at depth k
+    // is then the DISTINCT (root, node) pairs reachable in exactly k
+    // steps — bounded by the pair count — instead of one row per WALK.
+    // Near-dup families are cliques, and a k-clique has ~2^(k-2) walks
+    // root->member; per-step dedup caps the blow-up at depth x pairs
+    // (k^3-ish for a clique) while leaving the result set unchanged
+    // (the final DISTINCT already collapsed duplicate pairs).
     spark.sql(
       """WITH RECURSIVE reach(root, node) AS (
         |  SELECT doc_a, doc_a FROM (
         |    SELECT DISTINCT doc_a FROM neardup_edges
         |    WHERE doc_a NOT IN (SELECT doc_b FROM neardup_edges))
         |  UNION ALL
-        |  SELECT r.root, e.doc_b
+        |  SELECT DISTINCT r.root, e.doc_b
         |  FROM reach r JOIN neardup_edges e ON e.doc_a = r.node
         |)
         |SELECT DISTINCT root, node FROM reach ORDER BY root, node""".stripMargin)
@@ -476,7 +479,8 @@ object CoreOps {
          |reach(root, node) AS (
          |  SELECT doc_a, doc_a FROM roots
          |  UNION ALL
-         |  SELECT r.root, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.node
+         |  SELECT DISTINCT r.root, e.doc_b
+         |  FROM reach r JOIN edges e ON e.doc_a = r.node
          |)
          |SELECT DISTINCT root, node FROM reach ORDER BY root, node""".stripMargin,
 

@@ -460,7 +460,16 @@ object PipelineOps {
     * everything else is the same per-row hash map work as p02.
     */
   def p13LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val fam = DedupOps.d07NeardupComponents(spark, dir)
+    // CONVERGED family labels (fixpoint propagation), NOT d07's fixed
+    // 4-round unroll: a family whose pair graph has diameter > 4 (a
+    // chain of successive revisions) would under-merge at 4 rounds and
+    // silently leak near-duplicates across splits — the exact bug this
+    // operator exists to prevent. The oracle keeps d07Sql's unrolled
+    // form; the fixture's families all converge within 4 rounds, so the
+    // two agree there (and the convergence `require` inside
+    // convergedComponents turns any future divergence into a loud
+    // failure instead of a silent leak).
+    val fam = DedupOps.convergedComponents(spark, dir)
     Tables.documents(spark, dir).select("doc_id")
       .join(broadcast(fam), Seq("doc_id"), "left")
       .withColumn("family_id", coalesce(col("component"), col("doc_id")))

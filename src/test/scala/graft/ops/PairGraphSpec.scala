@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The write-once near-dup pair-graph intermediate: built exactly once
+  * per dataset dir, and every consumer (d03/d07/q23/p13) SCANS the
+  * materialized parquet — no Generate/explode, no minhash recompute —
+  * plus the p13 fixpoint-vs-4-round divergence the materialization
+  * round fixed.
+  */
+class PairGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Write a (doc_id, text) corpus as `documents.parquet` under a fresh
+    * temp dir shaped like a testdata sf dir.
+    */
+  private def plant(docs: Seq[(Long, String)], tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft_pg_$tag").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def word(i: Int): String = f"tok$i%04d"
+
+  /** A corpus with one exact near-dup pair (1,2) and filler docs. */
+  private lazy val pairDir: String = {
+    val shared = (0 until 80).map(word).mkString(" ")
+    val fillers = (10L to 29L).map(i =>
+      i -> (200 until 280).map(j => word((j * (i.toInt + 7)) % 9973)).mkString(" "))
+    plant(Seq(1L -> shared, 2L -> shared) ++ fillers, "pair")
+  }
+
+  test("pair graph: built once per dir, every further consumer scans it") {
+    val before = DedupOps.buildCount
+    val d03a = DedupOps.d03LshNearDup(spark, pairDir).collect()
+    val afterFirst = DedupOps.buildCount
+    assert(afterFirst == before + 1)
+    // planted near-dup pair present with J = 1.0
+    assert(d03a.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Double]("jaccard") == 1.0))
+    // further consumers (d03 again, d07, d11) trigger NO rebuild
+    DedupOps.d03LshNearDup(spark, pairDir).collect()
+    DedupOps.d07NeardupComponents(spark, pairDir).collect()
+    DedupOps.d11DedupPipeline(spark, pairDir).collect()
+    assert(DedupOps.buildCount == afterFirst)
+  }
+
+  test("consumer plans scan the materialized table: no Generate anywhere") {
+    DedupOps.pairGraph(spark, pairDir).count() // ensure built
+    val d03 = DedupOps.d03LshNearDup(spark, pairDir)
+    val d03Plan = d03.queryExecution.optimizedPlan.toString
+    assert(d03.inputFiles.nonEmpty &&
+      d03.inputFiles.forall(_.contains("graft-pairgraph")),
+      s"d03 does not scan the materialized pair graph: ${d03.inputFiles.toSeq}")
+    assert(!d03Plan.contains("Generate"),
+      s"d03 plan still contains an explode:\n$d03Plan")
+    val q23 = graft.ops.CoreOps.q23Reachability(spark, pairDir)
+    val q23Plan = q23.queryExecution.optimizedPlan.toString
+    assert(q23.inputFiles.nonEmpty &&
+      q23.inputFiles.forall(_.contains("graft-pairgraph")),
+      s"q23 does not scan the materialized pair graph: ${q23.inputFiles.toSeq}")
+    assert(!q23Plan.contains("Generate"),
+      s"q23 plan still contains an explode:\n$q23Plan")
+  }
+
+  /** A 7-doc sliding-window chain: consecutive docs share 140 of 150
+    * words (J ~ 0.875 >= 0.8), two-apart docs share 130 of 170
+    * (J ~ 0.76 < 0.8) — a diameter-6 PATH in the pair graph, the shape
+    * that under-merges at 4 propagation rounds.
+    */
+  private lazy val chainDir: String = {
+    val base = (0 until 250).map(word)
+    val docs = (0L to 6L).map(i =>
+      (100L + i) -> base.slice(i.toInt * 10, i.toInt * 10 + 150).mkString(" "))
+    plant(docs, "chain")
+  }
+
+  test("p13 uses CONVERGED labels: a diameter-6 chain is ONE family") {
+    // the pair graph really is the consecutive-pair path
+    val pairs = DedupOps.pairGraph(spark, chainDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert((0L to 5L).map(i => (100L + i, 101L + i)).toSet.subsetOf(pairs),
+      s"chain pairs missing from $pairs")
+    // d07's fixed 4-round unroll under-merges the chain (>= 2 components)
+    val d07Comps = DedupOps.d07NeardupComponents(spark, chainDir)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 106L)
+      .select("component").distinct().count()
+    assert(d07Comps >= 2,
+      "expected the 4-round unroll to under-merge a diameter-6 chain")
+    // p13 (fixpoint labels) puts the WHOLE chain in one family/one split
+    val p13 = PipelineOps.p13LeakageSafeSplit(spark, chainDir)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 106L)
+      .collect()
+    assert(p13.length == 7)
+    assert(p13.map(_.getAs[Long]("family_id")).toSet == Set(100L))
+    assert(p13.map(_.getAs[String]("split")).toSet.size == 1)
+  }
+}
