@@ -760,12 +760,39 @@ object SimOps {
     * volume); the fusion full-outer join touches only the two bounded
     * top-k lists — 40 rows per query, never corpus-sized.
     */
-  def s15RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+  /** Document-frequency cap for s15's lexical channel: grams held by
+    * more than `maxDf` documents are stop-grams — they carry no
+    * discriminating signal and their posting lists dominate the join
+    * (this corpus's ~900-bigram dense vocabulary made the uncapped
+    * channel join ~15M rows at sf0.1 — the honest worst case r5's
+    * VERDICT asked to turn into a lever). The cut is applied as a
+    * LEFT ANTI join against the stop-gram list because that list is
+    * the provably SMALL side (at most total-postings / maxDf grams can
+    * exceed the cap), so it broadcasts at any corpus size, while the
+    * kept rare-gram vocabulary grows with the corpus.
+    */
+  private[graft] val S15MaxDf = 100
+
+  def s15RrfHybrid(spark: SparkSession, dir: String): DataFrame =
+    s15RrfHybrid(spark, dir, S15MaxDf)
+
+  private[graft] def s15RrfHybrid(
+      spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val bigrams =
       "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-1, 1))," +
         " i -> array_join(slice(split(text, ' '), i, 2), ' ')))"
-    val bg = graft.Caches.cache(Tables.documents(spark, dir)
+    val bgAll = graft.Caches.cache(Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(bigrams)).as("bg")))
+    // bgAll is distinct per (doc, gram) (array_distinct before the
+    // explode), so count(*) per gram IS the document frequency.
+    val stop = bgAll.groupBy("bg")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("bg")
+    // The CUT posting list is what both channel scans reuse — cache it,
+    // so the anti join against the broadcast stop list runs once.
+    val bg = graft.Caches.cache(
+      bgAll.join(broadcast(stop), Seq("bg"), "left_anti"))
     val qb = bg.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("qid"), col("bg"))
     val wT = Window.partitionBy(col("qid"))
@@ -1040,9 +1067,17 @@ object SimOps {
          |    AS bg
          |  FROM documents
          |),
+         |stopg AS (
+         |  SELECT bg FROM (SELECT bg, count(*) AS df FROM bgx GROUP BY bg)
+         |  WHERE df > ${S15MaxDf}
+         |),
+         |bgf AS (
+         |  SELECT doc_id, bg FROM bgx
+         |  WHERE bg NOT IN (SELECT bg FROM stopg)
+         |),
          |tt AS (
          |  SELECT q.doc_id AS qid, d.doc_id AS doc_id, count(*) AS shared
-         |  FROM bgx d JOIN bgx q ON d.bg = q.bg
+         |  FROM bgf d JOIN bgf q ON d.bg = q.bg
          |  WHERE q.doc_id % 100 = 0 AND d.doc_id <> q.doc_id
          |  GROUP BY q.doc_id, d.doc_id
          |),

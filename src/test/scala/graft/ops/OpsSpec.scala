@@ -605,6 +605,42 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("s15: the df cap drops stop-grams but planted rare-gram pairs survive") {
+    // 300 docs sharing a dense filler vocabulary (every filler bigram has
+    // df = 300 > maxDf = 100 -> dropped); query doc 100 and its twin 57
+    // also share the bigram "rarexx999 mateyy999" (df = 2 -> kept), so
+    // after the cut the twin is the ONLY lexical match for query 100.
+    val dir = Files.createTempDirectory("graft_s15_cap").toString
+    val filler = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = (1L to 300L).map { i =>
+      val extra = if (i == 100L || i == 57L) " rarexx999 mateyy999" else ""
+      (i, s"$filler$extra")
+    }
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dim = 64
+    docs.map { case (i, _) =>
+      (i, Array.tabulate(dim)(j => if (j == (i % dim).toInt) 1.0f else 0.0f),
+        (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SimOps.s15RrfHybrid(spark, dir).collect()
+    val q100Text = rows.filter(r => r.getAs[Long]("qid") == 100L &&
+      !r.isNullAt(r.fieldIndex("text_rank")))
+    assert(q100Text.map(_.getAs[Long]("doc_id")).toSeq == Seq(57L),
+      s"expected doc 57 as the only lexical match for query 100, got " +
+        q100Text.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(q100Text.head.getAs[Long]("text_rank") == 1L)
+    // without the cap the filler grams flood the channel: every doc is a
+    // lexical match for query 100 (capped at the top-20 list)
+    val uncapped = SimOps.s15RrfHybrid(spark, dir, maxDf = Int.MaxValue)
+      .collect().filter(r => r.getAs[Long]("qid") == 100L &&
+        !r.isNullAt(r.fieldIndex("text_rank")))
+    assert(uncapped.length > 1)
+  }
+
   test("q24: lateral top-2 equals the window-rank formulation") {
     val lat = CoreOps.q24LateralTopK(spark, sf0001).collect()
     val w = org.apache.spark.sql.expressions.Window
