@@ -13,11 +13,11 @@ import scala.collection.mutable
   */
 object Caches {
   private val live = mutable.Buffer.empty[DataFrame]
-  // (SparkContext, rddId) pairs persisted by eager localCheckpoints —
-  // these bypass the CacheManager, so Dataset.unpersist can't release
-  // them; they are dropped by id instead.
+  // RDDs persisted by eager localCheckpoints — these bypass the
+  // CacheManager, so Dataset.unpersist can't release them; they are
+  // dropped directly instead.
   private val checkpointed =
-    mutable.Buffer.empty[(org.apache.spark.SparkContext, Int)]
+    mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** `df.cache()` + registration; returns `df` for chaining. */
   def cache(df: DataFrame): DataFrame = synchronized {
@@ -36,11 +36,18 @@ object Caches {
     * intra-query lifecycle this registry manages.
     */
   def checkpoint(df: DataFrame): DataFrame = synchronized {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(true)
-    (sc.getPersistentRDDs.keySet -- before).foreach(id =>
-      checkpointed += ((sc, id)))
+    // Capture the checkpointed RDD DIRECTLY from the returned plan (a
+    // LogicalRDD leaf wrapping the freshly persisted internal RDD) —
+    // diffing sc.getPersistentRDDs around the call misattributes any
+    // RDD persisted concurrently by another thread or by AQE background
+    // materialization, and would force-unpersist someone else's blocks.
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        checkpointed += lr.rdd
+      case _ => ()
+    }
     out
   }
 
@@ -50,9 +57,7 @@ object Caches {
   def unpersistAll(): Unit = synchronized {
     live.foreach(_.unpersist(false))
     live.clear()
-    checkpointed.foreach { case (sc, id) =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
-    }
+    checkpointed.foreach(_.unpersist(blocking = false))
     checkpointed.clear()
   }
 }

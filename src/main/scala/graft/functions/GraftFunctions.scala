@@ -83,6 +83,13 @@ object GraftHash {
     * ScalingProbe runtime).
     */
   def pqDists(a: ArrayData, b: ArrayData): ArrayData = {
+    // registered as a general SQL function: validate the hard-coded
+    // 64-element/8-subspace shape up front so a misshapen caller gets a
+    // descriptive error, not an out-of-bounds read
+    if (a.numElements() != 64 || b.numElements() != 64)
+      throw new IllegalArgumentException(
+        "graft_pq_dists expects two 64-element arrays (8 subspaces x 8 " +
+          s"dims), got ${a.numElements()} and ${b.numElements()} elements")
     val out = new Array[Long](8)
     var m = 0
     while (m < 8) {
@@ -90,6 +97,9 @@ object GraftHash {
       var j = m * 8
       val end = j + 8
       while (j < end) {
+        if (a.isNullAt(j) || b.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"graft_pq_dists: null array element at index $j")
         val d = a.getLong(j) - b.getLong(j)
         acc += d * d
         j += 1
@@ -104,10 +114,29 @@ object GraftHash {
     * (dtab is the code-major flattened per-query distance table).
     */
   def adc(dtab: ArrayData, codes: ArrayData): Long = {
+    if (codes.numElements() != 8)
+      throw new IllegalArgumentException(
+        s"graft_adc expects 8 subspace codes, got ${codes.numElements()}")
+    if (dtab.numElements() % 8 != 0)
+      throw new IllegalArgumentException(
+        "graft_adc expects a code-major distance table with 8 entries " +
+          s"per codeword, got ${dtab.numElements()} elements")
+    val nCodes = dtab.numElements() / 8
     var acc = 0L
     var m = 0
     while (m < 8) {
-      acc += dtab.getLong(codes.getLong(m).toInt * 8 + m)
+      if (codes.isNullAt(m))
+        throw new IllegalArgumentException(
+          s"graft_adc: null code at subspace $m")
+      val c = codes.getLong(m)
+      if (c < 0 || c >= nCodes)
+        throw new IllegalArgumentException(
+          s"graft_adc: code $c at subspace $m out of range [0, $nCodes)")
+      val idx = c.toInt * 8 + m
+      if (dtab.isNullAt(idx))
+        throw new IllegalArgumentException(
+          s"graft_adc: null distance-table entry at index $idx")
+      acc += dtab.getLong(idx)
       m += 1
     }
     acc

@@ -299,6 +299,10 @@ object PipelineOps {
   def p09FilterCascade(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val nTok = org.apache.spark.sql.functions.size(t)
+    // n_tokens < 2 is DEFINED as one degenerate single-token "bigram"
+    // (ratio 0.0) in BOTH engines: the oracle mirrors this exact guarded
+    // idiom (generate_series(1, greatest(len-1,1)) + a truncating slice),
+    // so a 1-token document scores identically across engines.
     val bigrams = "transform(sequence(1, greatest(size(split(text, ' '))-1, 1))," +
       " i -> array_join(slice(split(text, ' '), i, 2), ' '))"
     val stopRatio = (org.apache.spark.sql.functions.size(filter(t, x =>
@@ -631,7 +635,8 @@ object PipelineOps {
         |      x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
         |      / len(toks) AS stop_ratio,
         |    1.0 - CAST(len(list_distinct(list_transform(
-        |        range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])))
+        |        generate_series(1, greatest(len(toks) - 1, 1)),
+        |        i -> array_to_string(toks[i:i+1], ' '))))
         |        AS DOUBLE) / greatest(len(toks) - 1, 1) AS dup_bigram_ratio,
         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
         |  FROM s

@@ -641,6 +641,42 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.length > 1)
   }
 
+  test("p09: a 1-token document scores dup_bigram_ratio 0.0, not 1.0") {
+    // the degenerate-bigram guard must agree across engines (the oracle
+    // states the same truncating-slice idiom); latent until a fixture
+    // carries a 1-token doc, so plant one
+    val dir = Files.createTempDirectory("graft_p09_one").toString
+    Seq((1L, "solo"), (2L, "two tokens here and more of the and the"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PipelineOps.p09FilterCascade(spark, dir).collect()
+    val solo = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(solo.getAs[Long]("n_tokens") == 1L)
+    assert(solo.getAs[Double]("dup_bigram_ratio") == 0.0)
+    // bit 4 (repetition) must NOT fire for the 1-token doc
+    assert((solo.getAs[Long]("fail_mask") & 4L) == 0L)
+  }
+
+  test("w06: HLL estimate stays within the 5% rsd band of the exact count") {
+    // w06 is the suite's one rows-only oracle entry (HLL estimates are
+    // engine-specific); this bounds it: Spark's approx_count_distinct
+    // at rsd=0.02 must sit within a 5% relative-error band of the exact
+    // countDistinct computed in the same aggregation, at both dev SFs.
+    Seq(sf0001, sf001).foreach { sf =>
+      val rows = RelOps.w06ApproxDistinct(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val approx = r.getAs[Long]("approx_users").toDouble
+        val exact = r.getAs[Long]("exact_users").toDouble
+        assert(exact > 0)
+        assert(math.abs(approx - exact) / exact < 0.05,
+          s"$sf ${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+      }
+    }
+  }
+
   test("q24: lateral top-2 equals the window-rank formulation") {
     val lat = CoreOps.q24LateralTopK(spark, sf0001).collect()
     val w = org.apache.spark.sql.expressions.Window

@@ -69,6 +69,17 @@ class PairGraphSpec extends SparkTestBase {
       s"q23 plan still contains an explode:\n$q23Plan")
   }
 
+  test("Caches.checkpoint pins the propagation rounds and releases them all") {
+    graft.Caches.unpersistAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.d07NeardupComponents(spark, pairDir).collect()
+    // the 4 propagation rounds (+ seed) pinned RDD blocks
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    graft.Caches.unpersistAll()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "checkpointed RDDs leaked past unpersistAll")
+  }
+
   /** A 7-doc sliding-window chain: consecutive docs share 140 of 150
     * words (J ~ 0.875 >= 0.8), two-apart docs share 130 of 170
     * (J ~ 0.76 < 0.8) — a diameter-6 PATH in the pair graph, the shape
