@@ -80,9 +80,32 @@ object ScalingProbe {
       graft.ops.SimOps.sparseCosinePairs(wordSoup(spark, n)).count()
     }
 
+  /** d13 shape: exact-substring pair generation on the word-soup corpus
+    * (adjacent docs share a 10-token window -> 3 shared word-8-grams,
+    * everything else unique). Pair generation is star-shaped (k sharers
+    * of a gram emit k-1 rows), so runtime should grow ~linearly in n.
+    */
+  private def substrProbe(spark: SparkSession, n: Int): Unit =
+    time("d13_substring_pairs", n) {
+      graft.ops.DedupOps.substringPairs(wordSoup(spark, n)).count()
+    }
+
+  /** p12 shape: content-defined chunking — pure per-row scan work (the
+    * boundary hash and chunk assembly never shuffle more than the
+    * (doc, chunk) rows), so runtime should grow ~linearly in n.
+    */
+  private def cdcProbe(spark: SparkSession, n: Int): Unit =
+    time("p12_cdc_chunks", n) {
+      graft.ops.PipelineOps.cdcChunks(
+        wordSoup(spark, n)).groupBy(md5(col("chunk_text")))
+        .count().count()
+    }
+
   def main(args: Array[String]): Unit = {
     val dedupMode = args.headOption.contains("dedup")
     val sparseMode = args.headOption.contains("sparse")
+    val substrMode = args.headOption.contains("substr")
+    val cdcMode = args.headOption.contains("cdc")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -99,6 +122,16 @@ object ScalingProbe {
     }
     if (sparseMode) {
       sparseProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (substrMode) {
+      substrProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (cdcMode) {
+      cdcProbe(spark, if (args.length > 1) args(1).toInt else 500000)
       spark.stop()
       return
     }

@@ -743,7 +743,16 @@ object DedupOps {
     val g = graft.Caches.cache(docs
       .filter(expr(s"size($words) >= 8"))
       .select(col("doc_id"), explode(expr(grams)).as("gram")))
+    // merge hint: `rep` is GRAM-CARDINALITY-sized (one row per distinct
+    // gram — ~corpus-sized), so it must never broadcast; the post-agg
+    // stats under-estimate it and Catalyst would otherwise collect the
+    // whole gram table to the driver (measured: the 500k-doc
+    // ScalingProbe run died on a >1 GiB broadcast, and a shuffled hash
+    // join OOM'd building per-partition maps). Sort-merge on the gram
+    // partitioning the groupBy already produced is the spill-safe plan
+    // for two corpus-sized sides.
     val rep = g.groupBy("gram").agg(min(col("doc_id")).as("doc_a"))
+      .hint("merge")
     // count, not countDistinct: (doc_id, gram) rows are already distinct
     // (array_distinct before the explode) and rep has one row per gram,
     // so joined (doc_a, doc_b, gram) rows are unique — a plain count
