@@ -138,41 +138,62 @@ object DedupOps {
     materializedRoots.getOrElseUpdate(dir, {
       buildCount += 1
       val root = s"$scratchBase/${materializedRoots.size}"
-      graft.functions.GraftFunctions.register(spark)
-      val bandArr = (0 until numBands).map(j => band(j, mh))
-        .mkString("array(", ", ", ")")
       // Band table: one row per (doc, band). Written first so candidate
       // generation (and the streaming band-join) scans parquet, never
       // the minhash chain. coalesce: presentation-scale output (a few
       // rows per doc); the 100 TB shape partitions on band instead.
-      Tables.documents(spark, dir)
-        .withColumn("sig", expr("graft_minhash(text)"))
-        .select(col("doc_id"), posexplode(expr(bandArr)).as(Seq("band", "key")))
+      bandExplode(Tables.documents(spark, dir))
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$root/bands")
       // Verified pair graph: candidates from the band table self-join,
       // exact-Jaccard verify on candidates only — the d03 semantics.
       val cand = candidatesFrom(spark.read.parquet(s"$root/bands"))
-      val sh = graft.Caches.cache(Tables.documents(spark, dir)
-        .select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr")))
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")),
-          Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("graft_sorted_common(sh_a, sh_b)").as("n_common"),
-          size(col("sh_a")).cast("long").as("n_a"),
-          size(col("sh_b")).cast("long").as("n_b"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")))
-        .filter(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+      val sh = graft.Caches.cache(shingleArrays(Tables.documents(spark, dir)))
+      verifyPairs(cand, sh)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/pairs")
       root
     })
+  }
+
+  /** (doc_id, band, key) LSH band rows for any (doc_id, text) frame —
+    * the per-doc minhash+banding pass, shared by the write-once build
+    * and the streaming incremental near-dup job.
+    */
+  private[graft] def bandExplode(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bandArr = (0 until numBands).map(j => band(j, mh))
+      .mkString("array(", ", ", ")")
+    docs.withColumn("sig", expr("graft_minhash(text)"))
+      .select(col("doc_id"), posexplode(expr(bandArr)).as(Seq("band", "key")))
+  }
+
+  /** (doc_id, sh_arr) sorted shingle arrays for any (doc_id, text)
+    * frame — the verify-side input of the exact-Jaccard merge kernel.
+    */
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr"))
+
+  /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs:
+    * join each side's sorted shingle array from `sh` and merge-count
+    * the overlap with the codegen'd kernel, keeping J >= 0.8.
+    */
+  private[graft] def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(cand.sparkSession)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_common(sh_a, sh_b)").as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
   /** Banded LSH candidate pairs (doc_a < doc_b, distinct across bands)

@@ -210,6 +210,77 @@ object StreamJobs {
     q.awaitTermination()
   }
 
+  /** Streaming INCREMENTAL near-dup detection — the continual-ingest
+    * twin of the batch MinHash+LSH pipeline (d03/d07) and the near-dup
+    * counterpart of d09's exact incremental dedup: each micro-batch of
+    * (doc_id, text) is MinHashed and band-keyed, its band keys are
+    * joined against the ACCUMULATED band table (the same write-once
+    * lakehouse intermediate `DedupOps.materializedRoot` builds for the
+    * batch suite), candidates are exact-Jaccard-verified, and the new
+    * edges are APPENDED to the pair-graph table; finally the batch's
+    * own bands and docs are appended so later batches pair against
+    * everything before them. No streaming state at all — the
+    * accumulator IS the lakehouse table, which is what lets a daily
+    * 100 TB ingest resume from plain parquet instead of a state store.
+    *
+    * Per-batch cost at scale: batch_bands x matching band buckets (the
+    * bucketed equality join), verify only on candidates — the corpus is
+    * never rescanned. Candidates cover batch-vs-corpus AND
+    * batch-vs-batch (self-join), so intra-batch twins pair too. Edges
+    * are normalized doc_a < doc_b. Appends are per-batch-id via the
+    * checkpoint (AvailableNow restart rewrites nothing new), though a
+    * mid-batch crash can duplicate an append — downstream consumers
+    * dedup on (doc_a, doc_b), same as every append-only edge log.
+    */
+  def incrementalNearDup(
+      stream: DataFrame,
+      bandsPath: String,
+      docsPath: String,
+      edgesPath: String,
+      checkpoint: String): Unit = {
+    def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
+        path: String, like: DataFrame): DataFrame =
+      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select("doc_id", "text").persist()
+        try {
+          val newBands = graft.ops.DedupOps.bandExplode(b)
+          val priorBands = readOrEmpty(spark, bandsPath, newBands)
+          // batch-vs-accumulated: equality join on (band, key), pair
+          // normalized to doc_a < doc_b
+          val vsPrior = newBands
+            .select(col("doc_id").as("x"), col("band"), col("key"))
+            .join(priorBands.select(col("doc_id").as("y"), col("band"),
+              col("key")), Seq("band", "key"))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("doc_a"),
+              greatest(col("x"), col("y")).as("doc_b"))
+          // batch-vs-batch: twins arriving in the same micro-batch
+          val within = newBands
+            .select(col("doc_id").as("doc_a"), col("band"), col("key"))
+            .join(newBands.select(col("doc_id").as("doc_b"), col("band"),
+              col("key")), Seq("band", "key"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b")
+          val cand = vsPrior.union(within).distinct()
+          val sh = graft.ops.DedupOps.shingleArrays(
+            readOrEmpty(spark, docsPath, b).union(b))
+          graft.ops.DedupOps.verifyPairs(cand, sh)
+            .write.mode("append").parquet(edgesPath)
+          newBands.write.mode("append").parquet(bandsPath)
+          b.write.mode("append").parquet(docsPath)
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The latent enrichment's net_flow (W3: bikes - lag(bikes) per
     * station) computed ON-STREAM with keyed state: the state is the last
     * reading per station; each micro-batch sorts its per-station rows by

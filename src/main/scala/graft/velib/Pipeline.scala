@@ -1,0 +1,73 @@
+package graft.velib
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The full bronze -> silver -> gold -> serving loop as ONE streaming
+  * invocation — the Spark-native form of the reference's eager asset
+  * chain (`/root/reference/src/definitions.py:10-14`: each sensor drain
+  * triggers silver, alerts, and the serving refresh in sequence).
+  *
+  * One `foreachBatch` per micro-batch of raw status records:
+  *   1. parsed batch APPENDS to the date-partitioned silver table
+  *      (the SilverJob sink shape);
+  *   2. enrichment + gold alerts RECOMPUTE over silver-so-far and
+  *      overwrite the gold snapshot (the StreamJobs.goldRefresh shape —
+  *      gold needs full-history windows, so it is a snapshot, not an
+  *      increment);
+  *   3. the serving layer's critical-alerts endpoint re-materializes
+  *      from the fresh gold + enriched history.
+  *
+  * At scale step 2 is the one to bound: the recency filter inside
+  * GoldAlerts already partition-prunes the silver scan to the horizon's
+  * date partitions, so "recompute over silver-so-far" touches the last
+  * few partitions, not all history (GoldAlerts Scaladoc; the same
+  * pruning is spec-pinned in SourcesSpec S10).
+  */
+object Pipeline {
+
+  /** SilverJob's parsed wire columns -> the canonical schema the
+    * enrichment consumes. `seq` is a deterministic per-row tiebreaker
+    * (hash of the full wire record) standing in for the events table's
+    * monotone seq — ties on (station, last_reported) break identically
+    * on every run.
+    */
+  def canonical(parsed: DataFrame): DataFrame = parsed.select(
+    col("stationcode").as("station_code"),
+    col("name").as("station_name"),
+    col("numbikesavailable").as("bikes_available"),
+    col("numdocksavailable").as("docks_available"),
+    col("last_reported"),
+    xxhash64(col("stationcode"), col("duedate"),
+      col("numbikesavailable")).as("seq"))
+
+  /** Drain `inputDir` (JSON-lines status files, the Kafka stand-in) and
+    * run the full chain once per micro-batch. Paths created under
+    * `root`: silver/ (append, partitioned by date), gold/ (snapshot),
+    * serving/ (snapshot). Checkpointed: a re-drain with no new files
+    * rewrites nothing. Returns rows ingested this invocation.
+    */
+  def runEndToEnd(spark: SparkSession, inputDir: String, root: String): Long = {
+    val silverPath = s"$root/silver"
+    val raw = spark.readStream.schema("value STRING").text(inputDir)
+    val q = SilverJob.parseRaw(raw).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("date").parquet(silverPath)
+        val enriched = EnrichJob.enrich(
+          canonical(spark.read.parquet(silverPath)), col("seq"))
+        val gold = GoldAlerts.alerts(enriched, col("seq"))
+        gold.coalesce(1).write.mode("overwrite").parquet(s"$root/gold")
+        Serving.criticalAlerts(
+            spark.read.parquet(s"$root/gold"), enriched, col("seq"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/serving")
+        graft.Caches.unpersistAll() // serving's intra-query target cache
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+}

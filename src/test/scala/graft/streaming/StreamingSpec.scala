@@ -119,6 +119,43 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("paced").count() == 30) // exactly once, no loss
   }
 
+  test("incremental near-dup: a batch-2 arrival pairs with its batch-1 twin") {
+    val root = Files.createTempDirectory("graft_inc_neardup")
+    val srcDir = s"$root/src"
+    val twin = (0 until 60).map(i => f"tok$i%04d").mkString(" ")
+    val noise = (100 until 160).map(i => f"zzz$i%04d").mkString(" ")
+    // batch 1: doc 1 (the future twin) + unrelated doc 10; batch 2:
+    // doc 2 with doc 1's text, plus doc 3/4 as an INTRA-batch twin pair
+    Seq(1L -> twin, 10L -> noise).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/f0")
+    val intra = (200 until 260).map(i => f"qqq$i%04d").mkString(" ")
+    Seq(2L -> twin, 3L -> intra, 4L -> intra).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    // force f0 before f1 (file source orders by modification time)
+    new java.io.File(s"$srcDir/f0").listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/f*")
+    StreamJobs.incrementalNearDup(stream,
+      s"$root/bands", s"$root/docs", s"$root/edges", s"$root/ckpt")
+    val edges = spark.read.parquet(s"$root/edges")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // cross-batch pair (1, 2) AND intra-batch pair (3, 4); noise pairs
+    // with nothing
+    assert(edges == Set((1L, 2L), (3L, 4L)), s"got $edges")
+    // the accumulated band/doc tables now hold every arrival
+    assert(spark.read.parquet(s"$root/docs").count() == 5)
+    // a restart with no new files appends nothing (checkpointed)
+    StreamJobs.incrementalNearDup(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*"),
+      s"$root/bands", s"$root/docs", s"$root/edges", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/edges").count() == edges.size)
+    assert(spark.read.parquet(s"$root/docs").count() == 5)
+  }
+
   test("composite stream: dedup -> static enrich -> tumbling agg in one query") {
     // the full streaming pipeline shape chained as ONE streaming query:
     // watermark dedup feeds the broadcast dim join feeds the windowed agg

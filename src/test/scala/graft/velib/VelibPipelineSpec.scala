@@ -106,6 +106,47 @@ class VelibPipelineSpec extends SparkTestBase {
     assert(row.getAs[String]("sparkline_data") == "2.000000,9.000000")
   }
 
+  test("end-to-end stream: a fresh status file flips the station's alert level") {
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    def rec(code: String, bikes: Int, due: String): String =
+      s"""{"stationcode":"$code","name":"S$code","numdocksavailable":10,""" +
+        s""""numbikesavailable":$bikes,"mechanical":$bikes,"ebike":0,""" +
+        s""""duedate":"$due"}"""
+    // drain 1: station A declines 5 -> 1 (WARNING_LOW: bikes<3, trend<=0),
+    // station B stays healthy
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/t0.jsonl"),
+      Seq(rec("A", 5, "2024-03-01T10:00:00+00:00"),
+        rec("A", 1, "2024-03-01T10:30:00+00:00"),
+        rec("B", 9, "2024-03-01T10:30:00+00:00")).mkString("\n"))
+    assert(Pipeline.runEndToEnd(spark, in, root) == 3L)
+    val gold1 = spark.read.parquet(s"$root/gold")
+      .select("station_code", "alert_level").as[(String, String)]
+      .collect().toMap
+    assert(gold1 == Map("A" -> "WARNING_LOW"))
+    // drain 2: a FRESH status file empties station A -> CRITICAL_EMPTY
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/t1.jsonl"),
+      rec("A", 0, "2024-03-01T11:00:00+00:00"))
+    assert(Pipeline.runEndToEnd(spark, in, root) == 1L)
+    val gold2 = spark.read.parquet(s"$root/gold")
+      .select("station_code", "alert_level").as[(String, String)]
+      .collect().toMap
+    assert(gold2 == Map("A" -> "CRITICAL_EMPTY"))
+    // the serving snapshot followed: station A's sparkline ends at 0 bikes
+    val serving = spark.read.parquet(s"$root/serving").collect()
+    assert(serving.length == 1)
+    val a = serving.head
+    assert(a.getAs[String]("station_code") == "A")
+    assert(a.getAs[Int]("current_bikes") == 0)
+    assert(a.getAs[String]("sparkline_data").nonEmpty)
+    // silver accumulated every drain exactly once
+    assert(spark.read.parquet(s"$root/silver").count() == 4L)
+    // re-drain with nothing new: checkpoint makes it a no-op
+    assert(Pipeline.runEndToEnd(spark, in, root) == 0L)
+    assert(spark.read.parquet(s"$root/silver").count() == 4L)
+  }
+
   test("toWire: kafka-shaped (key, value) pair round-trips through parseRaw") {
     val raw = Seq(("75001", "Hôtel de Ville", 5, 2, 1, 1,
       "2024-01-01T10:00:00+00:00"))
