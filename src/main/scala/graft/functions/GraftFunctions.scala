@@ -142,6 +142,37 @@ object GraftHash {
     acc
   }
 
+  /** Distinct `len`-code-point shingles of `text` in first-occurrence
+    * order — exactly `array_distinct(transform(sequence(1,
+    * greatest(numChars-len+1, 1)), i -> substring(text, i, len)))`, but
+    * ONE linear pass over the code points. The SQL form calls
+    * substring(text, i, _) once per position, and UTF8String.substring
+    * re-walks the bytes from offset 0 to find the i-th char every call —
+    * O(chars^2) byte scans per document, which at 100 TB with long
+    * documents is the difference between a scan and a stall. Code-point
+    * iteration (not UTF-16 code units) keeps the shingle boundaries
+    * identical to Spark's and DuckDB's substring on non-BMP text, same
+    * as `signature` above.
+    */
+  def shingleSet(text: UTF8String, len: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val total = cps.length
+    val n = math.max(total - (len - 1), 1)
+    // LinkedHashSet: distinct with first-occurrence order, matching
+    // array_distinct over the transform output
+    val seen = new java.util.LinkedHashSet[String](math.min(n, 1 << 16))
+    var i = 0
+    while (i < n) {
+      seen.add(new String(cps, i, math.min(len, total - i)))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** |intersection| of two SORTED string arrays (sort_array order ==
     * UTF8String binary order) by linear merge — no per-pair hash set.
     * Equal to size(array_intersect(a, b)) for distinct-element arrays.
@@ -253,6 +284,25 @@ case class AdcSum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_shingles(text, len) -> array<string> of DISTINCT len-char
+  * shingles in first-occurrence order; len must be an integer literal.
+  */
+case class ShingleSet(child: Expression, len: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && len > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles needs a string argument and a positive literal " +
+        s"length, got (${child.dataType}, $len)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.shingleSet(input.asInstanceOf[UTF8String], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.shingleSet($c, $len)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
 /** graft_sorted_common(array<string>, array<string>) -> bigint;
   * both inputs MUST be sorted (sort_array).
   */
@@ -288,7 +338,7 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
-      s"graft_topk k must be an integer literal, got $other")
+      s"expected an integer literal argument, got $other")
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -297,6 +347,8 @@ object GraftFunctions {
     "graft_pq_dists" -> ((es: Seq[Expression]) => PqDists(es(0), es(1))),
     "graft_adc" -> ((es: Seq[Expression]) => AdcSum(es(0), es(1))),
     "graft_sorted_common" -> ((es: Seq[Expression]) => SortedCommon(es(0), es(1))),
+    "graft_shingles" -> ((es: Seq[Expression]) =>
+      ShingleSet(es(0), literalK(es(1)))),
     "graft_topk" -> ((es: Seq[Expression]) =>
       TopKAgg(es(0), es(1), literalK(es(2)))),
     // Spark's own runtime-filter machinery (the expressions behind

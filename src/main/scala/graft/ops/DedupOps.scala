@@ -170,9 +170,15 @@ object DedupOps {
 
   /** (doc_id, sh_arr) sorted shingle arrays for any (doc_id, text)
     * frame — the verify-side input of the exact-Jaccard merge kernel.
+    * graft_shingles is the linear-pass kernel form of the `shingles`
+    * SQL (the per-position substring walks from byte 0 each call —
+    * O(chars^2) per doc); values identical, spec-pinned.
     */
-  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr"))
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      sort_array(expr(s"graft_shingles(text, $ShingleLen)")).as("sh_arr"))
+  }
 
   /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs:
     * join each side's sorted shingle array from `sh` and merge-count
@@ -252,8 +258,8 @@ object DedupOps {
     val sigs = graft.Caches.cache(Tables.documents(spark, dir)
       .withColumn("sig", expr("graft_minhash(text)"))
       .select(col("doc_id"), col("sig")))
-    val sh = graft.Caches.cache(Tables.documents(spark, dir)
-      .select(col("doc_id"), sort_array(expr(shingles)).as("sh_arr")))
+    val sh = graft.Caches.cache(
+      shingleArrays(Tables.documents(spark, dir)))
     val estExpr = (0 until NumHashes).map(i =>
       s"(CASE WHEN element_at(sig_a, ${i + 1}) = element_at(sig_b, ${i + 1})" +
         " THEN 1 ELSE 0 END)").mkString(" + ")
@@ -332,13 +338,16 @@ object DedupOps {
     * equality blocker), compare blocked pairs by word-trigram overlap.
     */
   def d05NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // projected-toks form (TextOps.t06): split once per row
     val ngrams =
-      "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-2, 1))," +
-        " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+      "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1))," +
+        " i -> array_join(slice(toks, i, 3), ' ')))"
     // cached: both sides of the blocked self-join reuse the ngram arrays
-    val g = graft.Caches.cache(Tables.documents(spark, dir).select(
-      col("doc_id"), substring(col("text"), 1, 40).as("blk"),
-      expr(ngrams).as("ng")))
+    val g = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"), substring(col("text"), 1, 40).as("blk"),
+        expr(ngrams).as("ng")))
     val pairs = g.select(col("doc_id").as("doc_a"), col("blk"), col("ng").as("ng_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("blk"), col("ng").as("ng_b")), Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -591,11 +600,13 @@ object DedupOps {
     * ScalingProbe can feed synthetic corpora at 10x scale.
     */
   private[graft] def decontaminate(docs: DataFrame): DataFrame = {
-    val words = "split(text, ' ')"
-    val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-3, 1))," +
-      s" i -> array_join(slice($words, i, 4), ' ')))"
+    // projected-toks form (TextOps.t06): a lambda that re-states
+    // split(text) evaluates it per ELEMENT — O(tokens^2) per doc
+    val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+      " i -> array_join(slice(toks, i, 4), ' ')))"
     def explGrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(expr(grams)).as("gram"))
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(grams)).as("gram"))
     val bench = explGrams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("gram"), col("doc_id").as("bench_id"))
     explGrams(docs.filter(col("doc_id") % 97 =!= 0))
@@ -663,11 +674,12 @@ object DedupOps {
     */
   private[graft] def bloomDecontaminate(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val words = "split(text, ' ')"
-    val grams = s"array_distinct(transform(sequence(1, greatest(size($words)-4, 1))," +
-      s" i -> array_join(slice($words, i, 5), ' ')))"
+    // projected-toks form (TextOps.t06): split once per row
+    val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
+      " i -> array_join(slice(toks, i, 5), ' ')))"
     def explGrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(expr(grams)).as("gram"))
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(grams)).as("gram"))
     val bench = explGrams(docs.filter(col("doc_id") % 89 === 0))
       .select(col("gram"), col("doc_id").as("bench_id"))
     // One tiny job over the eval suite builds the sketch (the same
@@ -714,11 +726,12 @@ object DedupOps {
     * whole-doc job, not this one.
     */
   def d12ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val words = "split(text, ' ')"
-    val chunks = s"transform(sequence(0, CAST(ceil(size($words) / 16.0) AS INT) - 1)," +
-      s" i -> array_join(slice($words, i * 16 + 1, 16), ' '))"
+    // projected-toks form (TextOps.t06): split once per row
+    val chunks = "transform(sequence(0, CAST(ceil(size(toks) / 16.0) AS INT) - 1)," +
+      " i -> array_join(slice(toks, i * 16 + 1, 16), ' '))"
     val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(expr(chunks)).as(Seq("pos", "chunk")))
       .withColumn("keep",
         when(row_number().over(w) === 1, 1L).otherwise(0L))
@@ -757,12 +770,13 @@ object DedupOps {
     * minimum doc_id).
     */
   private[graft] def substringPairs(docs: DataFrame): DataFrame = {
-    val words = "split(text, ' ')"
-    val grams = s"array_distinct(transform(sequence(1, size($words)-7)," +
-      s" i -> array_join(slice($words, i, 8), ' ')))"
+    // projected-toks form (TextOps.t06): split once per row
+    val grams = "array_distinct(transform(sequence(1, size(toks)-7)," +
+      " i -> array_join(slice(toks, i, 8), ' ')))"
     // Cached: the representative agg and the pair join both scan it.
     val g = graft.Caches.cache(docs
-      .filter(expr(s"size($words) >= 8"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(grams)).as("gram")))
     // merge hint: `rep` is GRAM-CARDINALITY-sized (one row per distinct
     // gram — ~corpus-sized), so it must never broadcast; the post-agg

@@ -297,14 +297,15 @@ object PipelineOps {
     * comparisons are bit-identical across engines.
     */
   def p09FilterCascade(spark: SparkSession, dir: String): DataFrame = {
-    val t = split(col("text"), " ")
+    // projected-toks form (TextOps.t06): split once per row
+    val t = col("toks")
     val nTok = org.apache.spark.sql.functions.size(t)
     // n_tokens < 2 is DEFINED as one degenerate single-token "bigram"
     // (ratio 0.0) in BOTH engines: the oracle mirrors this exact guarded
     // idiom (generate_series(1, greatest(len-1,1)) + a truncating slice),
     // so a 1-token document scores identically across engines.
-    val bigrams = "transform(sequence(1, greatest(size(split(text, ' '))-1, 1))," +
-      " i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+    val bigrams = "transform(sequence(1, greatest(size(toks)-1, 1))," +
+      " i -> array_join(slice(toks, i, 2), ' '))"
     val stopRatio = (org.apache.spark.sql.functions.size(filter(t, x =>
       x.isin(Seq("the", "a", "of", "and", "is", "to", "in").map(lit(_)): _*)))
       .cast("double") / nTok).as("stop_ratio")
@@ -314,6 +315,7 @@ object PipelineOps {
     val uniqRatio = (org.apache.spark.sql.functions.size(array_distinct(t))
       .cast("double") / nTok).as("uniq_ratio")
     Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
         stopRatio, dupBigram, uniqRatio)
       .withColumn("fail_mask",

@@ -778,10 +778,12 @@ object SimOps {
 
   private[graft] def s15RrfHybrid(
       spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    // projected-toks form (TextOps.t06): split once per row
     val bigrams =
-      "array_distinct(transform(sequence(1, greatest(size(split(text, ' '))-1, 1))," +
-        " i -> array_join(slice(split(text, ' '), i, 2), ' ')))"
+      "array_distinct(transform(sequence(1, greatest(size(toks)-1, 1))," +
+        " i -> array_join(slice(toks, i, 2), ' ')))"
     val bgAll = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(bigrams)).as("bg")))
     // bgAll is distinct per (doc, gram) (array_distinct before the
     // explode), so count(*) per gram IS the document frequency.
@@ -859,9 +861,11 @@ object SimOps {
     * corpus (`ScalingProbe sparse <n>`).
     */
   private[graft] def sparseCosinePairs(docs: DataFrame): DataFrame = {
-    val grams = "transform(sequence(1, greatest(size(split(text, ' '))-3, 1))," +
-      " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+    // projected-toks form (TextOps.t06): split once per row
+    val grams = "transform(sequence(1, greatest(size(toks)-3, 1))," +
+      " i -> array_join(slice(toks, i, 4), ' '))"
     val p = graft.Caches.cache(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(grams)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf")))
     val n = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))

@@ -93,11 +93,14 @@ object TextOps {
     * distinct-shingle cardinality; a compact rolling-hash-style signature.
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // graft_shingles: one linear pass instead of per-position substring
+    // (each SQL substring re-walks from byte 0 — O(chars^2) per doc);
+    // md5 over the DISTINCT shingles == distinct over per-position md5s
+    // in the same first-occurrence order, so values are unchanged.
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, greatest(length(text)-4, 1))," +
-            " i -> md5(substring(text, i, 5)))")).as("hs"))
+        expr("transform(graft_shingles(text, 5), s -> md5(s))").as("hs"))
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_distinct_shingles"),
         array_min(col("hs")).as("min_hash"),
@@ -142,16 +145,22 @@ object TextOps {
     * compute identical doubles.
     */
   def t06Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val words = "split(text, ' ')"
-    val bigrams = s"transform(sequence(1, greatest(size($words)-1, 1))," +
-      s" i -> array_join(slice($words, i, 2), ' '))"
-    Tables.documents(spark, dir).select(
+    // toks is PROJECTED before use: a lambda body that re-states
+    // split(text) evaluates it once per transform ELEMENT — O(tokens^2)
+    // string work per document at any scale (measured 6x on t10's
+    // explode). Multi-referenced non-cheap aliases survive
+    // CollapseProject, so the split runs once per row.
+    val bigrams = "transform(sequence(1, greatest(size(toks)-1, 1))," +
+      " i -> array_join(slice(toks, i, 2), ' '))"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
         col("doc_id"),
-        size(expr(words)).cast("long").as("n_words"),
-        (size(array_distinct(expr(words))).cast("double") /
-          size(expr(words))).as("uniq_word_ratio"),
+        size(col("toks")).cast("long").as("n_words"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("uniq_word_ratio"),
         (lit(1.0) - size(array_distinct(expr(bigrams))).cast("double") /
-          greatest(size(expr(words)) - 1, lit(1))).as("dup_bigram_ratio"))
+          greatest(size(col("toks")) - 1, lit(1))).as("dup_bigram_ratio"))
       .orderBy("doc_id")
   }
 
@@ -163,11 +172,12 @@ object TextOps {
     * O(distinct bigrams), never joined back to the corpus.
     */
   def t07NgramStats(spark: SparkSession, dir: String): DataFrame = {
-    val words = "split(text, ' ')"
-    val bigrams = s"transform(sequence(1, size($words) - 1)," +
-      s" i -> array_join(slice($words, i, 2), ' '))"
+    // projected-toks form (see t06): split once per row, not per element
+    val bigrams = "transform(sequence(1, size(toks) - 1)," +
+      " i -> array_join(slice(toks, i, 2), ' '))"
     Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(bigrams)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"),
@@ -274,19 +284,23 @@ object TextOps {
     *
     * Plan at scale: one explode into (w1, bigram) instances, one hash
     * agg per frequency table (map-side partial, output O(vocab) /
-    * O(distinct bigrams)), one shuffle join per table on its key, one
-    * per-doc hash agg. Same plan family as t08 with one extra join —
-    * nothing collected, nothing global.
+    * O(distinct bigrams)), the unigram table folded into the bigram
+    * table on the frequency-table side (w1 is determined by the bigram,
+    * so that join is vocab x vocab, never corpus-sized), then exactly
+    * ONE corpus-sized shuffle join — instances against the merged
+    * per-bigram score table on the bigram key they already grouped by —
+    * and one per-doc hash agg. Nothing collected, nothing global.
     */
   def t10BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val words = "split(text, ' ')"
-    val pairs = s"transform(sequence(1, size($words) - 1)," +
-      s" i -> struct(element_at($words, i) AS w1," +
-      s" array_join(slice($words, i, 2), ' ') AS bigram))"
+    // projected-toks form (see t06): split once per row, not per element
+    val pairs = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(element_at(toks, i) AS w1," +
+      " array_join(slice(toks, i, 2), ' ') AS bigram))"
     // Cached: both the bigram frequency table and the scoring join read
     // it — uncached, the explode runs twice.
     val inst = graft.Caches.cache(Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(pairs)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram")))
     def bits(c: Column): Column =
@@ -298,10 +312,16 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cfu"))
       .select(col("w1"), bits(col("cfu")).as("bits_u"))
-    val cfb = inst.groupBy("bigram").agg(count(lit(1)).as("cfb"))
-      .select(col("bigram"), bits(col("cfb")).as("bits_b"),
+    // w1 is the bigram's first word — functionally determined — so the
+    // unigram join lands on the O(distinct bigrams) frequency table, not
+    // on the corpus-sized instance table: the two frequency tables merge
+    // first (vocab-sized join), and instances shuffle exactly ONCE, on
+    // the bigram key they already grouped by.
+    val cfb = inst.groupBy("w1", "bigram").agg(count(lit(1)).as("cfb"))
+      .join(cfu, Seq("w1"))
+      .select(col("bigram"), bits(col("cfb")).as("bits_b"), col("bits_u"),
         when(col("cfb") === 1, 1L).otherwise(0L).as("novel"))
-    inst.join(cfb, Seq("bigram")).join(cfu, Seq("w1"))
+    inst.join(cfb, Seq("bigram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("bits_u") - col("bits_b")).as("sum_bits"),

@@ -58,6 +58,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("graft_shingles equals array_distinct(transform(substring)), any plane") {
+    GraftFunctions.register(spark)
+    // same supplementary-plane coverage as the minhash spec: the kernel
+    // must shingle by CODE POINTS to match Spark's substring; plus the
+    // short-text edge (len <= k-1 -> one whole-text shingle) and heavy
+    // repetition (distinct keeps FIRST occurrence order)
+    val texts = Seq("the quick brown fox jumps", "ab", "x" * 200, "déjà vu ok",
+      "caf😀 latte 🚀 rocket emoji pad",
+      "₻7𤋮 mixed 💩 planes here",
+      "abab" * 30)
+      .toDF("text")
+    for (k <- Seq(5, 8)) {
+      val slow = s"array_distinct(transform(sequence(1, " +
+        s"greatest(length(text)-${k - 1}, 1)), i -> substring(text, i, $k)))"
+      val both = texts.selectExpr(
+        s"graft_shingles(text, $k) AS fast", s"$slow AS slow")
+      assert(both.filter(col("fast") =!= col("slow")).count() == 0, s"k=$k")
+    }
+  }
+
   test("graft_long_dot equals aggregate(zip_with(...)) and is codegen-safe") {
     GraftFunctions.register(spark)
     val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
