@@ -218,8 +218,8 @@ object StreamJobs {
     * lakehouse intermediate `DedupOps.materializedRoot` builds for the
     * batch suite), candidates are exact-Jaccard-verified, and the new
     * edges are APPENDED to the pair-graph table; finally the batch's
-    * own bands and docs are appended so later batches pair against
-    * everything before them. No streaming state at all — the
+    * own bands and SHINGLE ARRAYS are appended so later batches pair
+    * against everything before them. No streaming state at all — the
     * accumulator IS the lakehouse table, which is what lets a daily
     * 100 TB ingest resume from plain parquet instead of a state store.
     *
@@ -238,11 +238,16 @@ object StreamJobs {
       docsPath: String,
       edgesPath: String,
       checkpoint: String): Unit = {
+    // Hadoop FileSystem, not java.io.File: the accumulator tables live
+    // wherever the lakehouse lives (HDFS/S3/local alike).
     def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
-        path: String, like: DataFrame): DataFrame =
-      if (new java.io.File(path).exists()) spark.read.parquet(path)
+        path: String, like: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -267,12 +272,17 @@ object StreamJobs {
             .filter(col("doc_a") < col("doc_b"))
             .select("doc_a", "doc_b")
           val cand = vsPrior.union(within).distinct()
-          val sh = graft.ops.DedupOps.shingleArrays(
-            readOrEmpty(spark, docsPath, b).union(b))
+          // The doc accumulator stores the SHINGLE ARRAYS, computed once
+          // at append time: the per-batch verify scans (doc_id, sh_arr)
+          // parquet and joins — it never re-shingles the corpus (at
+          // scale this table is bucketed on doc_id, making the verify
+          // join shuffle-free on the corpus side).
+          val newSh = graft.ops.DedupOps.shingleArrays(b)
+          val sh = readOrEmpty(spark, docsPath, newSh).union(newSh)
           graft.ops.DedupOps.verifyPairs(cand, sh)
             .write.mode("append").parquet(edgesPath)
           newBands.write.mode("append").parquet(bandsPath)
-          b.write.mode("append").parquet(docsPath)
+          newSh.write.mode("append").parquet(docsPath)
         } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
