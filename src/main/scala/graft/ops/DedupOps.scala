@@ -803,7 +803,58 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-diff report (the "what did today's crawl actually add"
+    * governance audit): every incoming doc (doc_id >= 400, the d09
+    * convention) is classified against the existing corpus as
+    * `exact_dup` (content hash already present), `near_dup` (a verified
+    * J >= 0.8 pair-graph edge into the corpus side), or `novel`, with
+    * the smallest matching corpus partner id. Composes d01/d09's hash
+    * discipline with the materialized d03 pair graph — the summary a
+    * data team reads before deciding whether a crawl batch is worth
+    * keeping.
+    *
+    * Plan at scale: one hash shuffle on the 32-char content hash
+    * (corpus side is the same hash-key-only projection d09 anti-joins);
+    * the near channel SCANS the materialized pair graph (O(near-dup
+    * pairs), no recompute) and aggregates per incoming doc; two
+    * broadcastable left joins onto the incoming batch (both partner
+    * frames are bounded by the batch's dup population).
+    */
+  def d16CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val near = pairGraph(spark, dir)
+      .filter(col("doc_a") < 400 && col("doc_b") >= 400)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_partner"))
+    corpusDiff(docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400), near)
+  }
+
+  /** The d16 core over any (doc_id, text_hash) split plus a
+    * (doc_id, near_partner) near-dup channel — exposed so the spec can
+    * plant real exact dups (the fixtures contain none, so the oracle
+    * alone would not catch a broken hash join).
+    */
+  private[graft] def corpusDiff(
+      corpus: DataFrame, incoming: DataFrame, near: DataFrame): DataFrame = {
+    val exact = incoming
+      .join(corpus.select(col("text_hash"), col("doc_id").as("c_id")),
+        Seq("text_hash"))
+      .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_partner"))
+    incoming
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_partner").isNotNull, "exact_dup")
+          .when(col("near_partner").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("exact_partner"), col("near_partner")).as("partner_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_corpus_diff" -> (d16CorpusDiff _),
     "d15_quality_keeper" -> (d15QualityKeeper _),
     "d14_minhash_calibration" -> (d14MinhashCalibration _),
     "d13_substring_dedup" -> (d13SubstringDedup _),
@@ -889,6 +940,31 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "d16_corpus_diff" ->
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
+         |hx AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+         |inc AS (SELECT * FROM hx WHERE doc_id >= 400),
+         |cor AS (SELECT * FROM hx WHERE doc_id < 400),
+         |ex AS (
+         |  SELECT i.doc_id, min(c.doc_id) AS exact_partner
+         |  FROM inc i JOIN cor c ON c.text_hash = i.text_hash
+         |  GROUP BY i.doc_id
+         |),
+         |nr AS (
+         |  SELECT doc_b AS doc_id, min(doc_a) AS near_partner
+         |  FROM pairs WHERE doc_a < 400 AND doc_b >= 400
+         |  GROUP BY doc_b
+         |)
+         |SELECT i.doc_id,
+         |  CASE WHEN ex.exact_partner IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.near_partner IS NOT NULL THEN 'near_dup'
+         |       ELSE 'novel' END AS status,
+         |  COALESCE(ex.exact_partner, nr.near_partner) AS partner_id
+         |FROM inc i
+         |LEFT JOIN ex ON ex.doc_id = i.doc_id
+         |LEFT JOIN nr ON nr.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
+
     "d15_quality_keeper" ->
       s"""WITH comp AS (
          |  SELECT doc_id, component FROM ($d07Sql)

@@ -490,7 +490,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap (the "cap each domain at K docs" rebalance
+    * a crawl-heavy corpus applies before mixing — without it a handful
+    * of mega-domains dominate the token budget): keep the K docs with
+    * the SMALLEST salted hash per source, a deterministic
+    * without-replacement uniform sample built on p02/p05's hash
+    * primitive (stable across engines, re-runs, partitionings; never
+    * `rand()`).
+    *
+    * Plan at scale: graft_topk's bounded heap — K entries per source
+    * per PARTITION reach the shuffle (map-side partial aggregation), so
+    * a billion-doc source ships K rows per partition and is never
+    * globally sorted; the row_number() window form would shuffle and
+    * sort the whole group. Ties (equal 32-bit hashes) break toward the
+    * smaller doc_id in both the heap and the oracle's ORDER BY.
+    */
+  def p14SourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(spark, dir), 50)
+
+  /** The p14 core over any (doc_id, source) frame — exposed so the spec
+    * can drive a source PAST the cap (the sf0.01 fixture's sources all
+    * fit under it, so the oracle alone would not catch a broken heap).
+    */
+  private[graft] def sourceCap(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("source"),
+        expr(saltedHashExpr("cap")).as("h"))
+      .groupBy("source")
+      .agg(expr(s"graft_topk(-CAST(h AS DOUBLE), doc_id, $k)").as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), col("e.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("cap_rank"))
+      .orderBy("source", "cap_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_source_cap" -> (p14SourceCap _),
     "p13_leakage_safe_split" -> (p13LeakageSafeSplit _),
     "p12_cdc_chunk" -> (p12CdcChunk _),
     "p11_pii_redaction" -> (p11PiiRedaction _),
@@ -507,6 +543,22 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "p14_source_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substring(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |           AS cap_rank
+        |  FROM h
+        |)
+        |SELECT source, doc_id, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM r WHERE cap_rank <= 50 ORDER BY source, cap_rank""".stripMargin,
+
     "p13_leakage_safe_split" ->
       s"""WITH comp AS (
          |  SELECT doc_id, component FROM (${DedupOps.d07Sql})

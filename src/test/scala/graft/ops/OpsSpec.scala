@@ -232,6 +232,49 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Seq((11L, "h2"), (13L, "h3")))
   }
 
+  test("d16: planted exact dup, near-dup edge, and novel doc all classify") {
+    // fixtures contain no cross-set exact dups, so plant them: incoming
+    // 401 exactly matches corpus 7 AND has a near edge (exact wins the
+    // CASE); 402 only near-matches corpus 3; 403 matches nothing
+    val corpus = Seq((3L, "ha"), (7L, "hb")).toDF("doc_id", "text_hash")
+    val incoming = Seq((401L, "hb"), (402L, "hz"), (403L, "hq"))
+      .toDF("doc_id", "text_hash")
+    val near = Seq((401L, 9L), (402L, 3L)).toDF("doc_id", "near_partner")
+    val r = DedupOps.corpusDiff(corpus, incoming, near)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(r == Seq((401L, "exact_dup", Some(7L)), (402L, "near_dup", Some(3L)),
+      (403L, "novel", None)))
+  }
+
+  test("p14: a source past the cap keeps exactly k smallest-hash docs") {
+    // one source with 60 docs (cap bites), one with 3 (kept whole) —
+    // the sf0.01 fixture's sources all fit under the cap, so only this
+    // spec proves the heap actually cuts
+    val docs = ((0 until 60).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"), (102L, "small")))
+      .toDF("doc_id", "source")
+    val r = PipelineOps.sourceCap(docs, 50)
+    val bySrc = r.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc == Map("big" -> 50L, "small" -> 3L))
+    // kept set == the 50 smallest salted hashes, rank order matches the
+    // window form exactly (ties toward smaller doc_id)
+    val expected = docs.filter(col("source") === "big")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('cap:', CAST(doc_id AS STRING)))," +
+          " 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 50)
+      .select(col("doc_id"), col("rk").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val got = r.filter(col("source") === "big")
+      .select(col("doc_id"), col("cap_rank"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("m04: stub resize halves dims, keeps every 2nd byte, deterministic") {
     val media = Seq(
       MediaRow(0L, "image", "abcdefg".getBytes("UTF-8")),
