@@ -33,14 +33,16 @@ object ScalingProbe {
       Caches.unpersistAll()
     }
 
-  /** Deterministic word-soup corpus: doc i = 50 six-char tokens drawn
-    * from a global token stream with stride 40, so adjacent docs share
-    * 10 tokens (7 four-grams) — planted contamination, no rand().
+  /** Deterministic word-soup corpus: doc i = `len` six-char tokens
+    * drawn from a global token stream with stride len-10, so adjacent
+    * docs share 10 tokens (7 four-grams) — planted contamination, no
+    * rand(). len=50 reproduces the historical probe corpora exactly.
     */
-  private def wordSoup(spark: SparkSession, n: Int): org.apache.spark.sql.DataFrame =
+  private def wordSoup(spark: SparkSession, n: Int,
+      len: Int = 50): org.apache.spark.sql.DataFrame =
     spark.range(n.toLong).select(col("id").as("doc_id"),
-      expr("array_join(transform(sequence(0, 49)," +
-        " j -> substring(md5(CAST(id * 40 + j AS STRING)), 1, 6)), ' ')")
+      expr(s"array_join(transform(sequence(0, ${len - 1})," +
+        s" j -> substring(md5(CAST(id * ${len - 10} + j AS STRING)), 1, 6)), ' ')")
         .as("text"))
 
   private def dedupProbe(spark: SparkSession, n: Int): Unit = {
@@ -101,6 +103,25 @@ object ScalingProbe {
         .count().count()
     }
 
+  /** Document-LENGTH scaling (the dimension the round-6 lambda-re-split
+    * and substring-walk fixes target): same n, 10x the tokens per doc.
+    * Both timed bodies are linear in total tokens after the fix; the
+    * old per-element re-split / per-position substring forms were
+    * O(len^2) per doc and would show ~100x here, not ~10x.
+    */
+  private def longDocsProbe(spark: SparkSession, n: Int, len: Int): Unit = {
+    val docs = wordSoup(spark, n, len)
+    time(s"d08_decontaminate_len$len", n) {
+      graft.ops.DedupOps.decontaminate(docs).count()
+    }
+    time(s"shingle_arrays_len$len", n) {
+      // head(), not count(): count() lets Catalyst prune the aggregate
+      // input and skip the shingle computation entirely
+      graft.ops.DedupOps.shingleArrays(docs)
+        .agg(sum(size(col("sh_arr")))).head().getLong(0)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dedupMode = args.headOption.contains("dedup")
     val sparseMode = args.headOption.contains("sparse")
@@ -132,6 +153,13 @@ object ScalingProbe {
     }
     if (cdcMode) {
       cdcProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("longdocs")) {
+      val n = if (args.length > 1) args(1).toInt else 20000
+      val len = if (args.length > 2) args(2).toInt else 500
+      longDocsProbe(spark, n, len)
       spark.stop()
       return
     }

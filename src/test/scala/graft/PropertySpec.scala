@@ -70,6 +70,26 @@ object GraftProps extends Properties("graft") {
         (a.toSet & b.toSet).size.toLong
     }
 
+  property("shingleSet equals the brute-force code-point shingler") = {
+    // well-formed pieces only (no stray surrogates): ascii, BMP accents,
+    // and supplementary-plane emoji — the code-unit trap for shinglers
+    val piece = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(" "), Gen.const("é"), Gen.const("漢"),
+      Gen.const("😀"), Gen.const("🚀"))
+    val text = Gen.chooseNum(1, 25)
+      .flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+    Prop.forAll(text) { s =>
+      val k = 8
+      val cps = s.codePoints().toArray
+      val n = math.max(cps.length - (k - 1), 1)
+      val brute = (0 until n)
+        .map(i => new String(cps, i, math.min(k, math.max(cps.length - i, 0))))
+        .distinct
+      val got = GraftHash.shingleSet(UTF8String.fromString(s), k)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == brute
+    }
+  }
+
   property("long dot product is commutative and linear in scaling") =
     Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)),
       Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L))) { (a, b) =>
