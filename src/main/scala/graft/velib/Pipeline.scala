@@ -19,11 +19,18 @@ import org.apache.spark.sql.streaming.Trigger
   *   3. the serving layer's critical-alerts endpoint re-materializes
   *      from the fresh gold + enriched history.
   *
-  * At scale step 2 is the one to bound: the recency filter inside
-  * GoldAlerts already partition-prunes the silver scan to the horizon's
-  * date partitions, so "recompute over silver-so-far" touches the last
-  * few partitions, not all history (GoldAlerts Scaladoc; the same
-  * pruning is spec-pinned in SourcesSpec S10).
+  * At scale step 2 is the one to bound. GoldAlerts' own W1 dedup is
+  * horizon-filtered before its window, but the UPSTREAM enrichment's
+  * baseline_avg is a running mean over all history, so this per-batch
+  * recompute honestly scans silver-so-far — fine at the reference's
+  * volumes (one city's stations), not at 100 TB. The bounded shapes,
+  * both already in the suite, are: (a) keyed streaming state for the
+  * per-station aggregates (StreamJobs' on-stream net_flow /
+  * transformWithState running aggregates), or (b) a compact per-station
+  * running-aggregate table maintained incrementally (the
+  * Lakehouse.upsertPartitions discipline), so the snapshot recompute
+  * reads O(stations) aggregate rows plus the horizon's date partitions
+  * (S10 pruning) instead of raw history.
   */
 object Pipeline {
 
