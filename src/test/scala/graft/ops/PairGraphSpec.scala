@@ -67,6 +67,13 @@ class PairGraphSpec extends SparkTestBase {
       s"q23 does not scan the materialized pair graph: ${q23.inputFiles.toSeq}")
     assert(!q23Plan.contains("Generate"),
       s"q23 plan still contains an explode:\n$q23Plan")
+    // d16's near channel likewise scans the table (its exact channel
+    // legitimately explodes nothing either — no Generate at all)
+    val d16 = DedupOps.d16CorpusDiff(spark, pairDir)
+    assert(d16.inputFiles.exists(_.contains("graft-pairgraph")),
+      s"d16 does not scan the materialized pair graph: ${d16.inputFiles.toSeq}")
+    assert(!d16.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "d16 plan contains an explode")
   }
 
   test("Caches.checkpoint pins the propagation rounds and releases them all") {
