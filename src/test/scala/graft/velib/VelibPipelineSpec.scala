@@ -147,6 +147,51 @@ class VelibPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/silver").count() == 4L)
   }
 
+  test("incremental e2e: gold snapshot is bit-identical to the batch recompute") {
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e_inc").toString
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    def rec(code: String, bikes: Int, due: String): String =
+      s"""{"stationcode":"$code","name":"S$code","numdocksavailable":10,""" +
+        s""""numbikesavailable":$bikes,"mechanical":$bikes,"ebike":0,""" +
+        s""""duedate":"$due"}"""
+    def goldSet(r: String): Set[String] =
+      spark.read.parquet(s"$r/gold").collect()
+        .map(_.mkString("|")).toSet
+    // drain 1: A declines 5 -> 1 (WARNING_LOW), B healthy, C has a lone
+    // first reading (null trend -> no alert)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/t0.jsonl"),
+      Seq(rec("A", 5, "2024-03-01T10:00:00+00:00"),
+        rec("A", 1, "2024-03-01T10:30:00+00:00"),
+        rec("B", 9, "2024-03-01T10:30:00+00:00"),
+        rec("C", 2, "2024-03-01T09:00:00+00:00")).mkString("\n"))
+    assert(Pipeline.runEndToEnd(spark, in, s"$root/batch") == 4L)
+    assert(Pipeline.runEndToEndIncremental(spark, in, s"$root/inc") == 4L)
+    assert(goldSet(s"$root/inc") == goldSet(s"$root/batch"))
+    assert(goldSet(s"$root/inc").nonEmpty)
+    // drain 2: A empties (CRITICAL flip), C reports again >1h after its
+    // first reading (trailing-1h window must NOT include the old one)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/t1.jsonl"),
+      Seq(rec("A", 0, "2024-03-01T11:00:00+00:00"),
+        rec("C", 1, "2024-03-01T10:45:00+00:00")).mkString("\n"))
+    assert(Pipeline.runEndToEnd(spark, in, s"$root/batch") == 2L)
+    assert(Pipeline.runEndToEndIncremental(spark, in, s"$root/inc") == 2L)
+    assert(goldSet(s"$root/inc") == goldSet(s"$root/batch"))
+    // both alerts present: A critical, C warning (trend -1, 1 bike)
+    val levels = spark.read.parquet(s"$root/inc/gold")
+      .select("station_code", "alert_level").as[(String, String)]
+      .collect().toMap
+    assert(levels == Map("A" -> "CRITICAL_EMPTY", "C" -> "WARNING_LOW"))
+    // the state table is O(stations), with bounded per-station readings
+    val states = new java.io.File(s"$root/inc/state").listFiles()
+      .filter(_.getName.startsWith("b"))
+    assert(states.length == 1, s"superseded state versions not pruned: " +
+      states.map(_.getName).mkString(","))
+    val st = spark.read.parquet(states.head.getPath)
+    assert(st.count() == 3)
+    assert(st.selectExpr("max(size(readings))").head().getInt(0) <= 3)
+  }
+
   test("toWire: kafka-shaped (key, value) pair round-trips through parseRaw") {
     val raw = Seq(("75001", "Hôtel de Ville", 5, 2, 1, 1,
       "2024-01-01T10:00:00+00:00"))
