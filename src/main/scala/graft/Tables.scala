@@ -10,16 +10,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as a nanos long and truncate to microseconds —
-    * the same ns->us truncation DuckDB applies, so oracle timestamps
-    * match exactly.
+  /** `events.ts` has shipped in two physical forms across driver testdata
+    * generations: TIMESTAMP(NANOS), which Spark's reader rejects (read as
+    * a nanos long and truncate to microseconds — the same ns->us
+    * truncation DuckDB applies), and plain TIMESTAMP(MICROS) without a
+    * timezone, which Spark reads as TIMESTAMP_NTZ. Normalize both to
+    * TimestampType: sessions pin spark.sql.session.timeZone=UTC, so the
+    * NTZ->LTZ cast is value-identity and oracle timestamps match exactly
+    * either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
