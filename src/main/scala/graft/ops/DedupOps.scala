@@ -513,6 +513,98 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // Alternating large-star/small-star contraction (Kiveris et al.,
+  // "Connected Components in MapReduce and Beyond", SOCC'14): the
+  // third CC formulation next to d07's fixed unroll and
+  // propagateToFixpoint's driver loop. Min-label propagation needs
+  // DIAMETER rounds (a 1M-hop revision chain = 1M joins); the star
+  // operations contract the graph toward stars centered at component
+  // minima in O(log n) rounds REGARDLESS of diameter — the form that
+  // survives adversarial topology at 100 TB. Each round is two
+  // (join + hash agg) stages on the current edge set, which only
+  // shrinks; no collect_list, no per-node adjacency materialization.
+  // ---------------------------------------------------------------------
+
+  /** One large-star round over canonical (hi > lo) edges: every node's
+    * strictly-LARGER neighbors re-attach to the minimum of its closed
+    * neighborhood. Output stays canonical: emitted (n, m) has n > c >= m.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("hi").as("c"), col("lo").as("n"))
+      .union(edges.select(col("lo").as("c"), col("hi").as("n")))
+    val m = adj.groupBy("c").agg(min(col("n")).as("nmin"))
+      .select(col("c"), least(col("nmin"), col("c")).as("m"))
+    adj.join(m, Seq("c"))
+      .where(col("n") > col("c"))
+      .select(col("n").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** One small-star round: every node's SMALLER-or-equal neighborhood
+    * (exactly the rows where it is the canonical `hi`) plus the node
+    * itself re-attach to that neighborhood's minimum; the minimum's own
+    * self-edge is dropped to keep edges irreflexive.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("hi").agg(min(col("lo")).as("m"))
+    edges.join(m, Seq("hi"))
+      .select(col("lo").as("node"), col("m"))
+      .union(m.select(col("hi").as("node"), col("m")))
+      .where(col("node") =!= col("m"))
+      .select(col("node").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Alternate large-star/small-star until the edge set is stable;
+    * returns (star edges, rounds). At the fixpoint every component is a
+    * star centered at its minimum node, so (hi, lo) reads (member, root).
+    * Convergence = order-independent edge-set checksum (count + sum of
+    * xxhash64) unchanged across a round — one cheap global agg, the same
+    * discipline as propagateToFixpoint's label sum; eager checkpoint per
+    * round truncates lineage and serializes the stages (the AQE
+    * cached-subtree race fix, NOTES.md).
+    */
+  private[graft] def starContract(
+      edges0: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = graft.Caches.checkpoint(edges0.toDF("hi", "lo"))
+    if (e.isEmpty) return (e, 0)
+    var prev = checksum(e)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      e = graft.Caches.checkpoint(smallStar(largeStar(e)))
+      rounds += 1
+      val cur = checksum(e)
+      stable = cur == prev
+      prev = cur
+    }
+    require(stable,
+      s"large-star/small-star contraction still moving after $maxRounds " +
+        "rounds; refusing to emit partial components")
+    (e, rounds)
+  }
+
+  /** Converged near-dup components via star contraction — value-identical
+    * to min-reachable-id labeling at ANY family diameter (the oracle says
+    * so declaratively with a recursive CTE), in O(log n) rounds instead
+    * of O(diameter).
+    */
+  def d17StarComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairGraph(spark, dir)
+      .select(col("doc_b").as("hi"), col("doc_a").as("lo"))
+    val (stars, _) = starContract(pairs)
+    stars.select(col("hi").as("doc_id"), col("lo").as("component"))
+      .union(stars.select(col("lo").as("doc_id"), col("lo").as("component")))
+      .distinct()
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware keeper selection per near-dup family: production
     * dedup keeps the BEST member of each duplicate family, not the
     * smallest id (d11's policy) — the crawl with the least boilerplate,
@@ -854,6 +946,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_star_components" -> (d17StarComponents _),
     "d16_corpus_diff" -> (d16CorpusDiff _),
     "d15_quality_keeper" -> (d15QualityKeeper _),
     "d14_minhash_calibration" -> (d14MinhashCalibration _),
@@ -1121,6 +1214,24 @@ object DedupOps {
     "d03_lsh_near_dup" -> d03Sql,
 
     "d07_neardup_components" -> d07Sql,
+
+    // True converged components, stated declaratively: min reachable id
+    // over the symmetric closure of d03's pair graph. DuckDB's recursive
+    // UNION (distinct) dedups the frontier against all seen (a, b) rows,
+    // so clique-heavy families stay pair-bounded (the q23 discipline).
+    "d17_star_components" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
+         |edges AS (
+         |  SELECT doc_a AS v, doc_b AS u FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(a, b) AS (
+         |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+         |  UNION
+         |  SELECT r.a, e.u FROM reach r JOIN edges e ON e.v = r.b
+         |)
+         |SELECT a AS doc_id, min(b) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // d11 = documents minus the non-minimal-label members of d07's
     // families; md5 re-stated so the kept rows are self-verifying.
