@@ -40,18 +40,30 @@ object Bench {
     // warm). Back-to-back, the repeat hits the still-hot cache and is
     // the steady-state number. Both runs pay their own cache population
     // (unpersistAll between).
-    def benchOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // A failing query must be VISIBLE in the artifact: its time is
+    // recorded as -1.0 (impossible for a real measurement) and its error
+    // lands in the errors map — never elapsed-time-to-crash, which reads
+    // as a healthy number (the r6 d17 lesson).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def benchOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300)
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       Caches.unpersistAll() // bookkeeping, outside the timed span
-      dt
+      if (ok) dt else -1.0
     }
     def pass(): Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
-        val coldT = benchOne(fn)
-        val warmT = if (warmPass) benchOne(fn) else -1.0
+        val coldT = benchOne(name, fn)
+        val warmT = if (warmPass && coldT >= 0) benchOne(name, fn) else -1.0
         (name, coldT, warmT)
     }
     // Short key = id prefix before the first '_' ("q01", "d08", ...).
@@ -75,11 +87,34 @@ object Bench {
       println("# bench-warm-full " + json(warm, _.toString, short = false))
       s""","warm_total":${f3(warmTotal)}"""
     } else ""
+    // Full-precision per-query artifact on disk: the driver keeps only the
+    // stdout tail, so round-over-round diffs off the "# bench-*-full"
+    // lines get lost — BENCH_FULL.json is the durable record (cold is
+    // compile-dominated and noisy; warm is the steady-state signal).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val jstr = (s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fullJson = both.map { case (n, c, w) =>
+      s"${jstr(n)}:{" + s""""cold":$c,"warm":$w""" +
+        errors.get(n).map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
+    }.mkString(
+      s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"queries":{""", ",",
+      s"""},"cold_total":${f3(coldTotal)}${extra},"errors":[${errors.keys.map(jstr).mkString(",")}]}\n""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      fullJson.getBytes("UTF-8"))
+    val errKey = if (errors.nonEmpty)
+      s""","errors":[${errors.keys.map(k => "\"" + shortKey(k) + "\"").mkString(",")}]"""
+    else ""
     // "value" stays the cold total — comparable with every prior round.
     val line =
-      s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec","queries":${json(cold, f3, short = true)}$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec","queries":${json(cold, f3, short = true)}$extra$errKey,"sf":"$sfDir"}"""
     require(line.length < 1800, s"bench JSON line too long for driver tail: ${line.length}")
     println(line)
     spark.stop()
+    // After the artifact is printed AND persisted: a broken query fails
+    // the run loudly unless explicitly waived — elapsed-time-to-crash
+    // must never ship looking green again.
+    if (sys.env.get("SPARK_GRAFT_ALLOW_ERRORS").isEmpty)
+      require(errors.isEmpty,
+        s"bench queries failed: ${errors.map { case (k, v) => s"$k ($v)" }.mkString("; ")}")
   }
 }

@@ -559,17 +559,21 @@ object DedupOps {
   /** Alternate large-star/small-star until the edge set is stable;
     * returns (star edges, rounds). At the fixpoint every component is a
     * star centered at its minimum node, so (hi, lo) reads (member, root).
-    * Convergence = order-independent edge-set checksum (count + sum of
+    * Convergence = order-independent edge-set checksum (count + XOR of
     * xxhash64) unchanged across a round — one cheap global agg, the same
-    * discipline as propagateToFixpoint's label sum; eager checkpoint per
-    * round truncates lineage and serializes the stages (the AQE
-    * cached-subtree race fix, NOTES.md).
+    * discipline as propagateToFixpoint's label sum. XOR, not SUM: xxhash64
+    * values are uniform 64-bit longs, so a BIGINT sum overflows almost
+    * surely past a handful of edges and Spark 4's default ANSI mode turns
+    * that into ARITHMETIC_OVERFLOW; bit_xor wraps by construction, stays
+    * order-independent, and cannot self-cancel because the edge set is
+    * distinct(). Eager checkpoint per round truncates lineage and
+    * serializes the stages (the AQE cached-subtree race fix, NOTES.md).
     */
   private[graft] def starContract(
       edges0: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var e = graft.Caches.checkpoint(edges0.toDF("hi", "lo"))

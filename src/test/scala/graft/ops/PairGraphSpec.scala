@@ -44,10 +44,11 @@ class PairGraphSpec extends SparkTestBase {
     // planted near-dup pair present with J = 1.0
     assert(d03a.exists(r => r.getAs[Long]("doc_a") == 1L &&
       r.getAs[Long]("doc_b") == 2L && r.getAs[Double]("jaccard") == 1.0))
-    // further consumers (d03 again, d07, d11) trigger NO rebuild
+    // further consumers (d03 again, d07, d11, d17) trigger NO rebuild
     DedupOps.d03LshNearDup(spark, pairDir).collect()
     DedupOps.d07NeardupComponents(spark, pairDir).collect()
     DedupOps.d11DedupPipeline(spark, pairDir).collect()
+    DedupOps.d17StarComponents(spark, pairDir).collect()
     assert(DedupOps.buildCount == afterFirst)
   }
 
@@ -97,6 +98,60 @@ class PairGraphSpec extends SparkTestBase {
     val docs = (0L to 6L).map(i =>
       (100L + i) -> base.slice(i.toInt * 10, i.toInt * 10 + 150).mkString(" "))
     plant(docs, "chain")
+  }
+
+  test("d17 star contraction: the diameter-6 chain is ONE component " +
+      "(the shape d07's 4-round unroll under-merges)") {
+    val d17 = DedupOps.d17StarComponents(spark, chainDir)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 106L)
+      .collect()
+    assert(d17.length == 7, s"expected all 7 chain members labeled: ${d17.toSeq}")
+    assert(d17.map(_.getAs[Long]("component")).toSet == Set(100L),
+      s"chain not fully contracted: ${d17.toSeq}")
+    // the same corpus under-merges at 4 fixed propagation rounds — the
+    // contrast that justifies d17 existing next to d07
+    val d07Comps = DedupOps.d07NeardupComponents(spark, chainDir)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 106L)
+      .select("component").distinct().count()
+    assert(d07Comps >= 2)
+  }
+
+  test("starContract: 64-node path converges in O(log n) rounds, " +
+      "labels = min reachable id") {
+    // a pure path 0-1-2-...-63: diameter 63, so label propagation needs
+    // 63 rounds; large-star/small-star must finish in O(log n)
+    val edges = (0L until 63L).map(i => (i + 1, i)).toDF("hi", "lo")
+    val (stars, rounds) = DedupOps.starContract(edges)
+    assert(rounds <= 12, s"expected O(log 64) rounds, took $rounds")
+    val labels = stars.select("hi", "lo").as[(Long, Long)].collect().toSet
+    assert(labels == (1L to 63L).map(i => (i, 0L)).toSet,
+      s"path not contracted to a star at 0: $labels")
+  }
+
+  test("starContract: empty edge set returns empty in 0 rounds") {
+    val empty = Seq.empty[(Long, Long)].toDF("hi", "lo")
+    val (stars, rounds) = DedupOps.starContract(empty)
+    assert(rounds == 0 && stars.isEmpty)
+  }
+
+  test("d16 exact channel: every documents scan reads only (doc_id, text)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // static pre-AQE plan: the projection discipline (corpus side carries
+    // only the hash key + id, never text bodies' siblings lang/source/
+    // n_chars) must hold by construction, not by runtime luck
+    val d16 = DedupOps.d16CorpusDiff(spark, pairDir)
+    val docScans = d16.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("documents.parquet")) => f
+    }
+    assert(docScans.nonEmpty, "no documents scan found in d16's plan:\n" +
+      d16.queryExecution.sparkPlan.toString.take(3000))
+    docScans.foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"d16 documents scan reads beyond the hash-key projection: $cols")
+    }
   }
 
   test("p13 uses CONVERGED labels: a diameter-6 chain is ONE family") {
