@@ -19,6 +19,13 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Optional comma-separated runtime confs, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.wholeStage=false" —
+    // lets a profiling run isolate codegen/AQE cost without a rebuild.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.range(1000).selectExpr("sum(id)").collect()
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()

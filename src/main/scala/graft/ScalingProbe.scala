@@ -92,6 +92,26 @@ object ScalingProbe {
       graft.ops.DedupOps.substringPairs(wordSoup(spark, n)).count()
     }
 
+  /** d17 shape: large-star/small-star contraction on a single n-node
+    * PATH — the worst-case diameter for a connected component, so label
+    * propagation would need n-1 rounds while star contraction claims
+    * O(log n). Reports rounds alongside runtime: at 10x the nodes,
+    * rounds should grow by ~log(10x)/log(x) (a few), runtime ~linearly
+    * in edges x rounds.
+    */
+  private def starsProbe(spark: SparkSession, n: Int): Unit = {
+    val edges = spark.range(n - 1L)
+      .select((col("id") + 1).as("hi"), col("id").as("lo"))
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val (stars, rounds) = graft.ops.DedupOps.starContract(edges)
+      val rows = stars.count()
+      println(f"d17_star_contract n=$n run $i: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs rounds=$rounds rows=$rows")
+      Caches.unpersistAll()
+    }
+  }
+
   /** p12 shape: content-defined chunking — pure per-row scan work (the
     * boundary hash and chunk assembly never shuffle more than the
     * (doc, chunk) rows), so runtime should grow ~linearly in n.
@@ -153,6 +173,11 @@ object ScalingProbe {
     }
     if (cdcMode) {
       cdcProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("stars")) {
+      starsProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

@@ -278,6 +278,16 @@ object RelOps {
         max(col("pmax")).as("max_value"))
       .orderBy("event_type")
 
+  /** Presentation sort for a provably group-cardinality frame (a few
+    * rows per event_type): one partition + a local sort. A global
+    * `orderBy` would range-partition, and RangePartitioner runs a
+    * separate SAMPLING JOB over the input first — measurable fixed
+    * latency on a 5-row result, pure waste when the frame fits one
+    * partition by construction.
+    */
+  private def sortTiny(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   // ---- Exact rank selection without a full-group sort (w08/w09) --------
   //
   // The naive plan (row_number over Window.partitionBy(event_type)) sorts
@@ -316,20 +326,31 @@ object RelOps {
       min(col("value")).as("vmin"), max(col("value")).as("vmax"),
       count(lit(1)).as("cnt"))
 
-  /** Given tiny `targets` (event_type, r), return (event_type, r, value)
-    * where value is the value at ascending 1-based rank r within the
-    * group (value-ordered; ties share the selected value).
+  /** Given tiny `targets` (event_type, r, extra columns...), return the
+    * target rows + `value`, where value is the value at ascending
+    * 1-based rank r within the group (value-ordered; ties share the
+    * selected value). Extra target columns (quantile labels, the group
+    * count) ride through untouched — callers that need them in the
+    * output thread them here instead of re-joining `stats` afterwards,
+    * which would re-run the big-side scan+agg a second time.
     */
   private[ops] def valuesAtRanks(ev: DataFrame, stats: DataFrame,
       targets: DataFrame): DataFrame = {
+    val targetCols = targets.columns.toSeq
     val b = lit(RankBuckets)
-    val bucketed = ev.join(broadcast(stats), Seq("event_type"))
-      .withColumn("bucket",
-        when(col("vmax") > col("vmin"),
-          least(b - 1, floor((col("value") - col("vmin")) /
-            (col("vmax") - col("vmin")) * b)).cast("long"))
-          .otherwise(lit(0L)))
-      .select("event_type", "bucket", "value")
+    // Cached: BOTH downstream passes (histogram, candidate-bucket
+    // reduction) consume this frame — uncached, each one re-scans the
+    // source and codegens its own copy of the scan+join+bucketize
+    // pipeline (2x Janino for the big-side stage, the dominant solo-cold
+    // cost of the w08/w09/p08 family).
+    val bucketed = graft.Caches.cache(
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("bucket",
+          when(col("vmax") > col("vmin"),
+            least(b - 1, floor((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")) * b)).cast("long"))
+            .otherwise(lit(0L)))
+        .select("event_type", "bucket", "value"))
     val hist = bucketed.groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("bn"))
     val wOff = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
@@ -350,11 +371,12 @@ object RelOps {
       .orderBy(col("value")).rowsBetween(Window.unboundedPreceding, 0)
     val ranked = vals.withColumn("cum_end",
       col("off") + sum(col("ec")).over(wCum))
-    ranked.join(broadcast(candBuckets.select("event_type", "bucket", "r")),
+    ranked.join(
+        broadcast(candBuckets.select("bucket", targetCols: _*)),
         Seq("event_type", "bucket"))
       .filter(col("r") > col("cum_end") - col("ec") &&
         col("r") <= col("cum_end"))
-      .select("event_type", "r", "value")
+      .select(targetCols.head, targetCols.tail :+ "value": _*)
   }
 
   /** Exact distributed median per group via two-phase rank selection
@@ -368,20 +390,20 @@ object RelOps {
     val stats = rankStats(ev)
     // `div` (integer division): Spark's `/` on integers yields DOUBLE.
     // distinct: odd counts hit one rank — the oracle's OR filter also
-    // picks one row there, two on even counts.
+    // picks one row there, two on even counts. `cnt` rides through
+    // valuesAtRanks as the output `n` — joining stats back instead
+    // would re-run the big-side scan+agg.
     val targets = stats
-      .select(col("event_type"),
+      .select(col("event_type"), col("cnt"),
         explode(array(expr("(cnt + 1) div 2"), expr("(cnt + 2) div 2")))
           .as("r"))
       .distinct()
-    valuesAtRanks(ev, stats, targets)
-      .groupBy(col("event_type"))
+    sortTiny(valuesAtRanks(ev, stats, targets)
+      .groupBy(col("event_type"), col("cnt"))
       .agg((sum(col("value").cast(DecimalType(28, 6))).cast("double") /
         count(lit(1))).as("median_value"))
-      .join(broadcast(stats.select(col("event_type"), col("cnt").as("n"))),
-        Seq("event_type"))
-      .select("event_type", "median_value", "n")
-      .orderBy("event_type")
+      .select(col("event_type"), col("median_value"), col("cnt").as("n")),
+      "event_type")
   }
 
   /** Exact rank-based quantiles (p25/p50/p75 as the value at rank
@@ -393,24 +415,27 @@ object RelOps {
     val ev = Tables.events(spark, dir).select("event_type", "value")
     val stats = rankStats(ev)
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    // The quantile label q and the group count ride through
+    // valuesAtRanks (a rank shared by two quantiles just yields two
+    // target rows in the same candidate bucket) — no join-back of the
+    // labels and no second stats scan for the output `n`.
     val wanted = stats
-      .select(col("event_type"), explode(array(qs.map { case (q, name) =>
-        struct(lit(name).as("q"),
-          expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))
-      }: _*)).as("t"))
-      .select(col("event_type"), col("t.q").as("q"), col("t.r").as("r"))
-    val atRanks = valuesAtRanks(ev, stats,
-      wanted.select("event_type", "r").distinct())
-    wanted.join(atRanks, Seq("event_type", "r"))
-      .groupBy(col("event_type"))
+      .select(col("event_type"), col("cnt"),
+        explode(array(qs.map { case (q, name) =>
+          struct(lit(name).as("q"),
+            expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))
+        }: _*)).as("t"))
+      .select(col("event_type"), col("cnt"),
+        col("t.q").as("q"), col("t.r").as("r"))
+    sortTiny(valuesAtRanks(ev, stats, wanted)
+      .groupBy(col("event_type"), col("cnt"))
       .agg(
         max(when(col("q") === "p25", col("value"))).as("p25"),
         max(when(col("q") === "p50", col("value"))).as("p50"),
         max(when(col("q") === "p75", col("value"))).as("p75"))
-      .join(broadcast(stats.select(col("event_type"), col("cnt").as("n"))),
-        Seq("event_type"))
-      .select("event_type", "p25", "p50", "p75", "n")
-      .orderBy("event_type")
+      .select(col("event_type"), col("p25"), col("p50"), col("p75"),
+        col("cnt").as("n")),
+      "event_type")
   }
 
   /** CUBE grouping sets over orders: all four (status, priority)

@@ -54,9 +54,12 @@ class PlanAuditSpec extends SparkTestBase {
     // s08's codebook scan (vectors x broadcast centroids); the pairwise
     // stage itself is an equality join on the cell key
     "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // scalar broadcast (the cuts cross join); the rank-machinery windows
+    // collapsed to one SinglePartition span once `bucketed` was cached
+    // (round 7) — the cache reuses one exchange where two plans each
+    // used to carry their own
+    "p08_quality_deciles" -> Set("BroadcastNestedLoopJoin"),
     // scalar broadcast + windows over tiny aggregated frames
-    "p08_quality_deciles" ->
-      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     "q02_critical_sparklines" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     "q08_health" -> Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
