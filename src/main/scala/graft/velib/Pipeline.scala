@@ -76,9 +76,16 @@ object Pipeline {
     * pruned after a successful write. (The silver append shares the
     * usual append-log caveat: a mid-batch crash can duplicate a file;
     * state is immune since replay re-derives it.)
+    *
+    * `failpoint` is a crash-injection hook for the replay spec: called
+    * with a point name + batchId at the vulnerable spots (after the
+    * state write, before the gold write); production callers leave the
+    * no-op default. Throwing from it fails the streaming query exactly
+    * like a process kill at that point would.
     */
   def runEndToEndIncremental(
-      spark: SparkSession, inputDir: String, root: String): Long = {
+      spark: SparkSession, inputDir: String, root: String,
+      failpoint: (String, Long) => Unit = (_, _) => ()): Long = {
     val statePath = s"$root/state"
     val readingT =
       "STRUCT<ts: TIMESTAMP, seq: BIGINT, bikes: INT, name: STRING>"
@@ -100,6 +107,7 @@ object Pipeline {
         // append + state merge); uncached, each action re-reads the
         // streaming source (and inflates numInputRows)
         val batch = batch0.persist()
+        try {
         batch.write.mode("append").partitionBy("date")
           .parquet(s"$root/silver")
         val bAgg = canonical(batch).groupBy(col("station_code")).agg(
@@ -145,6 +153,7 @@ object Pipeline {
             collect_list(col("r")).as("readings"))
         newState.coalesce(1).write.mode("overwrite")
           .parquet(s"$statePath/b$batchId")
+        failpoint("state-written", batchId)
         // state -> the enriched-latest frame GoldAlerts expects
         val latest = ranked.filter(col("rn") === 1).select(
           col("station_code"), col("r.name").as("station_name"),
@@ -175,8 +184,12 @@ object Pipeline {
         // the gold write could race an uncached recompute
         completeVersions(batchId).foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$statePath/b$v"), true))
-        graft.Caches.unpersistAll()
-        batch.unpersist()
+        } finally {
+          // also on a mid-batch failure: a crashed batch must not leave
+          // its input pinned in executor memory for the session's life
+          graft.Caches.unpersistAll()
+          batch.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
