@@ -351,6 +351,8 @@ object GraftFunctions {
       ShingleSet(es(0), literalK(es(1)))),
     "graft_topk" -> ((es: Seq[Expression]) =>
       TopKAgg(es(0), es(1), literalK(es(2)))),
+    "graft_heavy_keys" -> ((es: Seq[Expression]) =>
+      MisraGriesAgg(es(0), literalK(es(1)))),
     // Spark's own runtime-filter machinery (the expressions behind
     // spark.sql.optimizer.runtime.bloomFilter), surfaced as callable
     // functions so an operator can build a bloom over a small side and

@@ -582,11 +582,18 @@ object DedupOps {
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      e = graft.Caches.checkpoint(smallStar(largeStar(e)))
+      val next = graft.Caches.checkpoint(smallStar(largeStar(e)))
       rounds += 1
-      val cur = checksum(e)
-      stable = cur == prev
+      val cur = checksum(next)
+      // Digest equality is confirmed EXACTLY once, on the first round it
+      // stabilizes: a 2^-64 digest collision would otherwise terminate
+      // early and silently emit under-merged components. Counts already
+      // match and edges are distinct, so one-sided exceptAll = set
+      // equality; both frames are checkpointed, so this is one cheap
+      // extra job on one round, never per-round work.
+      stable = cur == prev && next.exceptAll(e).isEmpty
       prev = cur
+      e = next
     }
     require(stable,
       s"large-star/small-star contraction still moving after $maxRounds " +

@@ -525,7 +525,48 @@ object PipelineOps {
       .orderBy("source", "cap_rank")
   }
 
+  /** Deterministic global training-order shuffle (epoch permutation):
+    * every doc gets a unique position 0..n-1 in a pseudorandom order
+    * that is stable across engines, re-runs, and partitionings — the
+    * salted-hash discipline (never `rand()`), a different salt per
+    * epoch re-deals the order.
+    *
+    * The naive statement — `row_number() OVER (ORDER BY hash)` — is ONE
+    * task sorting the whole corpus (the oracle says exactly that;
+    * DuckDB may do it, the engine must not). Distributed form:
+    *   1. bucket = h % 64 (tunable; thousands at 100 TB);
+    *   2. per-bucket counts -> cumulative offsets (a 64-row window);
+    *   3. row_number within each bucket, ordered (h, doc_id) — buckets
+    *      sort INDEPENDENTLY in parallel, each ~n/64 rows;
+    *   4. pos = bucket offset + in-bucket rank - 1.
+    * Equal 32-bit hashes tie-break on doc_id in both engines.
+    */
+  def p15EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir), "epoch0")
+
+  /** The p15 core over any doc_id frame — exposed so the spec can check
+    * the permutation property and partitioning-invariance directly.
+    */
+  private[graft] def epochShuffle(docs: DataFrame, salt: String): DataFrame = {
+    val hashed = graft.Caches.cache(docs
+      .select(col("doc_id"), expr(saltedHashExpr(salt)).as("h"))
+      .withColumn("bucket", col("h") % 64))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = hashed.groupBy("bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    hashed.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("off") + row_number().over(wRank) - 1).as("pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_epoch_shuffle" -> (p15EpochShuffle _),
     "p14_source_cap" -> (p14SourceCap _),
     "p13_leakage_safe_split" -> (p13LeakageSafeSplit _),
     "p12_cdc_chunk" -> (p12CdcChunk _),
@@ -543,6 +584,18 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the declarative statement of p15: one global window sort (the
+    // oracle may single-task it; the engine buckets + offsets instead)
+    "p15_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY h % 64, h, doc_id) - 1 AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "p14_source_cap" ->
       """WITH h AS (
         |  SELECT doc_id, source,

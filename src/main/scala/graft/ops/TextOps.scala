@@ -333,7 +333,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MG summary capacity for t11: guarantees every key with share
+    * > 1/(cap+1) of occurrences survives the one-pass sketch.
+    */
+  private[graft] val HeavyCap = 199
+
+  /** Corpus-wide heavy tokens (share > 1/200 of all occurrences) with
+    * EXACT counts, without ever shuffling the full vocabulary:
+    *
+    *   phase 1 — ONE pass, one global `graft_heavy_keys` aggregate:
+    *   per-partition Misra-Gries counter maps (<= 199 entries) merge
+    *   into a candidate set; any token above the threshold is
+    *   guaranteed present (MG error <= n/200), and the exact total
+    *   token count `n` rides in the same buffer;
+    *
+    *   phase 2 — exact counts for CANDIDATES ONLY: the corpus joins the
+    *   broadcast candidate set, so the per-key aggregation touches
+    *   O(candidates) distinct keys, and the share filter
+    *   `count * 200 > n` is exact integer arithmetic in both engines.
+    *
+    * The output is exact and deterministic — the sketch only ever
+    * SELECTS candidates, never supplies counts. 100 TB posture: a
+    * groupBy(token).count() heavy-hitter query shuffles the entire
+    * vocabulary (billions of keys); this plan shuffles partitions x 199
+    * summary entries plus the hot rows of <= 199 candidate tokens.
+    */
+  def t11HeavyTokens(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val summary = toks
+      .agg(expr(s"graft_heavy_keys(tok, $HeavyCap)").as("s"))
+      .select(col("s.n").as("n"), explode(col("s.keys")).as("tok"))
+    toks.join(broadcast(summary), Seq("tok"))
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * 200 > col("n"))
+      .select(col("tok"), col("n_occurrences"))
+      .orderBy("tok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_heavy_tokens" -> (t11HeavyTokens _),
     "t10_bigram_surprisal" -> (t10BigramSurprisal _),
     "t09_zipf_fit" -> (t09ZipfFit _),
     "t01_token_counts" -> (t01TokenCounts _),
@@ -347,6 +388,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the declarative statement of t11: plain GROUP BY + share filter
+    // (the oracle may shuffle the vocabulary; the engine must not)
+    "t11_heavy_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, count(*) AS n_occurrences
+        |FROM toks, tot
+        |GROUP BY tok, n
+        |HAVING count(*) * 200 > n
+        |ORDER BY tok""".stripMargin,
     "t10_bigram_surprisal" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -103,6 +103,59 @@ class FunctionsSpec extends SparkTestBase {
     assert(agg == Seq((1L, Seq(4L, 7L)), (2L, Seq(1L, 2L))))
   }
 
+  test("graft_heavy_keys: vocab >> capacity, every heavy key survives " +
+      "the bounded one-pass summary") {
+    GraftFunctions.register(spark)
+    // 3 hot tokens x 500 occurrences + 5000 singleton tail tokens:
+    // vocab 5003 >> capacity 199, hot share 500/6500 = 7.7% >> 1/200
+    val hot = (0 until 3).flatMap(h => Seq.fill(500)(s"hot$h"))
+    val tail = (0 until 5000).map(i => f"tail$i%05d")
+    val toks = spark.createDataset(hot ++ tail).toDF("tok")
+      .repartition(8) // summaries must merge across partitions
+    val s = toks.agg(expr(s"graft_heavy_keys(tok, 199)").as("s"))
+      .select(col("s.n"), col("s.keys")).head()
+    assert(s.getLong(0) == 6500L)
+    val keys = s.getSeq[String](1)
+    assert(keys.length <= 199, s"summary exceeded capacity: ${keys.length}")
+    assert(Set("hot0", "hot1", "hot2").subsetOf(keys.toSet),
+      s"a heavy key fell out of the MG summary: $keys")
+  }
+
+  test("t11 heavy tokens: exact output on a planted Zipf corpus dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_heavy").toString
+    // doc 0 carries the hot tokens; docs 1..200 carry 25 unique tail
+    // tokens each -> total = 600 hot + 5000 tail, hot share ~10.7%
+    val hotDoc = (0 until 3).flatMap(h => Seq.fill(200)(s"hot$h")).mkString(" ")
+    val docs = (0L, hotDoc) +: (1L to 200L).map(i =>
+      i -> (0 until 25).map(j => f"tl${i * 25 + j}%06d").mkString(" "))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextOps.t11HeavyTokens(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    // exact reference: plain groupBy + share filter over the same corpus
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy("tok").count()
+      .filter(col("count") * 200 > n)
+      .orderBy("tok").as[(String, Long)].collect().toSeq
+    assert(got == want && got.map(_._1) == Seq("hot0", "hot1", "hot2"),
+      s"got $got, want $want")
+  }
+
+  test("MisraGriesAgg serde round-trips counts and the exact n") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = MisraGriesAgg(Literal.create("x"), 4)
+    val buf = a.createAggregationBuffer()
+    buf.n = 42L
+    Seq("a" -> 7L, "b" -> 3L, "cc" -> 1L).foreach { case (k, v) => buf.m(k) = v }
+    val back = a.deserialize(a.serialize(buf))
+    assert(back.n == 42L && back.m == buf.m)
+  }
+
   test("TopKAgg serde round-trips the bounded heap") {
     val a = TopKAgg(org.apache.spark.sql.catalyst.expressions.Literal(0.0),
       org.apache.spark.sql.catalyst.expressions.Literal(0L), 3)

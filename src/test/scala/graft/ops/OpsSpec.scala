@@ -275,6 +275,24 @@ class OpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("p15: epoch shuffle is a permutation, invariant to partitioning, " +
+      "re-dealt by salt") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val pos = PipelineOps.epochShuffle(docs, "epoch0")
+      .as[(Long, Long)].collect().toSeq
+    // bijection onto 0..n-1
+    assert(pos.map(_._2).sorted == (0L until 500L))
+    // the mapping is a property of the data, not of the physical layout
+    val repart = PipelineOps.epochShuffle(docs.repartition(13), "epoch0")
+      .as[(Long, Long)].collect().toSeq
+    assert(repart.sortBy(_._1) == pos.sortBy(_._1))
+    // a different salt (= next epoch) re-deals the order
+    val e1 = PipelineOps.epochShuffle(docs, "epoch1")
+      .as[(Long, Long)].collect().toSeq
+    assert(e1.map(_._2).sorted == (0L until 500L))
+    assert(e1.sortBy(_._1) != pos.sortBy(_._1))
+  }
+
   test("m04: stub resize halves dims, keeps every 2nd byte, deterministic") {
     val media = Seq(
       MediaRow(0L, "image", "abcdefg".getBytes("UTF-8")),
