@@ -373,7 +373,56 @@ object TextOps {
       .orderBy("tok")
   }
 
+  /** Per-document benchmark-contamination SCORE — the graded companion
+    * to d08's presence report: for every corpus doc (doc_id % 97 != 0,
+    * the d08 eval-suite convention), the fraction of its distinct
+    * 4-grams that appear anywhere in the benchmark side, plus a
+    * flagged verdict at the 50% overlap threshold (the n-gram-overlap
+    * contamination methodology of the GPT-3/PaLM eval-decontamination
+    * reports). Zero-overlap docs are REPORTED (overlap 0.0), not
+    * dropped — a contamination audit needs the clean rows too.
+    *
+    * Determinism: counts are exact integers, the fraction is one
+    * integer division, and the flag compares `2*shared >= total` in
+    * integer arithmetic — no float threshold.
+    *
+    * 100 TB posture: identical to d08 — benchmark grams are
+    * eval-suite-sized and broadcast; the corpus side is one gram
+    * explode + hash agg per doc, never a corpus x corpus join.
+    */
+  def t12ContaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    // projected-toks form (t06): split once per row, not per element
+    val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+      " i -> array_join(slice(toks, i, 4), ' ')))"
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(grams).as("grams"))
+    // cached: the corpus side feeds both the shared-gram join and the
+    // per-doc totals — uncached, the gram build runs twice
+    val corpus = graft.Caches.cache(g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        col("grams")))
+    val bench = g.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    // per-doc grams are already distinct, so count(*) after the join
+    // IS the distinct shared-gram count
+    val shared = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select("doc_id", "n_grams")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .as("overlap_frac"),
+        when(coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_grams"), 1L)
+          .otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_contamination_score" -> (t12ContaminationScore _),
     "t11_heavy_tokens" -> (t11HeavyTokens _),
     "t10_bigram_surprisal" -> (t10BigramSurprisal _),
     "t09_zipf_fit" -> (t09ZipfFit _),
@@ -388,6 +437,32 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_contamination_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS grams
+        |  FROM documents
+        |),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM t WHERE doc_id % 97 = 0
+        |),
+        |corpus AS (
+        |  SELECT doc_id, len(grams) AS n_grams, grams FROM t WHERE doc_id % 97 <> 0
+        |),
+        |sh AS (
+        |  SELECT c.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+        |  JOIN bench USING (gram)
+        |  GROUP BY c.doc_id
+        |)
+        |SELECT c.doc_id, c.n_grams,
+        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(coalesce(s.n_shared, 0) AS DOUBLE) / c.n_grams AS overlap_frac,
+        |  CAST(CASE WHEN coalesce(s.n_shared, 0) * 2 >= c.n_grams
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM corpus c LEFT JOIN sh s USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     // the declarative statement of t11: plain GROUP BY + share filter
     // (the oracle may shuffle the vocabulary; the engine must not)
     "t11_heavy_tokens" ->

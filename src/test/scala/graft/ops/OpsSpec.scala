@@ -293,6 +293,30 @@ class OpsSpec extends SparkTestBase {
     assert(e1.sortBy(_._1) != pos.sortBy(_._1))
   }
 
+  test("t12: overlap fraction agrees with d08 on shared docs and " +
+      "reports clean docs at 0.0") {
+    val t12 = TextOps.t12ContaminationScore(spark, sf0001)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    // every corpus doc is reported exactly once
+    val corpusIds = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 97 =!= 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(t12.map(_._1).toSet == corpusIds && t12.length == corpusIds.size)
+    // shared-gram counts match d08's presence report doc-for-doc
+    val d08 = DedupOps.d08Decontamination(spark, sf0001)
+      .select("doc_id", "n_shared_ngrams")
+      .as[(Long, Long)].collect().toMap
+    val t12Shared = t12.filter(_._3 > 0).map(t => t._1 -> t._3).toMap
+    assert(t12Shared == d08)
+    // fraction + flag are consistent with the integer counts
+    t12.foreach { case (id, n, sh, frac, flagged) =>
+      assert(n > 0 && frac == sh.toDouble / n, s"doc $id")
+      assert(flagged == (if (2 * sh >= n) 1L else 0L), s"doc $id")
+    }
+    // clean docs are present with 0.0, not dropped
+    assert(t12.exists(_._3 == 0L))
+  }
+
   test("m04: stub resize halves dims, keeps every 2nd byte, deterministic") {
     val media = Seq(
       MediaRow(0L, "image", "abcdefg".getBytes("UTF-8")),
