@@ -40,8 +40,12 @@ case class MisraGriesAgg(
 
   override def children: Seq[Expression] = Seq(key)
   override def nullable: Boolean = false
+  // counts are aligned with keys: MG LOWER BOUNDS (true count >= count
+  // >= true count - n/(capacity+1)), exposed so a streaming consumer
+  // can carry the summary itself as state and keep merging
   override def dataType: DataType = StructType(Seq(
-    StructField("n", LongType), StructField("keys", ArrayType(StringType))))
+    StructField("n", LongType), StructField("keys", ArrayType(StringType)),
+    StructField("counts", ArrayType(LongType))))
   override def prettyName: String = "graft_heavy_keys"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -77,29 +81,14 @@ case class MisraGriesAgg(
     buf
   }
 
-  override def merge(buf: MGBuf, other: MGBuf): MGBuf = {
-    buf.n += other.n
-    other.m.foreach { case (k, c) =>
-      buf.m(k) = buf.m.getOrElse(k, 0L) + c
-    }
-    if (buf.m.size > capacity) {
-      // subtract the (capacity+1)-th largest count from everything and
-      // drop the non-positives — the mergeable-summaries reduction
-      // (Agarwal et al.): error stays <= n/(capacity+1)
-      val d = buf.m.values.toArray.sorted(Ordering[Long].reverse)(capacity)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.m.foreach { case (k, c) =>
-        if (c - d <= 0L) dead += k else buf.m(k) = c - d
-      }
-      dead.foreach(buf.m.remove)
-    }
-    buf
-  }
+  override def merge(buf: MGBuf, other: MGBuf): MGBuf =
+    MisraGriesAgg.mergeInto(buf, other, capacity)
 
   override def eval(buf: MGBuf): Any = {
     val keys = buf.m.keys.toArray.sorted
     new GenericInternalRow(Array[Any](buf.n,
-      new GenericArrayData(keys.map(UTF8String.fromString(_)))))
+      new GenericArrayData(keys.map(UTF8String.fromString(_))),
+      new GenericArrayData(keys.map(buf.m(_)))))
   }
 
   override def serialize(buf: MGBuf): Array[Byte] = {
@@ -142,4 +131,26 @@ object MisraGriesAgg {
     * what lets the consumer state a precise share threshold).
     */
   final class MGBuf(var n: Long, val m: mutable.HashMap[String, Long])
+
+  /** The mergeable-summaries reduction (Agarwal et al.): sum counters,
+    * then subtract the (capacity+1)-th largest count and drop
+    * non-positives — error stays <= n/(capacity+1). Shared by the
+    * aggregate's partial merge and by streaming consumers that carry a
+    * summary as state across micro-batches.
+    */
+  def mergeInto(buf: MGBuf, other: MGBuf, capacity: Int): MGBuf = {
+    buf.n += other.n
+    other.m.foreach { case (k, c) =>
+      buf.m(k) = buf.m.getOrElse(k, 0L) + c
+    }
+    if (buf.m.size > capacity) {
+      val d = buf.m.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.m.foreach { case (k, c) =>
+        if (c - d <= 0L) dead += k else buf.m(k) = c - d
+      }
+      dead.foreach(buf.m.remove)
+    }
+    buf
+  }
 }

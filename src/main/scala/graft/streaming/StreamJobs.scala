@@ -291,6 +291,104 @@ object StreamJobs {
     q.awaitTermination()
   }
 
+  /** Streaming heavy-hitter tracking: a corpus-lifetime Misra-Gries
+    * summary maintained across micro-batches — the continual-ingest
+    * twin of t11. Per batch:
+    *
+    *   1. ONE distributed `graft_heavy_keys` aggregate over the batch
+    *      (map-side partial counter maps, capacity-bounded) -> a single
+    *      summary row read to the driver (the documented 1-row
+    *      driver-read pattern — the summary is <= capacity entries by
+    *      construction, never data-sized);
+    *   2. the batch summary merges into the accumulated summary with
+    *      the same mergeable-summaries reduction the aggregate's
+    *      partials use (`MisraGriesAgg.mergeInto`), keeping the
+    *      guarantee: any token with lifetime share > 1/(capacity+1) is
+    *      in the summary, counts are lower bounds within n/(capacity+1);
+    *   3. the merged summary is written to a VERSIONED dir
+    *      `accumRoot/b<batchId>` with _SUCCESS gating, merging always
+    *      from the newest complete version strictly below the current
+    *      batch id — the velib Pipeline's exactly-once state
+    *      discipline, so a crash/replay re-merges from the predecessor
+    *      instead of double-counting (an append log can't offer that
+    *      for a non-idempotent sketch).
+    *
+    * Per-batch cost at scale: batch scan + partitions x capacity
+    * summary entries to one reducer + a <= capacity-entry driver merge.
+    * The full token cardinality never shuffles and the corpus is never
+    * rescanned.
+    */
+  def streamingHeavyTokens(
+      stream: DataFrame,
+      accumRoot: String,
+      checkpoint: String,
+      capacity: Int = 199): Unit = {
+    import graft.functions.MisraGriesAgg
+    import scala.collection.mutable
+    def fsOf(spark: org.apache.spark.sql.SparkSession) =
+      new org.apache.hadoop.fs.Path(accumRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val fs = fsOf(spark)
+        def completeVersions(belowExclusive: Long): Seq[Long] = {
+          val p = new org.apache.hadoop.fs.Path(accumRoot)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("b") &&
+              fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+            .map(_.getPath.getName.drop(1).toLong)
+            .filter(_ < belowExclusive)
+        }
+        val row = batch
+          .agg(expr(s"graft_heavy_keys(tok, $capacity)").as("s"))
+          .select(col("s.n"), col("s.keys"), col("s.counts")).head()
+        val merged = new MisraGriesAgg.MGBuf(row.getLong(0),
+          mutable.HashMap(row.getSeq[String](1)
+            .zip(row.getSeq[Long](2)): _*))
+        completeVersions(batchId).sorted.lastOption.foreach { v =>
+          val prior = spark.read.parquet(s"$accumRoot/b$v").head()
+          MisraGriesAgg.mergeInto(merged,
+            new MisraGriesAgg.MGBuf(prior.getLong(0),
+              mutable.HashMap(prior.getSeq[String](1)
+                .zip(prior.getSeq[Long](2)): _*)), capacity)
+        }
+        val keys = merged.m.keys.toArray.sorted
+        import spark.implicits._
+        Seq((merged.n, keys.toSeq, keys.map(merged.m(_)).toSeq))
+          .toDF("n", "keys", "counts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$accumRoot/b$batchId")
+        completeVersions(batchId).foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$accumRoot/b$v"), true))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the current lifetime summary as (tok, count_lb, n): the
+    * candidate set with its lower-bound counts. Counts are within
+    * n/(capacity+1) of truth; exact counts (if needed) come from one
+    * candidate-filtered pass over the corpus, as in t11.
+    */
+  def heavyTokensSnapshot(
+      spark: org.apache.spark.sql.SparkSession, accumRoot: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(accumRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong)
+    spark.read.parquet(s"$accumRoot/b${versions.max}")
+      .select(col("n"), explode(arrays_zip(col("keys"), col("counts"))).as("e"))
+      .select(col("e.keys").as("tok"), col("e.counts").as("count_lb"), col("n"))
+      .orderBy("tok")
+  }
+
   /** The latent enrichment's net_flow (W3: bikes - lag(bikes) per
     * station) computed ON-STREAM with keyed state: the state is the last
     * reading per station; each micro-batch sorts its per-station rows by

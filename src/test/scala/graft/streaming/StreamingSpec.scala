@@ -156,6 +156,40 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/docs").count() == 5)
   }
 
+  test("streaming heavy tokens: lifetime summary accumulates across " +
+      "batches, exact n, checkpointed restart is a no-op") {
+    val root = Files.createTempDirectory("graft_stream_heavy")
+    val srcDir = s"$root/src"
+    // one token is heavy only ACROSS batches (300 + 300 of 1200 total);
+    // tail tokens are unique per batch — vocab larger than capacity 9
+    def tail(pfx: String) = (0 until 300).map(i => f"$pfx$i%04d")
+    (Seq.fill(300)("hot") ++ tail("a")).toDF("tok")
+      .coalesce(1).write.parquet(s"$srcDir/f0")
+    (Seq.fill(300)("hot") ++ tail("b")).toDF("tok")
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    new java.io.File(s"$srcDir/f0").listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() - 60000))
+    def src() = spark.readStream.schema("tok STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*")
+    StreamJobs.streamingHeavyTokens(src(), s"$root/accum", s"$root/ckpt",
+      capacity = 9)
+    val snap = StreamJobs.heavyTokensSnapshot(spark, s"$root/accum")
+      .as[(String, Long, Long)].collect()
+    // exact lifetime n; the cross-batch-heavy token survived with its
+    // count within the n/(capacity+1) bound; summary stayed bounded
+    assert(snap.forall(_._3 == 1200L))
+    assert(snap.length <= 9)
+    val hot = snap.find(_._1 == "hot")
+    assert(hot.isDefined, s"cross-batch heavy key lost: ${snap.toSeq}")
+    assert(hot.get._2 <= 600L && hot.get._2 >= 600L - 1200L / 10)
+    // restart with no new files: same version, nothing re-merged
+    StreamJobs.streamingHeavyTokens(src(), s"$root/accum", s"$root/ckpt",
+      capacity = 9)
+    val snap2 = StreamJobs.heavyTokensSnapshot(spark, s"$root/accum")
+      .as[(String, Long, Long)].collect()
+    assert(snap2.toSeq == snap.toSeq)
+  }
+
   test("composite stream: dedup -> static enrich -> tumbling agg in one query") {
     // the full streaming pipeline shape chained as ONE streaming query:
     // watermark dedup feeds the broadcast dim join feeds the windowed agg
