@@ -77,6 +77,33 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** ANN recall report — the index-validation audit a pipeline runs
+    * before trusting an approximate index: per query, how many of the
+    * exact top-5 neighbors (s01's brute-force machinery) the bucketed
+    * LSH search (s02) actually returned. n_hits is an exact integer
+    * intersection count, recall_at_5 one exact division — deterministic
+    * because both rankings already break cosine ties on vec_id.
+    *
+    * 100 TB posture: the exact side is the expensive audit half — run
+    * it on a SAMPLED query set (here the fixture's % 50 query
+    * convention IS the sample); the ANN side costs what production
+    * costs. The join/agg work on top is query-set-sized.
+    */
+  def s17RecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01KnnBruteforce(spark, dir)
+      .filter(col("rank") <= 5).select("qid", "neighbor_id")
+    val ann = s02LshAnn(spark, dir).select("qid", "neighbor_id")
+    val nEx = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(ann, Seq("qid", "neighbor_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    nEx.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall_at_5"))
+      .orderBy("qid")
+  }
+
   /** Sign-LSH bucket key: sign bits of components [from, from+bits).
     * An axis-aligned random-projection LSH — the scale path that turns
     * all-pairs search into a per-bucket search.
@@ -904,7 +931,8 @@ object SimOps {
     "s08_ivf_ann" -> (s08IvfAnn _),
     "s09_knn_join" -> (s09KnnJoin _),
     "s10_quantized_rescore" -> (s10QuantizedRescore _),
-    "s11_semantic_dedup" -> (s11SemanticDedup _)
+    "s11_semantic_dedup" -> (s11SemanticDedup _),
+    "s17_recall_report" -> (s17RecallReport _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -1379,6 +1407,65 @@ object SimOps {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // s17: exact top-5 (the knn CTE) intersected with the s02 LSH
+    // top-5, counted per query — pure integer work over the two
+    // rankings stated above
+    "s17_recall_report" ->
+      s"""WITH $unnestSql,
+         |e AS (
+         |  SELECT vec_id, ${signKeySql("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |),
+         |dall AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |call AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM dall JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |),
+         |ex AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid ASC) AS rank FROM call)
+         |  WHERE rank <= 5
+         |),
+         |dl AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  JOIN e eq ON eq.vec_id = q.vec_id
+         |  JOIN e ev ON ev.vec_id = v.vec_id AND ev.bucket = eq.bucket
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |cl AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM dl JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |),
+         |ann AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid ASC) AS rank FROM cl)
+         |  WHERE rank <= 5
+         |),
+         |nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+         |hit AS (
+         |  SELECT ex.qid, count(*) AS n_hits
+         |  FROM ex JOIN ann ON ann.qid = ex.qid AND ann.vid = ex.vid
+         |  GROUP BY ex.qid
+         |)
+         |SELECT nx.qid, nx.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / nx.n_exact AS recall_at_5
+         |FROM nx LEFT JOIN hit h ON h.qid = nx.qid
+         |ORDER BY nx.qid""".stripMargin,
 
     "s03_embed_neardup" ->
       s"""WITH $unnestSql,

@@ -293,6 +293,31 @@ class OpsSpec extends SparkTestBase {
     assert(e1.sortBy(_._1) != pos.sortBy(_._1))
   }
 
+  test("s17: recall report equals the independent s01/s02 intersection") {
+    val report = SimOps.s17RecallReport(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = SimOps.s01KnnBruteforce(spark, sf0001)
+      .filter(col("rank") <= 5).select("qid", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = SimOps.s02LshAnn(spark, sf0001)
+      .select("qid", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(report.map(_._1).toSet == exact.keySet)
+    report.foreach { case (qid, nEx, nHits, recall) =>
+      val want = exact(qid).intersect(ann.getOrElse(qid, Set.empty)).size
+      assert(nEx == exact(qid).size && nHits == want &&
+        recall == want.toDouble / nEx, s"qid $qid")
+    }
+    // no recall floor here: the driver fixture's embeddings are random
+    // w.r.t. the 4-bit sign bucket, so single-table LSH recall is
+    // legitimately LOW on it — reporting that honestly is the
+    // operator's job (the >= 0.96 planted-cluster bounds elsewhere in
+    // this suite cover the indexes themselves); just bound the range
+    assert(report.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("t12: overlap fraction agrees with d08 on shared docs and " +
       "reports clean docs at 0.0") {
     val t12 = TextOps.t12ContaminationScore(spark, sf0001)

@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkTestBase {
     "w20_zorder_stats" -> Set("BroadcastNestedLoopJoin"),
     // broadcast query-set / codebook top-k scans
     "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
+    // recall audit: contains s01's exact side (the same broadcast
+    // query-set scan) by construction
+    "s17_recall_report" -> Set("BroadcastNestedLoopJoin"),
     "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
     // SQ8 coarse stage = corpus x broadcast queries, same family as s01
