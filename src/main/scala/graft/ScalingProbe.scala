@@ -112,6 +112,31 @@ object ScalingProbe {
     }
   }
 
+  /** t11 shape: Misra-Gries heavy-token pass on the word-soup corpus
+    * with one planted hot token per doc (2% of occurrences — far above
+    * the 1/200 threshold) and an otherwise ~unique vocabulary that
+    * grows with n (the regime where a groupBy(token) heavy-hitter plan
+    * shuffles an ever-growing key space while the MG candidate pass
+    * ships a constant-size summary per partition). Runtime should grow
+    * ~linearly in total tokens.
+    */
+  private def heavyProbe(spark: SparkSession, n: Int): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = wordSoup(spark, n)
+      .select(col("doc_id"), concat(lit("hotkey "), col("text")).as("text"))
+    time("t11_heavy_tokens", n) {
+      val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      val summary = toks
+        .agg(expr(s"graft_heavy_keys(tok, ${graft.ops.TextOps.HeavyCap})").as("s"))
+        .select(col("s.n").as("n"), explode(col("s.keys")).as("tok"))
+      toks.join(broadcast(summary), Seq("tok"))
+        .groupBy(col("tok"), col("n"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") * 200 > col("n"))
+        .count()
+    }
+  }
+
   /** p12 shape: content-defined chunking — pure per-row scan work (the
     * boundary hash and chunk assembly never shuffle more than the
     * (doc, chunk) rows), so runtime should grow ~linearly in n.
@@ -178,6 +203,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("stars")) {
       starsProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("heavy")) {
+      heavyProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }
