@@ -228,7 +228,75 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  /** Stub perceptual hash: a 16-bit block-mean signature — bit b is set
+    * iff block b's byte sum is at least its pro-rata share of the total
+    * (the cross-multiplied integer form `bsum*n >= total*blen`, so no
+    * division and no float enters the signature). Empty blocks (n < 16)
+    * contribute 0. A real deployment swaps the block-mean rule for a
+    * DCT pHash with the same (payload -> bits) signature; the banding,
+    * candidate join, and hamming verify around it are unchanged.
+    */
+  private[graft] def stubPhash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (bytes(i) & 0xff); i += 1 }
+    var sig = 0L
+    var b = 0
+    while (b < 16) {
+      val from = n.toLong * b / 16
+      val until = n.toLong * (b + 1) / 16
+      val blen = until - from
+      if (blen > 0) {
+        var bsum = 0L
+        var j = from.toInt
+        while (j < until) { bsum += (bytes(j) & 0xff); j += 1 }
+        if (bsum * n >= total * blen) sig |= (1L << b)
+      }
+      b += 1
+    }
+    sig
+  }
+
+  /** Perceptual near-dup pairs over binary payloads: the multimodal
+    * twin of d04's SimHash channel. Signatures come from the real
+    * mapPartitions byte path (`stubPhash`); candidates come from a
+    * 4-band signature join — hamming <= 1 flips at most one band, so
+    * >= 3 bands stay equal and banding has NO false negatives at this
+    * radius; the exact `bit_count(xor)` verify removes band-collision
+    * false positives. The oracle states the all-pairs form
+    * declaratively; the engine never runs it.
+    *
+    * 100 TB posture: the d03/d04 discipline — candidates are
+    * band-bucket-local (16 values per 4-bit band at this stub width; a
+    * production 64-bit pHash uses 8x8-bit bands), pairs shuffle once on
+    * the pair key, and the payload is read exactly once per doc for the
+    * signature.
+    */
+  def m06PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.Caches.cache(mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, stubPhash(r.payload))))
+      .toDF("doc_id", "sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(15L))): _*))
+        .as(Seq("band", "key")))
+    banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_phash_neardup" -> (m06PhashNeardup _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -254,6 +322,37 @@ object MediaOps {
     * would shift instead.
     */
   val oracle: Map[String, String] = Map(
+    // the all-pairs declarative statement of m06 (the engine bands;
+    // hamming <= 1 makes banding lossless, so the sets agree exactly)
+    "m06_phash_neardup" ->
+      """WITH c AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    list_transform(generate_series(1, greatest(length(text), 0)),
+        |      i -> ascii(substring(text, i, 1))) AS codes
+        |  FROM documents
+        |),
+        |blocks AS (
+        |  SELECT doc_id, n, list_sum(codes) AS total, b,
+        |    list_sum(list_slice(codes, CAST(floor(n*b/16) AS INT) + 1,
+        |                               CAST(floor(n*(b+1)/16) AS INT))) AS bsum,
+        |    CAST(floor(n*(b+1)/16) AS INT)
+        |      - CAST(floor(n*b/16) AS INT) AS blen
+        |  FROM c, unnest(generate_series(0, 15)) AS t(b)
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN blen > 0 AND bsum * n >= total * blen
+        |             THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+        |  FROM blocks GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       a.sig AS sig_a, b.sig AS sig_b,
+        |       CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS BIGINT)
+        |         AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "m05_sample_assembly" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -342,6 +342,32 @@ class OpsSpec extends SparkTestBase {
     assert(t12.exists(_._3 == 0L))
   }
 
+  test("m06: phash banding finds hamming<=1 pairs exactly " +
+      "(planted twin + one-block tweak, different content excluded)") {
+    // twin payloads -> identical sigs (hamming 0); a tweak confined to
+    // one block flips at most that block's bit (hamming <= 1); a
+    // different payload shares no band
+    val base = ("a" * 64 + "z" * 64) * 4 // 512 bytes, 32/block
+    val tweaked = base.substring(0, 480) + "~" * 32 // last block boosted
+    val other = ("m" * 32 + " " * 96) * 4
+    val sigs = Map(
+      1L -> MediaOps.stubPhash(base.getBytes("UTF-8")),
+      2L -> MediaOps.stubPhash(base.getBytes("UTF-8")),
+      3L -> MediaOps.stubPhash(tweaked.getBytes("UTF-8")),
+      9L -> MediaOps.stubPhash(other.getBytes("UTF-8")))
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 1)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(9L)) > 1)
+    // brute-force hamming<=1 pairs over the planted sigs == what the
+    // banded join must return (losslessness at radius 1)
+    val ids = sigs.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1
+    } yield (a, b)).toSet
+    assert(want == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("m04: stub resize halves dims, keeps every 2nd byte, deterministic") {
     val media = Seq(
       MediaRow(0L, "image", "abcdefg".getBytes("UTF-8")),
