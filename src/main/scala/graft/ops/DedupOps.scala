@@ -956,7 +956,48 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source dedup-rate report — the governance table a data team
+    * reviews before a training run: how much of each source survives
+    * the dedup pipeline, split by REMOVAL CAUSE. A doc is
+    * exact-removed if a smaller doc_id carries identical text (d01's
+    * keeper rule), else near-removed if its d07 family label is a
+    * smaller id (d11's removal rule), else kept. Causes are disjoint
+    * by that order, so the three counts sum to n_docs — a property the
+    * spec pins. Rates are one exact integer division each.
+    *
+    * 100 TB posture: one hash shuffle on md5 (exact channel, hash-only
+    * projection), the near channel scans the materialized pair graph's
+    * labels (near-dup-population-sized), and the per-source rollup is
+    * a hash agg on the source key.
+    */
+  def d18DedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val exactKeeper = docs.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val near = neardupLabels(spark, dir)
+      .filter(col("label") < col("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_near"))
+    docs.join(exactKeeper, Seq("h"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("doc_id") > col("keeper"), 1L).otherwise(0L).as("ex"),
+        when(col("doc_id") === col("keeper") && col("is_near").isNotNull, 1L)
+          .otherwise(0L).as("nr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ex")).as("n_exact_removed"),
+        sum(col("nr")).as("n_near_removed"))
+      .select(col("source"), col("n_docs"),
+        col("n_exact_removed"), col("n_near_removed"),
+        (col("n_docs") - col("n_exact_removed") - col("n_near_removed"))
+          .as("n_kept"),
+        ((col("n_exact_removed") + col("n_near_removed")).cast("double") /
+          col("n_docs")).as("removal_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_dedup_report" -> (d18DedupReport _),
     "d17_star_components" -> (d17StarComponents _),
     "d16_corpus_diff" -> (d16CorpusDiff _),
     "d15_quality_keeper" -> (d15QualityKeeper _),
@@ -1225,6 +1266,32 @@ object DedupOps {
     "d03_lsh_near_dup" -> d03Sql,
 
     "d07_neardup_components" -> d07Sql,
+
+    // d18: removal causes restated declaratively — exact keeper via the
+    // md5 group min, near membership via d07's 4-round labels
+    "d18_dedup_report" ->
+      s"""WITH lab AS (SELECT * FROM ($d07Sql)),
+         |d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
+         |nr AS (SELECT doc_id FROM lab WHERE component < doc_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.doc_id > k.keeper THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_exact_removed,
+         |  CAST(SUM(CASE WHEN d.doc_id = k.keeper
+         |                 AND nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_near_removed,
+         |  CAST(count(*)
+         |    - SUM(CASE WHEN d.doc_id > k.keeper THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN d.doc_id = k.keeper
+         |               AND nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN d.doc_id > k.keeper THEN 1 ELSE 0 END)
+         |     + SUM(CASE WHEN d.doc_id = k.keeper
+         |                AND nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |     AS DOUBLE) / count(*) AS removal_rate
+         |FROM d JOIN k USING (h)
+         |LEFT JOIN nr ON nr.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // True converged components, stated declaratively: min reachable id
     // over the symmetric closure of d03's pair graph. DuckDB's recursive

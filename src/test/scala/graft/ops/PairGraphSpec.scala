@@ -154,6 +154,32 @@ class PairGraphSpec extends SparkTestBase {
     }
   }
 
+  test("d18: removal causes are disjoint, attributed exact-first, " +
+      "and sum to n_docs per source") {
+    // s1: exact twins (1,2), near-dups (3,4: 76 of 80 words shared),
+    // unique 5; s2: unique 6
+    val shared = (0 until 80).map(word).mkString(" ")
+    // the near pair's vocabulary is disjoint from the twins' — otherwise
+    // all four docs merge into ONE family and doc 3 gets near-removed too
+    val nearA = (100 until 176).map(word).mkString(" ") + " xa xb xc xd"
+    val nearB = (100 until 176).map(word).mkString(" ") + " ya yb yc yd"
+    val uniq1 = (500 until 580).map(word).mkString(" ")
+    val uniq2 = (700 until 780).map(word).mkString(" ")
+    val dir = Files.createTempDirectory("graft_d18").toString
+    Seq((1L, shared, "s1"), (2L, shared, "s1"), (3L, nearA, "s1"),
+      (4L, nearB, "s1"), (5L, uniq1, "s1"), (6L, uniq2, "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DedupOps.d18DedupReport(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // doc 2 exact-removed; doc 4 near-removed (label 3 < 4); doc 3 is
+    // its own family min -> kept. Causes sum to n_docs.
+    assert(r == Seq(("s1", 5L, 1L, 1L, 3L, 0.4), ("s2", 1L, 0L, 0L, 1L, 0.0)),
+      s"got $r")
+  }
+
   test("p13 uses CONVERGED labels: a diameter-6 chain is ONE family") {
     // the pair graph really is the consecutive-pair path
     val pairs = DedupOps.pairGraph(spark, chainDir)
