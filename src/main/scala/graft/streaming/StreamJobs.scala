@@ -322,7 +322,8 @@ object StreamJobs {
       stream: DataFrame,
       accumRoot: String,
       checkpoint: String,
-      capacity: Int = 199): Unit = {
+      capacity: Int = 199,
+      failpoint: (String, Long) => Unit = (_, _) => ()): Unit = {
     import graft.functions.MisraGriesAgg
     import scala.collection.mutable
     def fsOf(spark: org.apache.spark.sql.SparkSession) =
@@ -360,6 +361,11 @@ object StreamJobs {
         Seq((merged.n, keys.toSeq, keys.map(merged.m(_)).toSeq))
           .toDF("n", "keys", "counts")
           .coalesce(1).write.mode("overwrite").parquet(s"$accumRoot/b$batchId")
+        // crash-injection hook for the replay spec: a failure AFTER the
+        // version write but BEFORE checkpoint commit must not
+        // double-count on replay (the merge reads strictly-below
+        // versions, never the orphan this batch just wrote)
+        failpoint("version-written", batchId)
         completeVersions(batchId).foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$accumRoot/b$v"), true))
         ()

@@ -188,6 +188,27 @@ class StreamingSpec extends SparkTestBase {
     val snap2 = StreamJobs.heavyTokensSnapshot(spark, s"$root/accum")
       .as[(String, Long, Long)].collect()
     assert(snap2.toSeq == snap.toSeq)
+    // crash AFTER the version write, BEFORE checkpoint commit: the
+    // replayed batch must re-merge from the predecessor, never the
+    // orphan version the crashed run wrote — n stays exact, not doubled
+    (Seq.fill(300)("hot") ++ tail("c")).toDF("tok")
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    val boom = intercept[Exception] {
+      StreamJobs.streamingHeavyTokens(src(), s"$root/accum", s"$root/ckpt",
+        capacity = 9,
+        failpoint = (p, _) => if (p == "version-written")
+          throw new RuntimeException("injected crash"))
+    }
+    assert(boom.toString.contains("injected crash") ||
+      Option(boom.getCause).exists(_.toString.contains("injected crash")))
+    StreamJobs.streamingHeavyTokens(src(), s"$root/accum", s"$root/ckpt",
+      capacity = 9)
+    val snap3 = StreamJobs.heavyTokensSnapshot(spark, s"$root/accum")
+      .as[(String, Long, Long)].collect()
+    assert(snap3.forall(_._3 == 1800L),
+      s"replay double-counted: ${snap3.toSeq}")
+    val hot3 = snap3.find(_._1 == "hot").get
+    assert(hot3._2 <= 900L && hot3._2 >= 900L - 1800L / 10)
   }
 
   test("composite stream: dedup -> static enrich -> tumbling agg in one query") {
