@@ -87,6 +87,71 @@ object RelOps {
       .orderBy("event_id")
   }
 
+  /** Nearest-event join — the both-directions completion of w03's
+    * backward as-of: each event pairs with the SAME-user order closest
+    * in time, in either direction. Two window passes over one union
+    * (backward = w03's last-non-null machinery; forward = its mirror
+    * with an unbounded-following frame), then a per-row arbitration on
+    * exact integer microsecond distances — no all-pairs join anywhere;
+    * the oracle states the all-pairs form declaratively.
+    *
+    * Ties, all integer-exact: equal distance prefers the BACKWARD
+    * candidate (earlier date); within a side, equal dates prefer the
+    * smaller orderkey (both window sorts are arranged so last()/first()
+    * land on the minimum okey). Events whose user has no orders keep a
+    * null match.
+    */
+  def w22NearestJoin(spark: SparkSession, dir: String): DataFrame =
+    nearestJoin(
+      Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+      Tables.orders(spark, dir).select(
+        col("o_custkey").as("user_id"),
+        col("o_orderkey").as("okey"),
+        col("o_orderdate").as("odate")))
+
+  /** The w22 core over any (event_id, user_id, ts) / (user_id, okey,
+    * odate) frames — exposed so the spec can plant exact tie cases
+    * (equidistant both-directions, equal-date multi-key, orderless
+    * user), which the fixture's timestamps hit only by accident.
+    */
+  private[ops] def nearestJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("okey"),
+      lit(null).cast("timestamp").as("odate"),
+      lit(0).as("is_order"))
+    val od = orders.select(
+      col("user_id"), col("odate").cast("timestamp").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      col("okey"), col("odate").cast("timestamp").as("odate"),
+      lit(1).as("is_order"))
+    // backward: latest date <= ts; okey DESC so last() = MIN okey there
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_order").desc, col("okey").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // forward: earliest date >= ts; okey ASC so first() = MIN okey there
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_order").asc, col("okey").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val useB = col("bdate").isNotNull &&
+      (col("fdate").isNull || col("bdist") <= col("fdist"))
+    ev.union(od)
+      .withColumn("bkey", last(col("okey"), ignoreNulls = true).over(wB))
+      .withColumn("bdate", last(col("odate"), ignoreNulls = true).over(wB))
+      .withColumn("fkey", first(col("okey"), ignoreNulls = true).over(wF))
+      .withColumn("fdate", first(col("odate"), ignoreNulls = true).over(wF))
+      .filter(col("is_order") === 0)
+      .withColumn("bdist", unix_micros(col("ts")) - unix_micros(col("bdate")))
+      .withColumn("fdist", unix_micros(col("fdate")) - unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(useB, col("bkey")).otherwise(col("fkey"))
+          .as("nearest_orderkey"),
+        when(useB, col("bdate")).otherwise(col("fdate"))
+          .as("nearest_orderdate"),
+        when(useB, col("bdist")).otherwise(col("fdist")).as("dist_us"))
+      .orderBy("event_id")
+  }
+
   /** Rollup grouping sets over lineitem with grouping flags. */
   def w04Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -669,7 +734,8 @@ object RelOps {
     "w02_sessionization" -> (w02Sessionization _),
     "w03_asof_join" -> (w03AsofJoin _),
     "w04_rollup" -> (w04Rollup _),
-    "w05_set_ops" -> (w05SetOps _)
+    "w05_set_ops" -> (w05SetOps _),
+    "w22_nearest_join" -> (w22NearestJoin _)
   )
 
   private val zSqlExpr = (0 until 16).map(i =>
@@ -940,6 +1006,28 @@ object RelOps {
         |       j.o_orderkey AS asof_orderkey, j.o_orderdate AS asof_orderdate
         |FROM events e
         |LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // the all-pairs declarative statement of w22: per event, rank all
+    // same-user orders by |time distance|, earlier date then smaller
+    // key on ties — the engine's two window passes must agree exactly
+    "w22_nearest_join" ->
+      """WITH c AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+        |    CAST(o.o_orderdate AS TIMESTAMP) AS odate,
+        |    abs(epoch_us(e.ts)
+        |        - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) AS dist,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(e.ts)
+        |                   - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+        |               o.o_orderdate, o.o_orderkey) AS rn
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  c.o_orderkey AS nearest_orderkey, c.odate AS nearest_orderdate,
+        |  CAST(c.dist AS BIGINT) AS dist_us
+        |FROM events e LEFT JOIN (SELECT * FROM c WHERE rn = 1) c
+        |  USING (event_id)
         |ORDER BY event_id""".stripMargin,
 
     "w04_rollup" ->

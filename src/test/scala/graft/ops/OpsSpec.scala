@@ -293,6 +293,33 @@ class OpsSpec extends SparkTestBase {
     assert(e1.sortBy(_._1) != pos.sortBy(_._1))
   }
 
+  test("w22: nearest join tie rules — backward wins equidistant, " +
+      "min okey on equal dates, null for orderless users") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, t("2024-01-10 00:00:00")), // equidistant: orders on 01-08/01-12
+      (2L, 10L, t("2024-01-13 00:00:00")), // nearest forward (01-12)
+      (3L, 20L, t("2024-03-01 00:00:00")), // two orders same date -> min okey
+      (4L, 30L, t("2024-01-01 00:00:00"))) // user 30 has no orders
+      .toDF("event_id", "user_id", "ts")
+    val od = Seq(
+      (10L, 101L, t("2024-01-08 00:00:00")),
+      (10L, 102L, t("2024-01-12 00:00:00")),
+      (20L, 203L, t("2024-02-20 00:00:00")),
+      (20L, 201L, t("2024-02-20 00:00:00")),
+      (20L, 202L, t("2024-02-20 00:00:00")))
+      .toDF("user_id", "okey", "odate")
+    val r = RelOps.nearestJoin(ev, od)
+      .select("event_id", "nearest_orderkey", "dist_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    val day = 86400L * 1000000L
+    assert(r == Seq(
+      (1L, Some(101L), Some(2 * day)), // tie -> backward (earlier date)
+      (2L, Some(102L), Some(1 * day)),
+      (3L, Some(201L), Some(10 * day)), // equal dates -> min okey
+      (4L, None, None)), s"got $r")
+  }
+
   test("s17: recall report equals the independent s01/s02 intersection") {
     val report = SimOps.s17RecallReport(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect()
