@@ -421,7 +421,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Distributed BPE tokenizer training — the first 3 merge rounds,
+    * exactly as Sennrich-style byte-pair encoding defines them: count
+    * adjacent symbol pairs over the word vocabulary weighted by word
+    * frequency, merge the most frequent pair (ties: lexicographically
+    * smallest (left, right) — deterministic in both engines), repeat
+    * on the updated symbol sequences. Emits the merge table
+    * (round, l_sym, r_sym, pair_count) — the artifact a tokenizer
+    * trainer persists.
+    *
+    * Scale shape: ONE corpus-sized stage (the word-frequency groupBy);
+    * every round after that operates on the DISTINCT-WORD vocabulary —
+    * pair explode + hash agg + a 1-row argmax driver read (the
+    * documented pattern) + a per-word literal replace. A billion-doc
+    * corpus with a 10M-word vocab iterates on 10M rows regardless of
+    * corpus size — which is precisely why classical BPE trainers
+    * operate on the word-count table.
+    */
+  def t13BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn")))
+    var s = w.select(col("word"), col("wn"),
+      expr("array_join(transform(sequence(1, length(word))," +
+        " i -> substring(word, i, 1)), ' ')").as("seq"))
+    // guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not
+    // empty — single-symbol words must contribute no pairs
+    val pairsOf = "CASE WHEN size(t) >= 2 THEN " +
+      "transform(sequence(1, size(t) - 1)," +
+      " i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r)) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
+    val merges = (1 to 3).map { round =>
+      val top = s.select(col("wn"), split(col("seq"), " ").as("t"))
+        .select(col("wn"), explode(expr(pairsOf)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).head() // 1-row argmax read — the documented pattern
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      s = graft.Caches.cache(s.select(col("word"), col("wn"),
+        call_function("replace", col("seq"),
+          lit(l + " " + r), lit(l + r)).as("seq")))
+      (round.toLong, l, r, n)
+    }
+    merges.toDF("round", "l_sym", "r_sym", "pair_count")
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bpe_merges" -> (t13BpeMerges _),
     "t12_contamination_score" -> (t12ContaminationScore _),
     "t11_heavy_tokens" -> (t11HeavyTokens _),
     "t10_bigram_surprisal" -> (t10BigramSurprisal _),
@@ -437,6 +486,57 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // 3 BPE rounds unrolled: each round's argmax feeds the next
+    // round's replace via scalar subqueries
+    "t13_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT tok AS word, count(*) AS wn
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |),
+        |s0 AS (
+        |  SELECT word, wn,
+        |    array_to_string(list_transform(generate_series(1, length(word)),
+        |      i -> substring(word, i, 1)), ' ') AS seq
+        |  FROM w
+        |),
+        |p1 AS (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s0),
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY t[i], t[i+1]
+        |),
+        |m1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+        |s1 AS (
+        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m1),
+        |                           (SELECT l || r FROM m1)) AS seq
+        |  FROM s0
+        |),
+        |p2 AS (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s1),
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY t[i], t[i+1]
+        |),
+        |m2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+        |s2 AS (
+        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m2),
+        |                           (SELECT l || r FROM m2)) AS seq
+        |  FROM s1
+        |),
+        |p3 AS (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s2),
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY t[i], t[i+1]
+        |),
+        |m3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, l AS l_sym, r AS r_sym,
+        |       n AS pair_count FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), l, r, n FROM m2
+        |UNION ALL SELECT CAST(3 AS BIGINT), l, r, n FROM m3
+        |ORDER BY round""".stripMargin,
+
     "t12_contamination_score" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -293,6 +293,23 @@ class OpsSpec extends SparkTestBase {
     assert(e1.sortBy(_._1) != pos.sortBy(_._1))
   }
 
+  test("t13: BPE merges match the hand-computed classic corpus") {
+    // the canonical BPE example: low x5, lower x2, newest x6, widest x3.
+    // Round 1: (e,s) and (s,t) tie at 9 -> lexicographic ('e','s').
+    // Round 2: (es,t) 9. Round 3: (l,o) and (o,w) tie at 7 -> ('l','o').
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.t13BpeMerges(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L)), s"got $r")
+  }
+
   test("w22: nearest join tie rules — backward wins equidistant, " +
       "min okey on equal dates, null for orderless users") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
