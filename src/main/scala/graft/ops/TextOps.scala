@@ -469,7 +469,56 @@ object TextOps {
       .orderBy("round")
   }
 
+  /** BPE ENCODE — the apply side of t13: tokenize every document under
+    * the 3-merge tokenizer t13 trains, reporting per-doc symbol counts
+    * before/after and the compression ratio. The encoded vocabulary is
+    * a byproduct of training (each round's replace already updated the
+    * word->symbol-sequence table), so encoding the corpus is ONE more
+    * pass: explode words, broadcast-join the encoded vocab, sum symbol
+    * counts per doc — the corpus never re-runs the merge iteration.
+    */
+  def t14BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn")))
+    var s = w.select(col("word"), col("wn"),
+      expr("array_join(transform(sequence(1, length(word))," +
+        " i -> substring(word, i, 1)), ' ')").as("seq"))
+    val pairsOf = "CASE WHEN size(t) >= 2 THEN " +
+      "transform(sequence(1, size(t) - 1)," +
+      " i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r)) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
+    (1 to 3).foreach { _ =>
+      val top = s.select(col("wn"), split(col("seq"), " ").as("t"))
+        .select(col("wn"), explode(expr(pairsOf)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).head()
+      val (l, r) = (top.getString(0), top.getString(1))
+      s = graft.Caches.cache(s.select(col("word"), col("wn"),
+        call_function("replace", col("seq"),
+          lit(l + " " + r), lit(l + r)).as("seq")))
+    }
+    val vocab = s.select(col("word"),
+      length(col("word")).cast("long").as("n_chars_w"),
+      size(split(col("seq"), " ")).cast("long").as("n_sym_w"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_char_symbols"),
+        sum(col("n_sym_w")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_char_symbols"),
+        col("n_bpe_tokens"),
+        (col("n_char_symbols").cast("double") / col("n_bpe_tokens"))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_bpe_encode" -> (t14BpeEncode _),
     "t13_bpe_merges" -> (t13BpeMerges _),
     "t12_contamination_score" -> (t12ContaminationScore _),
     "t11_heavy_tokens" -> (t11HeavyTokens _),
@@ -486,6 +535,72 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // t14: t13's unrolled rounds + one final replace, then the corpus
+    // joins the encoded vocabulary for per-doc symbol sums
+    "t14_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT tok AS word, count(*) AS wn
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |),
+        |s0 AS (
+        |  SELECT word, wn,
+        |    array_to_string(list_transform(generate_series(1, length(word)),
+        |      i -> substring(word, i, 1)), ' ') AS seq
+        |  FROM w
+        |),
+        |p1 AS (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s0),
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY t[i], t[i+1]
+        |),
+        |m1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+        |s1 AS (
+        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m1),
+        |                           (SELECT l || r FROM m1)) AS seq
+        |  FROM s0
+        |),
+        |p2 AS (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s1),
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY t[i], t[i+1]
+        |),
+        |m2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+        |s2 AS (
+        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m2),
+        |                           (SELECT l || r FROM m2)) AS seq
+        |  FROM s1
+        |),
+        |p3 AS (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s2),
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY t[i], t[i+1]
+        |),
+        |m3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1),
+        |s3 AS (
+        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m3),
+        |                           (SELECT l || r FROM m3)) AS seq
+        |  FROM s2
+        |),
+        |v AS (
+        |  SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,
+        |         CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym_w
+        |  FROM s3
+        |),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |)
+        |SELECT dw.doc_id, count(*) AS n_words,
+        |  CAST(SUM(v.n_chars_w) AS BIGINT) AS n_char_symbols,
+        |  CAST(SUM(v.n_sym_w) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(v.n_chars_w) AS DOUBLE) / SUM(v.n_sym_w) AS compression
+        |FROM dw JOIN v USING (word)
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
+
     // 3 BPE rounds unrolled: each round's argmax feeds the next
     // round's replace via scalar subqueries
     "t13_bpe_merges" ->

@@ -308,6 +308,12 @@ class OpsSpec extends SparkTestBase {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(r == Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L),
       (3L, "l", "o", 7L)), s"got $r")
+    // the encode side under those merges: low -> [lo w] (2), lower ->
+    // [lo w e r] (4), newest -> [n e w est] (4), widest -> [w i d est]
+    // (4); totals hand-summed over the 16 word instances
+    val enc = TextOps.t14BpeEncode(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(enc == Seq((1L, 16L, 79L, 54L, 79.0 / 54.0)), s"got $enc")
   }
 
   test("w22: nearest join tie rules — backward wins equidistant, " +
