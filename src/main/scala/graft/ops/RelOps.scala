@@ -503,6 +503,61 @@ object RelOps {
       "event_type")
   }
 
+  /** Median absolute deviation per group — the robust-statistics
+    * companion to w08/w09, and the operator that proves the two-phase
+    * rank machinery COMPOSES: pass 1 selects the exact median (w08's
+    * decimal-exact form), the corpus re-derives |value - median| as a
+    * new value column, pass 2 selects the LOWER median of the
+    * deviations (rank (n+1) div 2 — a single rank, so no two-value
+    * averaging and no decimal re-cast of derived doubles, which is
+    * what keeps the result bit-identical across engines: the deviation
+    * is one IEEE subtraction + abs in both).
+    *
+    * Scale: both passes are the w08 plan — scan + hash-agg passes with
+    * a 1024-bucket histogram, no per-group sort; the deviation column
+    * is a map-side derivation off a broadcast of G median rows.
+    */
+  def w23Mad(spark: SparkSession, dir: String): DataFrame =
+    madOf(Tables.events(spark, dir).select("event_type", "value"))
+
+  /** The w23 core over any (event_type, value) frame — exposed so the
+    * spec can pin hand-computed odd/even-count and outlier cases.
+    */
+  private[ops] def madOf(ev: DataFrame): DataFrame = {
+    val stats = rankStats(ev)
+    val medTargets = stats
+      .select(col("event_type"), col("cnt"),
+        explode(array(expr("(cnt + 1) div 2"), expr("(cnt + 2) div 2")))
+          .as("r"))
+      .distinct()
+    // cached: G rows, but its lineage is the WHOLE pass-1 rank
+    // selection — consumed by the deviation join and the final output
+    // join, which would otherwise each re-run pass 1
+    val med = graft.Caches.cache(valuesAtRanks(ev, stats, medTargets)
+      .groupBy(col("event_type"), col("cnt"))
+      .agg((sum(col("value").cast(DecimalType(28, 6))).cast("double") /
+        count(lit(1))).as("median_value")))
+    // cached: the deviation frame feeds its own rankStats AND pass 2's
+    // bucketize — uncached, the events scan + median join re-run per
+    // consumer (and pass 1's whole median selection re-runs with them,
+    // since `med` sits under `dev` in the plan)
+    val dev = graft.Caches.cache(ev
+      .join(broadcast(med.select("event_type", "median_value")),
+        Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("value") - col("median_value")).as("value")))
+    val dstats = rankStats(dev)
+    val madTargets = dstats
+      .select(col("event_type"), expr("(cnt + 1) div 2").as("r"))
+    val mad = valuesAtRanks(dev, dstats, madTargets)
+      .select(col("event_type"), col("value").as("mad"))
+    sortTiny(med
+      .join(mad, Seq("event_type"))
+      .select(col("event_type"), col("median_value"), col("mad"),
+        col("cnt").as("n")),
+      "event_type")
+  }
+
   /** CUBE grouping sets over orders: all four (status, priority)
     * grouping combinations in one pass — Catalyst expands the cube into
     * a single Expand + hash agg, so the plan stays one shuffle no matter
@@ -735,7 +790,8 @@ object RelOps {
     "w03_asof_join" -> (w03AsofJoin _),
     "w04_rollup" -> (w04Rollup _),
     "w05_set_ops" -> (w05SetOps _),
-    "w22_nearest_join" -> (w22NearestJoin _)
+    "w22_nearest_join" -> (w22NearestJoin _),
+    "w23_mad" -> (w23Mad _)
   )
 
   private val zSqlExpr = (0 until 16).map(i =>
@@ -1007,6 +1063,42 @@ object RelOps {
         |FROM events e
         |LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // w23: both medians stated with windows (the oracle may single-task
+    // per group; the engine runs the two-phase histogram twice)
+    "w23_mad" ->
+      """WITH s AS (SELECT event_type, value FROM events),
+        |n AS (SELECT event_type, count(*) AS cnt FROM s GROUP BY event_type),
+        |rk AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM s
+        |),
+        |med AS (
+        |  SELECT rk.event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |      AS median_value
+        |  FROM rk JOIN n USING (event_type)
+        |  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+        |  GROUP BY rk.event_type
+        |),
+        |d AS (
+        |  SELECT s.event_type, abs(s.value - m.median_value) AS dv
+        |  FROM s JOIN med m USING (event_type)
+        |),
+        |dr AS (
+        |  SELECT event_type, dv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn
+        |  FROM d
+        |),
+        |mad AS (
+        |  SELECT dr.event_type, dv
+        |  FROM dr JOIN n USING (event_type)
+        |  WHERE rn = (cnt + 1) // 2
+        |)
+        |SELECT m.event_type, m.median_value, mad.dv AS mad, n.cnt AS n
+        |FROM med m JOIN mad USING (event_type) JOIN n USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
 
     // the all-pairs declarative statement of w22: per event, rank all
     // same-user orders by |time distance|, earlier date then smaller

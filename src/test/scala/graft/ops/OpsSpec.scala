@@ -293,6 +293,19 @@ class OpsSpec extends SparkTestBase {
     assert(e1.sortBy(_._1) != pos.sortBy(_._1))
   }
 
+  test("w23: MAD hand-computed — odd count with outlier, even count " +
+      "lower-median deviation") {
+    val ev = (Seq(1.0, 3.0, 5.0, 7.0, 100.0).map(("odd", _)) ++
+      Seq(1.0, 2.0, 3.0, 10.0).map(("even", _)))
+      .toDF("event_type", "value")
+    val r = RelOps.madOf(ev)
+      .as[(String, Double, Double, Long)].collect().toSeq
+    // odd: median 5, deviations sorted [0,2,2,4,95] -> rank 3 -> 2.0
+    // (the 95 outlier moves the MEAN but not the MAD — the point);
+    // even: median 2.5, deviations sorted [.5,.5,1.5,7.5] -> rank 2 -> 0.5
+    assert(r == Seq(("even", 2.5, 0.5, 4L), ("odd", 5.0, 2.0, 5L)), s"got $r")
+  }
+
   test("t13: BPE merges match the hand-computed classic corpus") {
     // the canonical BPE example: low x5, lower x2, newest x6, widest x3.
     // Round 1: (e,s) and (s,t) tie at 9 -> lexicographic ('e','s').
