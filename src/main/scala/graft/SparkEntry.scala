@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.TextOps.queries ++
       ops.DedupOps.queries ++ ops.SimOps.queries ++ ops.RelOps.queries ++
-      ops.MediaOps.queries ++ ops.PipelineOps.queries
+      ops.MediaOps.queries ++ ops.PipelineOps.queries ++ ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracle ++ ops.TextOps.oracle ++
       ops.DedupOps.oracle ++ ops.SimOps.oracle ++ ops.RelOps.oracle ++
-      ops.MediaOps.oracle ++ ops.PipelineOps.oracle
+      ops.MediaOps.oracle ++ ops.PipelineOps.oracle ++ ops.GraphOps.oracle
 }
