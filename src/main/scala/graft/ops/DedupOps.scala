@@ -970,6 +970,57 @@ object DedupOps {
     * labels (near-dup-population-sized), and the per-source rollup is
     * a hash agg on the source key.
     */
+  /** Broder CONTAINMENT detection: asymmetric near-dup pairs where one
+    * document's token-4-gram set largely sits inside the other's —
+    * c(A,B) = |G_A ∩ G_B| / |G_A|. Jaccard-gated dedup (d03/d05) is
+    * blind to a short doc quoted whole inside a long one (J stays low
+    * while containment hits 1.0); this operator is the audit that
+    * catches quote-inclusion and boilerplate-wrapped copies.
+    *
+    * Candidates come from a posting join on the 4-gram (the s16
+    * formulation), NOT from MinHash bands: LSH banding targets Jaccard
+    * and misses exactly the asymmetric pairs this query exists to find.
+    * Grams with document frequency > MaxDf (50) are dropped from the
+    * join AND from the shared count on both engines — df-capped
+    * boilerplate is not containment evidence, and the cap bounds join
+    * work at sum(df^2) over surviving grams (the s15/s16 scale lever).
+    * Denominators stay the TRUE distinct-gram counts. Pairs with
+    * max(c_a, c_b) = shared/min(n_a, n_b) >= 0.6 are kept; ratios are
+    * single IEEE divisions of exact integers.
+    */
+  def d19Containment(spark: SparkSession, dir: String): DataFrame = {
+    val MaxDf = 50
+    val grams4 =
+      "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+        " i -> array_join(slice(toks, i, 4), ' ')))"
+    // (doc_id, gram) distinct pairs; cached — sizes, df filter, and both
+    // posting sides reuse it.
+    val g = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams4)).as("gram")))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+    val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxDf).select("gram")
+    // left anti vs the provably-small hot-gram side (s15 discipline)
+    val posting = graft.Caches.cache(g.join(hot, Seq("gram"), "left_anti"))
+    val shared = posting.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_g").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_g").as("n_b")),
+        Seq("doc_b"))
+      .filter(col("n_shared").cast("double") /
+        least(col("n_a"), col("n_b")) >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / col("n_a")).as("containment_a"),
+        (col("n_shared").cast("double") / col("n_b")).as("containment_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def d18DedupReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
@@ -997,6 +1048,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_containment" -> (d19Containment _),
     "d18_dedup_report" -> (d18DedupReport _),
     "d17_star_components" -> (d17StarComponents _),
     "d16_corpus_diff" -> (d16CorpusDiff _),
@@ -1266,6 +1318,36 @@ object DedupOps {
     "d03_lsh_near_dup" -> d03Sql,
 
     "d07_neardup_components" -> d07Sql,
+
+    // d19: the posting-join containment statement with the same df cap
+    // on both engines; denominators are uncapped distinct-gram counts
+    "d19_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t)-3, 1)),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS gram
+        |  FROM toks
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 50),
+        |p AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.doc_a, s.doc_b, s.n_shared,
+        |       za.n_g AS n_a, zb.n_g AS n_b,
+        |       CAST(s.n_shared AS DOUBLE) / za.n_g AS containment_a,
+        |       CAST(s.n_shared AS DOUBLE) / zb.n_g AS containment_b
+        |FROM shared s
+        |JOIN sizes za ON za.doc_id = s.doc_a
+        |JOIN sizes zb ON zb.doc_id = s.doc_b
+        |WHERE CAST(s.n_shared AS DOUBLE) / least(za.n_g, zb.n_g) >= 0.6
+        |ORDER BY s.doc_a, s.doc_b""".stripMargin,
 
     // d18: removal causes restated declaratively — exact keeper via the
     // md5 group min, near membership via d07's 4-round labels
