@@ -754,7 +754,16 @@ object RelOps {
     * fact-sized. Ties within a date break on o_orderkey so versions
     * are totally ordered in both engines.
     */
-  def w21Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+  def w21Scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(spark, dir)
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .orderBy("custkey", "version_no")
+
+  /** The SCD2 dimension body (w21 without presentation columns/sort),
+    * shared by the build (w21) and the point-in-time consume (w24).
+    */
+  private def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)
@@ -763,9 +772,70 @@ object RelOps {
         col("o_orderdate").as("valid_from"),
         lead(col("o_orderdate"), 1).over(w).as("valid_to"),
         row_number().over(w).cast("long").as("version_no"))
-      .withColumn("is_current",
-        when(col("valid_to").isNull, 1L).otherwise(0L))
-      .orderBy("custkey", "version_no")
+  }
+
+  /** Point-in-time (as-of) consume of the w21 SCD2 dimension: every
+    * lineitem is joined to the customer-priority version that was valid
+    * at its ship date — the feature-store "point-in-time correct join"
+    * that keeps a training pipeline from reading future dimension state
+    * (the temporal twin of p13's leakage-safe split).
+    *
+    * No inequality join anywhere: version-boundary rows union with fact
+    * rows and ONE window pass per custkey picks, for each fact, the last
+    * boundary at or before its timestamp (w03's last-non-null machinery).
+    * Tie rules are total: a version starting ON the ship date applies
+    * (boundaries sort before facts at equal ts), and same-date versions
+    * resolve to the highest version_no — exactly the rows the oracle's
+    * half-open [valid_from, valid_to) inequality join keeps, empty
+    * intervals skipped on both engines. The oracle's inequality form is
+    * the declarative statement; per-customer it is quadratic, while this
+    * plan is one shuffle + sort of facts+boundaries on the dimension key.
+    */
+  def w24Scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_shipdate"))
+    scd2AsofCore(scd2Dim(spark, dir), facts)
+  }
+
+  /** The w24 core over any SCD2 dim (custkey, priority, valid_from,
+    * version_no) and fact (custkey, l_orderkey, l_linenumber,
+    * l_shipdate) frames — exposed so the spec can plant the tie cases
+    * (version starting ON the ship date, same-date versions, a fact
+    * before the first version) the fixture hits only by accident.
+    */
+  private[ops] def scd2AsofCore(
+      dimIn: DataFrame, factsIn: DataFrame): DataFrame = {
+    val dim = dimIn.select(
+      col("custkey"), col("valid_from").as("ts"),
+      lit(0).as("kind"), col("version_no"), col("priority"),
+      lit(null).cast("long").as("l_orderkey"),
+      lit(null).cast("int").as("l_linenumber"))
+    val facts = factsIn.select(
+      col("custkey"), col("l_shipdate").as("ts"),
+      lit(1).as("kind"), lit(null).cast("long").as("version_no"),
+      lit(null).cast("string").as("priority"),
+      col("l_orderkey"), col("l_linenumber"))
+    // boundaries before facts at equal ts (valid_from inclusive); among
+    // same-date boundaries the highest version_no wins — both via the
+    // window sort, so last-non-null lands on exactly the oracle's row
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("ts"), col("kind"), col("version_no"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.union(facts)
+      .withColumn("v_at", last(col("version_no"), ignoreNulls = true).over(w))
+      .withColumn("p_at", last(col("priority"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("v_at").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+        col("ts").as("l_shipdate"), col("p_at").as("priority_at_ship"),
+        col("v_at").as("version_no"))
+      // the synthetic lineitem has duplicate (orderkey, linenumber)
+      // keys, so the presentation sort carries shipdate too
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -791,7 +861,8 @@ object RelOps {
     "w04_rollup" -> (w04Rollup _),
     "w05_set_ops" -> (w05SetOps _),
     "w22_nearest_join" -> (w22NearestJoin _),
-    "w23_mad" -> (w23Mad _)
+    "w23_mad" -> (w23Mad _),
+    "w24_scd2_asof" -> (w24Scd2Asof _)
   )
 
   private val zSqlExpr = (0 until 16).map(i =>
@@ -799,6 +870,28 @@ object RelOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // w24: the declarative half-open-interval statement of the window
+    // consume; empty intervals (same-date versions) are skipped by both
+    "w24_scd2_asof" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |    o_orderdate AS valid_from, lead(o_orderdate) OVER w AS valid_to,
+        |    CAST(row_number() OVER w AS BIGINT) AS version_no
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)
+        |),
+        |f AS (
+        |  SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |)
+        |SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.l_shipdate,
+        |       d.priority AS priority_at_ship, d.version_no
+        |FROM f JOIN dim d ON d.custkey = f.custkey
+        |  AND f.l_shipdate >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+        |ORDER BY f.l_orderkey, f.l_linenumber, f.l_shipdate""".stripMargin,
+
     "w21_scd2_build" ->
       """SELECT o_custkey AS custkey, o_orderpriority AS priority,
         |  o_orderdate AS valid_from,
