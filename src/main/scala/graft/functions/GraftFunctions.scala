@@ -173,6 +173,37 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** Per-POSITION `len`-code-point shingle hashes of `text`: element i
+    * (0-based) = (first 15 hex chars of md5 of the shingle starting at
+    * code point i+1) mod P — the positional counterpart of
+    * `shingleSet`/`signature` (those dedup or fold; winnowing needs
+    * every position, in order). Equal to
+    * transform(sequence(1, greatest(numChars-len+1, 1)),
+    *   i -> cast(conv(substring(md5(substring(text, i, len)), 1, 15),
+    *   16, 10) as bigint) % P)
+    * but ONE linear code-point pass — the SQL form's per-position
+    * substring re-walks bytes from offset 0 (O(chars^2) per doc).
+    */
+  def posHashes(text: UTF8String, len: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val total = cps.length
+    val n = math.max(total - (len - 1), 1)
+    val out = new Array[Long](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val sh = new String(cps, i, math.min(len, total - i))
+      md.reset()
+      val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var x = 0L
+      var k = 0
+      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = ((x << 4) | ((d(7) & 0xf0L) >> 4)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |intersection| of two SORTED string arrays (sort_array order ==
     * UTF8String binary order) by linear merge — no per-pair hash set.
     * Equal to size(array_intersect(a, b)) for distinct-element arrays.
@@ -303,6 +334,26 @@ case class ShingleSet(child: Expression, len: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_pos_hashes(text, len) -> array<bigint> of per-position shingle
+  * hashes (winnowing's ordered input stream); len must be an integer
+  * literal.
+  */
+case class PosHashes(child: Expression, len: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && len > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pos_hashes needs a string argument and a positive literal " +
+        s"length, got (${child.dataType}, $len)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pos_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.posHashes(input.asInstanceOf[UTF8String], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.posHashes($c, $len)")
+  override protected def withNewChildInternal(newChild: Expression): PosHashes =
+    copy(child = newChild)
+}
+
 /** graft_sorted_common(array<string>, array<string>) -> bigint;
   * both inputs MUST be sorted (sort_array).
   */
@@ -349,6 +400,8 @@ object GraftFunctions {
     "graft_sorted_common" -> ((es: Seq[Expression]) => SortedCommon(es(0), es(1))),
     "graft_shingles" -> ((es: Seq[Expression]) =>
       ShingleSet(es(0), literalK(es(1)))),
+    "graft_pos_hashes" -> ((es: Seq[Expression]) =>
+      PosHashes(es(0), literalK(es(1)))),
     "graft_topk" -> ((es: Seq[Expression]) =>
       TopKAgg(es(0), es(1), literalK(es(2)))),
     "graft_heavy_keys" -> ((es: Seq[Expression]) =>

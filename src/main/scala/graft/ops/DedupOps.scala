@@ -1139,7 +1139,60 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing fingerprint index (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): per document, slide a window of W=4
+    * consecutive 8-char-shingle hashes and select each window's
+    * minimum; the distinct selected (position, hash) pairs are the
+    * document's fingerprints. Guarantees (both spec-pinned): any shared
+    * substring of length >= W + 8 - 1 = 11 chars produces a shared
+    * fingerprint VALUE (the match guarantee — no LSH-style false-negative
+    * probability for long matches), and consecutive selected positions
+    * are at most W apart (the density guarantee — coverage never has
+    * holes, unlike global-min sampling like t04's). Ties inside a
+    * window break to the smallest position via the comparable string
+    * lpad(hash,10,'0') || '-' || lpad(pos,8,'0'): string min == (hash,
+    * pos) lexicographic numeric min in BOTH engines, so the selection
+    * is a plain window MIN — no argmin construct needed anywhere.
+    * Only FULL windows select (pos <= m - W + 1; short docs keep their
+    * single clamped window), identically on both engines.
+    *
+    * This is the index-BUILD half of fingerprint dedup: consumers join
+    * the index on fp exactly like d03's band table (d12/d13 are the
+    * chunk- and substring-level consumers of the same idea). Output
+    * stays per-doc — on this deliberately tiny-vocabulary corpus the
+    * min-selection concentrates on globally-small hashes, so a pair
+    * join here would measure vocabulary artifacts, not the algorithm.
+    *
+    * 100 TB posture: zero joins — one codegen'd linear pass per doc
+    * (graft_pos_hashes: the SQL per-position substring form re-walks
+    * bytes from offset 0, O(chars^2) per doc) + ONE doc-keyed window
+    * shuffle; output is ~2/(W+1) of gram positions per doc.
+    */
+  def d21Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val W = 4
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("graft_pos_hashes(text, 8)")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        concat(lpad(col("h").cast("string"), 10, "0"), lit("-"),
+          lpad((col("p0") + 1).cast("string"), 8, "0")).as("v"))
+    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, W - 1)
+    val wCnt = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("sel", min(col("v")).over(wSel))
+      .withColumn("m", count(lit(1)).over(wCnt))
+      .filter(col("pos") <= greatest(col("m") - (W - 1), lit(1)))
+      .select(col("doc_id"),
+        substring(col("sel"), 12, 8).cast("long").as("pos"),
+        substring(col("sel"), 1, 10).cast("long").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_winnowing" -> (d21Winnowing _),
     "d20_prefix_join" -> (d20PrefixJoin _),
     "d19_containment" -> (d19Containment _),
     "d18_dedup_report" -> (d18DedupReport _),
@@ -1414,6 +1467,32 @@ object DedupOps {
 
     // d19: the posting-join containment statement with the same df cap
     // on both engines; denominators are uncapped distinct-gram counts
+    // d21: same window-min selection stated declaratively; the
+    // comparable string makes DuckDB's window MIN the (hash, pos)
+    // argmin with no argmin construct
+    "d21_winnowing" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    lpad(CAST(CAST('0x' || substring(md5(substring(text, i, 8)), 1, 15)
+        |        AS BIGINT) % 1000000007 AS VARCHAR), 10, '0')
+        |      || '-' || lpad(CAST(i AS VARCHAR), 8, '0') AS v
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        |        FROM documents)
+        |),
+        |wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(v) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM grams
+        |)
+        |SELECT DISTINCT doc_id,
+        |  CAST(substring(sel, 12, 8) AS BIGINT) AS pos,
+        |  CAST(substring(sel, 1, 10) AS BIGINT) AS fp
+        |FROM wmin WHERE pos <= greatest(m - 3, 1)
+        |ORDER BY doc_id, pos""".stripMargin,
+
     // d20: the declarative all-pairs statement the prefix filter answers
     // exactly (the filter is lossless, so the result sets are identical)
     "d20_prefix_join" ->
