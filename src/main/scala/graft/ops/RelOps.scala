@@ -838,7 +838,57 @@ object RelOps {
       .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
   }
 
+  /** Hourly gap-fill + last-observation-carried-forward (LOCF) over the
+    * events stream: every user gets a COMPLETE hourly spine from their
+    * first to their last active hour; hours with events carry that
+    * hour's latest reading (ties totally ordered by (ts desc, event_id
+    * desc)); empty hours are materialized with n_events = 0 and the
+    * previous reading carried forward — the time-series repair step in
+    * front of any fixed-cadence model (and the batch twin of E114's
+    * trailing-window state). `value` is a pure pass-through double: no
+    * arithmetic touches it, so LOCF is bit-identical across engines.
+    *
+    * 100 TB posture: the spine is sequence()-generated per key (rows
+    * bounded by span/cadence, never a calendar cross join), the
+    * per-hour pick and the LOCF are ONE user-keyed shuffle each —
+    * where the naive form as-of-joins every empty slot against the
+    * observation history (quadratic per user). First spine hour always
+    * has an observation (it IS min(hour)), so no leading-null branch.
+    */
+  def w25GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    val wPick = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = e
+      .withColumn("rn", row_number().over(wPick))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("value").as("obs_value"),
+        col("n"))
+    val spine = e.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(obs, spine("user_id") === obs("user_id") &&
+        spine("hour") === obs("h"), "left")
+      .select(spine("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("obs_value"),
+        when(col("h").isNull, 1L).otherwise(0L).as("is_gap"))
+      .withColumn("value",
+        last(col("obs_value"), ignoreNulls = true).over(wFill))
+      .select("user_id", "hour", "n_events", "value", "is_gap")
+      .orderBy("user_id", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w25_gapfill" -> (w25GapFill _),
     "w21_scd2_build" -> (w21Scd2Build _),
     "w20_zorder_stats" -> (w20ZorderStats _),
     "w19_interval_overlap" -> (w19IntervalOverlap _),
@@ -870,6 +920,40 @@ object RelOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // w25: same spine + LOCF stated declaratively; value is a pure
+    // pass-through double so the fill is bit-identical
+    "w25_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+        |  FROM events
+        |),
+        |obs AS (
+        |  SELECT user_id, h, value AS obs_value, n FROM (
+        |    SELECT user_id, h, value,
+        |      row_number() OVER (PARTITION BY user_id, h
+        |        ORDER BY ts DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, h) AS n
+        |    FROM e)
+        |  WHERE rn = 1
+        |),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |         FROM e GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM span
+        |)
+        |SELECT s.user_id, s.hour,
+        |  coalesce(o.n, 0) AS n_events,
+        |  last_value(o.obs_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CASE WHEN o.h IS NULL THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS is_gap
+        |FROM spine s
+        |LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.hour
+        |ORDER BY s.user_id, s.hour""".stripMargin,
+
     // w24: the declarative half-open-interval statement of the window
     // consume; empty intervals (same-date versions) are skipped by both
     "w24_scd2_asof" ->
