@@ -135,7 +135,109 @@ object GraphOps {
     ranks.select("doc_id", "degree", "rank").orderBy("doc_id")
   }
 
+  /** 2-core decomposition by iterative peeling: rounds remove every
+    * surviving node whose CURRENT degree is < 2 (with the edges it
+    * carries), and `peel_round` records when each node fell — round 1
+    * is the original periphery (degree-1 leaves), later rounds are
+    * nodes exposed by earlier peels, 0 means the node survived all
+    * rounds (the 2-core: every member has >= 2 neighbors inside the
+    * core). On the near-dup graph this separates cyclically-redundant
+    * duplication (template farms — every member corroborated twice) from
+    * chain periphery g01's triangle count can't see (a long edit chain
+    * is triangle-free but still peels).
+    *
+    * Fixed 4 peel rounds for oracle bit-parity (the d07 discipline:
+    * DuckDB has no data-dependent iteration) — deep chains under-peel
+    * DETERMINISTICALLY in both engines; [[kcorePeelToFixpoint]] is the
+    * production variant, and the spec pins that 4 rounds are converged
+    * on the real fixture (families are near-cliques).
+    *
+    * 100 TB posture: each round is one degree hash-agg + two anti
+    * joins, all keyed on the node id; per-round eager checkpoint
+    * truncates lineage. Work per round is the SURVIVING edge set, which
+    * only shrinks.
+    */
+  def g03Kcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.cache(
+      DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b"))
+    kcorePeel(pairs, rounds = 4)
+  }
+
+  /** g03's body over any canonical distinct edge frame (spec-shared). */
+  private[graft] def kcorePeel(pairs: DataFrame, rounds: Int): DataFrame = {
+    val origDeg = graft.Caches.cache(degrees(pairs))
+    var live = graft.Caches.checkpoint(pairs)
+    var removed = graft.Caches.checkpoint(
+      origDeg.filter(lit(false))
+        .select(col("doc_id"), lit(0L).as("peel_round")))
+    for (r <- 1 to rounds) {
+      val curDeg = symmetric(live)
+        .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("d"))
+      val drop = origDeg.select("doc_id")
+        .join(removed.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(curDeg, Seq("doc_id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < 2)
+        .select(col("doc_id"), lit(r.toLong).as("peel_round"))
+      removed = graft.Caches.checkpoint(removed.union(drop))
+      // edges lost to earlier rounds are already gone, so pruning by
+      // THIS round's drops keeps the live set exact
+      live = graft.Caches.checkpoint(live
+        .join(drop.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(drop.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
+    }
+    origDeg.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"),
+        when(col("peel_round").isNull, 1L).otherwise(0L).as("in_2core"))
+      .orderBy("doc_id")
+  }
+
+  /** The production peel: iterate until a round removes nothing, so a
+    * chain of ANY depth peels completely (the fixed unroll under-peels
+    * past its round budget — deliberately, for oracle parity). Not
+    * oracle-checked: DuckDB has no data-dependent iteration; the spec
+    * pins planted deep paths and fixture parity with the 4-round form.
+    * Convergence is detected by the (monotonically non-decreasing)
+    * removed-node count — one cheap driver read per round, the
+    * propagateToFixpoint mechanic. Returns (labels, rounds, converged).
+    */
+  private[graft] def kcorePeelToFixpoint(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
+    val origDeg = graft.Caches.cache(degrees(pairs))
+    var live = graft.Caches.checkpoint(pairs)
+    var removed = graft.Caches.checkpoint(
+      origDeg.filter(lit(false))
+        .select(col("doc_id"), lit(0L).as("peel_round")))
+    var nRemoved = 0L
+    var r = 0
+    var stable = false
+    while (r < maxRounds && !stable) {
+      r += 1
+      val curDeg = symmetric(live)
+        .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("d"))
+      val drop = origDeg.select("doc_id")
+        .join(removed.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(curDeg, Seq("doc_id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < 2)
+        .select(col("doc_id"), lit(r.toLong).as("peel_round"))
+      removed = graft.Caches.checkpoint(removed.union(drop))
+      live = graft.Caches.checkpoint(live
+        .join(drop.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(drop.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
+      val n = removed.count()
+      stable = n == nRemoved
+      nRemoved = n
+    }
+    val out = origDeg.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"),
+        when(col("peel_round").isNull, 1L).otherwise(0L).as("in_2core"))
+      .orderBy("doc_id")
+    (out, r, stable)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g03_kcore" -> (g03Kcore _),
     "g01_triangle_count" -> (g01TriangleCount _),
     "g02_pagerank" -> (g02Pagerank _)
   )
@@ -148,7 +250,64 @@ object GraphOps {
        |),
        |deg AS (SELECT u AS doc_id, count(*) AS degree FROM edges GROUP BY u)""".stripMargin
 
+  /** One unrolled peel round for the g03 oracle: edges surviving round
+    * r, their degrees, and the round-(r+1) removals. Plain anti/left
+    * joins only — correlated NOT EXISTS / scalar subqueries over these
+    * chained CTEs made DuckDB re-evaluate the whole upstream pipeline
+    * per probed row (minutes instead of seconds at sf0.001).
+    */
+  private def peelRoundSql(r: Int): String = {
+    val prevE = if (r == 1) "pairs" else s"e${r - 1}"
+    val remsSoFar = (1 to r).map(i => s"SELECT doc_id FROM rem$i")
+      .mkString(" UNION ALL ")
+    s"""e$r AS (
+       |  SELECT p.doc_a, p.doc_b FROM $prevE p
+       |  LEFT JOIN rem$r xa ON xa.doc_id = p.doc_a
+       |  LEFT JOIN rem$r xb ON xb.doc_id = p.doc_b
+       |  WHERE xa.doc_id IS NULL AND xb.doc_id IS NULL
+       |),
+       |d$r AS (
+       |  SELECT u AS doc_id, count(*) AS d FROM
+       |    (SELECT doc_a AS u FROM e$r UNION ALL SELECT doc_b FROM e$r)
+       |  GROUP BY u
+       |),
+       |rem${r + 1} AS (
+       |  SELECT g.doc_id, ${r + 1} AS pr FROM deg g
+       |  LEFT JOIN ($remsSoFar) x ON x.doc_id = g.doc_id
+       |  LEFT JOIN d$r dd ON dd.doc_id = g.doc_id
+       |  WHERE x.doc_id IS NULL AND coalesce(dd.d, 0) < 2
+       |)""".stripMargin
+  }
+
+  /** Force-materialize every CTE of a DuckDB statement. The g03 oracle
+    * chains 13 CTEs where each round references the previous round 2-3
+    * times; with default CTE inlining DuckDB re-expands the ENTIRE
+    * upstream pipeline (including the d03 LSH statement) per reference
+    * — measured >60s at sf0.001, 0.4s materialized. Values unchanged.
+    */
+  private def materializedCtes(sql: String): String =
+    sql.replaceAll("\\bAS \\(", "AS MATERIALIZED (")
+
   val oracle: Map[String, String] = Map(
+    // g03: the same 4 peel rounds unrolled declaratively
+    "g03_kcore" -> materializedCtes(
+      s"""$graphSqlPrefix,
+         |rem1 AS (SELECT doc_id, 1 AS pr FROM deg WHERE degree < 2),
+         |${peelRoundSql(1)},
+         |${peelRoundSql(2)},
+         |${peelRoundSql(3)},
+         |allrem AS (
+         |  SELECT doc_id, pr FROM rem1 UNION ALL SELECT doc_id, pr FROM rem2
+         |  UNION ALL SELECT doc_id, pr FROM rem3
+         |  UNION ALL SELECT doc_id, pr FROM rem4
+         |)
+         |SELECT g.doc_id, g.degree,
+         |  CAST(coalesce(a.pr, 0) AS BIGINT) AS peel_round,
+         |  CASE WHEN a.doc_id IS NULL THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS in_2core
+         |FROM deg g LEFT JOIN allrem a ON a.doc_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin),
+
     "g01_triangle_count" ->
       s"""$graphSqlPrefix,
          |tri AS (

@@ -83,4 +83,86 @@ class GraphOpsSpec extends SparkTestBase {
     val shuffled = GraphOps.pagerank(planted.repartition(7)).collect().toSeq
     assert(base == shuffled)
   }
+
+  private def kcoreMap(df: DataFrame): Map[Long, (Long, Long, Long)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("degree"), r.getAs[Long]("peel_round"),
+        r.getAs[Long]("in_2core")))).toMap
+
+  test("g03: triangle with a tail peels outside-in") {
+    // triangle {1,2,3} + tail 3-4-5: node 5 falls round 1 (degree 1),
+    // node 4 falls round 2 (exposed), the triangle is the 2-core
+    val g = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    val m = kcoreMap(GraphOps.kcorePeel(g, rounds = 4))
+    assert(m(5L) == ((1L, 1L, 0L)))
+    assert(m(4L) == ((2L, 2L, 0L)))
+    Seq(1L, 2L).foreach(n => assert(m(n) == ((2L, 0L, 1L))))
+    assert(m(3L) == ((3L, 0L, 1L)))
+  }
+
+  test("g03: a clique never peels") {
+    val m = kcoreMap(GraphOps.kcorePeel(edges(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L), 4))
+    assert(m.values.forall { case (_, pr, core) => pr == 0L && core == 1L })
+  }
+
+  test("g03: deep path — fixed rounds under-peel, fixpoint completes") {
+    // 10-node path: the 4-round unroll strips 4 node-pairs outside-in
+    // and leaves {5, 6} flagged as core (the documented deterministic
+    // under-peel); the fixpoint variant peels everything in 5 rounds
+    val path = edges((1L to 9L).map(i => i -> (i + 1)): _*)
+    val fixed = kcoreMap(GraphOps.kcorePeel(path, rounds = 4))
+    Seq(1L -> 1L, 10L -> 1L, 2L -> 2L, 9L -> 2L, 3L -> 3L, 8L -> 3L,
+      4L -> 4L, 7L -> 4L).foreach { case (n, r) =>
+      assert(fixed(n)._2 == r, s"node $n expected peel round $r")
+    }
+    assert(fixed(5L) == ((2L, 0L, 1L)) && fixed(6L) == ((2L, 0L, 1L)))
+    val (out, rounds, converged) = GraphOps.kcorePeelToFixpoint(path)
+    assert(converged && rounds <= 7)
+    val full = kcoreMap(out)
+    assert(full.values.forall(_._3 == 0L), "a path has no 2-core")
+    assert(full(5L)._2 == 5L && full(6L)._2 == 5L)
+  }
+
+  test("g03: fixpoint equals a driver-side reference peel on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 40).map { _ =>
+      val a = rnd.nextInt(25).toLong
+      val b = rnd.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    // reference: iterate removing degree-<2 nodes until stable
+    var liveE = es.toSet
+    var rounds = Map.empty[Long, Long]
+    var r = 0L
+    var changed = true
+    while (changed) {
+      r += 1
+      val deg = liveE.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .filterNot(rounds.contains)
+      val drop = nodes.filter(n => deg.getOrElse(n, 0L) < 2).toSet
+      changed = drop.nonEmpty
+      if (changed) {
+        rounds ++= drop.map(_ -> r)
+        liveE = liveE.filterNot(e => drop(e._1) || drop(e._2))
+      }
+    }
+    val (out, _, converged) = GraphOps.kcorePeelToFixpoint(edges(es: _*))
+    assert(converged)
+    val got = kcoreMap(out)
+    es.flatMap(e => Seq(e._1, e._2)).distinct.foreach { n =>
+      assert(got(n)._2 == rounds.getOrElse(n, 0L), s"node $n round")
+      assert(got(n)._3 == (if (rounds.contains(n)) 0L else 1L))
+    }
+  }
+
+  test("g03: 4 rounds are converged on the real fixture pair graph") {
+    val pairs = DedupOps.pairGraph(spark, sf0001).select("doc_a", "doc_b")
+    val fixed = kcoreMap(GraphOps.kcorePeel(pairs, rounds = 4))
+    val (out, _, converged) = GraphOps.kcorePeelToFixpoint(pairs)
+    assert(converged)
+    assert(fixed == kcoreMap(out))
+  }
 }
