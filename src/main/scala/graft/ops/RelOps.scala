@@ -887,7 +887,51 @@ object RelOps {
       .orderBy("user_id", "hour")
   }
 
+  /** Ordered conversion-funnel analysis: for each user, the earliest
+    * witness of the sequence view -> click -> purchase with each stage
+    * STRICTLY after the previous one (greedy-earliest is optimal for
+    * sequence existence: any valid witness's click is >= the earliest
+    * click after the earliest view, etc. — so greedy reaches stage 3
+    * iff ANY ordered triple exists). Emits per user the three stage
+    * timestamps (pass-through, no arithmetic), the stage reached (0-3)
+    * and the integer-microsecond view->purchase latency — the
+    * behavioral-analytics query (Amplitude/Mixpanel funnels) over the
+    * same events the sessionization family reads.
+    *
+    * 100 TB posture: three hash aggs + two left joins, ALL keyed on
+    * user_id — one logical shuffle key end-to-end, no window sort and
+    * no per-user event-list materialization (the collect_list/UDF
+    * formulation ships every user's full history into one buffer; this
+    * never does). Stage count extends by one agg+join per stage.
+    */
+  def w26Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val c = v.join(clicks, Seq("user_id"), "left")
+      .groupBy("user_id", "t_view")
+      .agg(min(when(col("ts") > col("t_view"), col("ts"))).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val p = c.join(purchases, Seq("user_id"), "left")
+      .groupBy("user_id", "t_view", "t_click")
+      .agg(min(when(col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+    p.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_view").isNull, 0L)
+          .when(col("t_click").isNull, 1L)
+          .when(col("t_purchase").isNull, 2L)
+          .otherwise(3L).as("stage_reached"),
+        when(col("t_purchase").isNotNull,
+          unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .as("funnel_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w26_funnel" -> (w26Funnel _),
     "w25_gapfill" -> (w25GapFill _),
     "w21_scd2_build" -> (w21Scd2Build _),
     "w20_zorder_stats" -> (w20ZorderStats _),
@@ -920,6 +964,36 @@ object RelOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // w26: the same greedy-earliest witness chain as CTEs
+    "w26_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT u.user_id, u.t_view,
+        |    min(CASE WHEN e.ts > u.t_view THEN e.ts END) AS t_click
+        |  FROM u LEFT JOIN events e
+        |    ON e.user_id = u.user_id AND e.event_type = 'click'
+        |  GROUP BY u.user_id, u.t_view
+        |),
+        |p AS (
+        |  SELECT c.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.ts > c.t_click THEN e.ts END) AS t_purchase
+        |  FROM c LEFT JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |  GROUP BY c.user_id, c.t_view, c.t_click
+        |)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_view IS NULL THEN 0
+        |            WHEN t_click IS NULL THEN 1
+        |            WHEN t_purchase IS NULL THEN 2
+        |            ELSE 3 END AS BIGINT) AS stage_reached,
+        |  CASE WHEN t_purchase IS NOT NULL
+        |       THEN epoch_us(t_purchase) - epoch_us(t_view) END AS funnel_us
+        |FROM p ORDER BY user_id""".stripMargin,
+
     // w25: same spine + LOCF stated declaratively; value is a pure
     // pass-through double so the fill is bit-identical
     "w25_gapfill" ->
