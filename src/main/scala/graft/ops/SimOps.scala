@@ -915,7 +915,62 @@ object SimOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk ACL'19 — the
+    * LASER/CCMatrix bitext-mining criterion) between two vector
+    * corpora: side A = even vec_ids, side B = odd. A pair (a, b) is
+    * kept iff it is a MUTUAL best match (b is a's cosine-best B vector
+    * AND a is b's best A vector) with an absolute margin — best minus
+    * second-best cosine — of at least 0.05. Raw nearest-neighbor cosine
+    * over-accepts hubs (vectors near everything); the margin demands
+    * the best match STAND OUT from the runner-up, and mutuality kills
+    * asymmetric hub matches — the two filters that made mined bitext
+    * usable as training data. Determinism: integer dots, both rankings
+    * tie-break on the partner id, and margin is one subtraction of two
+    * identically-computed doubles; margin appears in filter and output
+    * as the same expression.
+    *
+    * 100 TB posture: the exact all-pairs dot stage here is the
+    * DECLARATIVE statement (what the oracle states); at corpus scale
+    * the same mutual+margin rule runs unchanged over s07's banded
+    * candidate lists (margin then measured within each candidate set —
+    * the approximation CCMatrix itself makes). Both window passes are
+    * single-key shuffles (by aid, by bid); everything downstream is
+    * matched-pair-sized.
+    */
+  def s18MarginMining(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val a = v.filter(col("vec_id") % 2 === 0).select(
+      col("vec_id").as("a_id"), col("qv").as("qa"), col("vnorm").as("na"))
+    val b = v.filter(col("vec_id") % 2 === 1).select(
+      col("vec_id").as("b_id"), col("qv").as("qb"), col("vnorm").as("nb"))
+    val c = a.crossJoin(b)
+      .withColumn("dot", expr(dotSq("qa", "qb")))
+      .select(col("a_id"), col("b_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+    val wf = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("a_id").asc)
+    // cached: the mutual and runner-up branches both read this frame —
+    // uncached, the dot stage and both window sorts would run twice
+    val ranked = graft.Caches.cache(c
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb)))
+    val mutual = ranked.filter(col("rf") === 1 && col("rb") === 1)
+      .select(col("a_id"), col("b_id"), col("cos").as("cos_best"))
+    val second = ranked.filter(col("rf") === 2)
+      .select(col("a_id"), col("cos").as("cos_second"))
+    mutual.join(second, Seq("a_id"))
+      .filter(col("cos_best") - col("cos_second") >= 0.05)
+      .select(col("a_id"), col("b_id"), col("cos_best"), col("cos_second"),
+        (col("cos_best") - col("cos_second")).as("margin"))
+      .orderBy("a_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_margin_mining" -> (s18MarginMining _),
     "s16_sparse_cosine" -> (s16SparseCosine _),
     "s15_rrf_hybrid" -> (s15RrfHybrid _),
     "s14_ivf_pq" -> (s14IvfPq _),
@@ -1060,6 +1115,39 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    // s18: mutual-best + absolute-margin mining stated declaratively;
+    // margin is the same subtraction in filter and projection
+    "s18_margin_mining" ->
+      s"""WITH $unnestSql,
+         |d AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x * b.x) AS dot
+         |  FROM u a JOIN u b USING (i)
+         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+         |  GROUP BY 1, 2
+         |),
+         |c AS (
+         |  SELECT a_id, b_id, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.normsq AS DOUBLE)) * sqrt(CAST(nb.normsq AS DOUBLE)))
+         |      AS cos
+         |  FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+         |),
+         |ranked AS (
+         |  SELECT a_id, b_id, cos,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rf,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rb
+         |  FROM c
+         |),
+         |mutual AS (
+         |  SELECT a_id, b_id, cos AS cos_best FROM ranked
+         |  WHERE rf = 1 AND rb = 1
+         |),
+         |second AS (SELECT a_id, cos AS cos_second FROM ranked WHERE rf = 2)
+         |SELECT m.a_id, m.b_id, m.cos_best, s.cos_second,
+         |       m.cos_best - s.cos_second AS margin
+         |FROM mutual m JOIN second s ON s.a_id = m.a_id
+         |WHERE m.cos_best - s.cos_second >= 0.05
+         |ORDER BY m.a_id""".stripMargin,
 
     "s16_sparse_cosine" ->
       """WITH toks AS (
