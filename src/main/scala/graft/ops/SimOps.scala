@@ -969,7 +969,75 @@ object SimOps {
       .orderBy("a_id")
   }
 
+  // ---------------------------------------------------------------------
+  // s19: write-once IVF index (codebook + postings) per dataset dir —
+  // the vector-side twin of DedupOps.materializedRoot. In production
+  // this is the persisted index a vector store maintains; here it is
+  // session-scoped scratch parquet, built from the CORPUS slice only
+  // (vec_id % 10 != 7 — the % 10 = 7 slice is "today's batch").
+  // ---------------------------------------------------------------------
+
+  private val ivfRoots = scala.collection.mutable.Map.empty[String, String]
+  private lazy val ivfScratch: String =
+    java.nio.file.Files.createTempDirectory("graft-ivfindex-").toString
+  // Build counter, exposed for the build-once spec.
+  private[graft] var ivfBuildCount = 0
+
+  private[graft] def ivfIndexRoot(
+      spark: SparkSession, dir: String): String = synchronized {
+    ivfRoots.getOrElseUpdate(dir, {
+      ivfBuildCount += 1
+      val root = s"$ivfScratch/${ivfRoots.size}"
+      val corpus = graft.Caches.cache(
+        vectors(spark, dir).filter(col("vec_id") % 10 =!= 7))
+      cellCentroids(corpus).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/codebook")
+      val codebook = spark.read.parquet(s"$root/codebook")
+      assignCells(scoreCells(corpus, codebook)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/postings")
+      root
+    })
+  }
+
+  /** Incremental ANN index maintenance (the d09 posture for vectors —
+    * what a vector store does on a daily embedding batch): assign the
+    * new batch (vec_id % 10 = 7) against the FROZEN persisted codebook
+    * and append to the postings; the corpus is never re-scored and the
+    * codebook never retrained (periodic re-train is a separate offline
+    * job in every production IVF deployment — Faiss/Milvus semantics).
+    * Emits one row per batch vector with its assigned cell and the
+    * cell's before/after posting counts — the index-growth report a
+    * team reviews for cell skew (a drifting embedding distribution
+    * shows up as a few cells absorbing every new vector, the signal
+    * that the offline re-train is due).
+    *
+    * 100 TB posture: per batch the work is batch_size x L codebook
+    * scores (broadcast codebook, map-side graft_topk(1)) + one
+    * postings-count agg off the PERSISTED index — the corpus never
+    * rescans; the full-rebuild form re-scores every vector every day.
+    * Determinism: integer dots, ties to the lower cell id, counts
+    * exact.
+    */
+  def s19IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val codebook = spark.read.parquet(s"$root/codebook")
+    val postings = spark.read.parquet(s"$root/postings")
+    val batch = vectors(spark, dir).filter(col("vec_id") % 10 === 7)
+    val asg = assignCells(scoreCells(batch, codebook))
+    val before = postings.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val added = asg.groupBy("cell").agg(count(lit(1)).as("n_added"))
+    asg
+      .join(before, Seq("cell"), "left")
+      .join(added, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("cell_n_before"),
+        (coalesce(col("n_before"), lit(0L)) + col("n_added"))
+          .as("cell_n_after"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_ivf_append" -> (s19IvfAppend _),
     "s18_margin_mining" -> (s18MarginMining _),
     "s16_sparse_cosine" -> (s16SparseCosine _),
     "s15_rrf_hybrid" -> (s15RrfHybrid _),
@@ -1115,6 +1183,49 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    // s19: the declarative full-recompute statement — corpus-trained
+    // codebook, corpus postings, batch assignment, per-cell growth
+    "s19_ivf_append" ->
+      s"""WITH $unnestSql,
+         |cs AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  WHERE u.vec_id % 10 <> 7
+         |  GROUP BY e.label, u.i
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell),
+         |sc AS (
+         |  SELECT u.vec_id, cs.cell,
+         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+         |  FROM u
+         |  JOIN cs ON cs.dim = u.i
+         |  JOIN n nv ON nv.vec_id = u.vec_id
+         |  JOIN cn ON cn.cell = cs.cell
+         |  GROUP BY u.vec_id, cs.cell, nv.normsq, cn.cnormsq
+         |),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r FROM sc)
+         |  WHERE r = 1
+         |),
+         |bef AS (SELECT cell, count(*) AS n_before FROM asg
+         |        WHERE vec_id % 10 <> 7 GROUP BY cell),
+         |badd AS (SELECT cell, count(*) AS n_added FROM asg
+         |         WHERE vec_id % 10 = 7 GROUP BY cell)
+         |SELECT a.vec_id, a.cell,
+         |  coalesce(b.n_before, 0) AS cell_n_before,
+         |  coalesce(b.n_before, 0) + d.n_added AS cell_n_after
+         |FROM asg a
+         |LEFT JOIN bef b ON b.cell = a.cell
+         |JOIN badd d ON d.cell = a.cell
+         |WHERE a.vec_id % 10 = 7
+         |ORDER BY a.vec_id""".stripMargin,
 
     // s18: mutual-best + absolute-margin mining stated declaratively;
     // margin is the same subtraction in filter and projection
