@@ -57,6 +57,13 @@ class PlanAuditSpec extends SparkTestBase {
     // s08's codebook scan (vectors x broadcast centroids); the pairwise
     // stage itself is an equality join on the cell key
     "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // margin mining's all-pairs dot stage: side A x AQE-broadcast side B
+    // — the declarative statement; at corpus scale the same mutual+
+    // margin rule runs over s07's banded candidates (equality join)
+    "s18_margin_mining" -> Set("BroadcastNestedLoopJoin"),
+    // frozen-codebook assignment scan (batch x broadcast codebook) —
+    // the s08-family broadcast scan on the batch slice only
+    "s19_ivf_append" -> Set("BroadcastNestedLoopJoin"),
     // scalar broadcast (the cuts cross join); the rank-machinery windows
     // collapsed to one SinglePartition span once `bucketed` was cached
     // (round 7) — the cache reuses one exchange where two plans each
