@@ -429,9 +429,15 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name), builder))
     }
+    // Deployment-path governance: unbounded cartesian products fail at
+    // analysis time (graft.plans.CrossJoinGuard scaladoc for the size/
+    // hint escape hatches). Check rules rewrite nothing, so passing
+    // plans are byte-identical with or without the extension.
+    ext.injectCheckRule(_ => graft.plans.CrossJoinGuard)
+  }
 }
