@@ -112,6 +112,21 @@ object ScalingProbe {
     }
   }
 
+  /** d20 shape: lossless prefix-filter similarity join on the word-soup
+    * corpus (adjacent docs share 10 tokens -> token-3-gram Jaccard
+    * ~0.08, far below the 0.6 gate — 0 output pairs by design, the
+    * probe measures CANDIDATE and verify work like the s16 probe).
+    * Claimed posture: join work = sum(prefix-df^2) over each doc's
+    * rarest grams; on a corpus whose gram df concentrates at 1-2 that
+    * is ~linear in n, so 10x docs should be ~linear runtime, not the
+    * ~100x an unfiltered posting self-join would show.
+    */
+  private def prefixProbe(spark: SparkSession, n: Int): Unit =
+    time("d20_prefix_join", n) {
+      graft.ops.DedupOps.prefixJoinPairs(
+        graft.ops.DedupOps.gramSetsOf(wordSoup(spark, n))).count()
+    }
+
   /** t11 shape: Misra-Gries heavy-token pass on the word-soup corpus
     * with one planted hot token per doc (2% of occurrences — far above
     * the 1/200 threshold) and an otherwise ~unique vocabulary that
@@ -198,6 +213,11 @@ object ScalingProbe {
     }
     if (cdcMode) {
       cdcProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("prefix")) {
+      prefixProbe(spark, if (args.length > 1) args(1).toInt else 500000)
       spark.stop()
       return
     }

@@ -1051,11 +1051,15 @@ object DedupOps {
     * the element universe d20 joins over, shared with its spec's
     * brute-force recount.
     */
-  private[graft] def gramSets(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def gramSets(spark: SparkSession, dir: String): DataFrame =
+    gramSetsOf(Tables.documents(spark, dir))
+
+  /** gramSets over any (doc_id, text) frame — shared with ScalingProbe. */
+  private[graft] def gramSetsOf(docs: DataFrame): DataFrame = {
     val ngrams =
       "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1))," +
         " i -> array_join(slice(toks, i, 3), ' ')))"
-    graft.Caches.cache(Tables.documents(spark, dir)
+    graft.Caches.cache(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(ngrams).as("ng"))
       .select(col("doc_id"), col("ng"), size(col("ng")).cast("long").as("n_g")))
@@ -1089,8 +1093,11 @@ object DedupOps {
     * per-doc window; the verify touches candidate pairs only. The
     * oracle states the declarative all-pairs form.
     */
-  def d20PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
-    val g = gramSets(spark, dir)
+  def d20PrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinPairs(gramSets(spark, dir))
+
+  /** d20's body over any cached gramSets frame (ScalingProbe-shared). */
+  private[graft] def prefixJoinPairs(g: DataFrame): DataFrame = {
     val posting = g.select(col("doc_id"), col("n_g"),
       explode(col("ng")).as("gram"))
     val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
