@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -638,7 +639,54 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-N proportional sample via Hamilton largest-remainder
+    * apportionment: per-source quotas are floor(N*n_s/total) plus one
+    * extra seat for the largest remainders (ties: larger source first,
+    * then source name — a total order), so quotas are integers that sum
+    * to EXACTLY N; each source then contributes its quota of docs by
+    * smallest salted hash (p02/p05's primitive, doc_id tiebreak) — a
+    * deterministic without-replacement uniform draw. p05 samples a
+    * FRACTION (N varies run to run with corpus composition); training
+    * runs budget an exact row count, and naive floor/round quotas
+    * under- or over-shoot N — the apportionment is the classical fix
+    * (every arithmetic step integer-exact, so bit-identical across
+    * engines and partitionings).
+    *
+    * 100 TB posture: counts/quota frames are source-population-sized
+    * (broadcast); the pick is ONE window shuffle keyed on source —
+    * with per-source quotas bounded by a constant, p14's
+    * graft_topk-per-partition heap form drops in to cap what reaches
+    * the shuffle.
+    */
+  def p17QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val N = 207L
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("total"))
+    val base = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        expr(s"($N * n_s) div total").as("base_q"),
+        (lit(N) * col("n_s") % col("total")).as("rem"))
+    val seats = base.agg((lit(N) - sum(col("base_q"))).as("extra"))
+    val wOrd = Window.orderBy(col("rem").desc, col("n_s").desc,
+      col("source").asc)
+    val quota = base.crossJoin(broadcast(seats))
+      .withColumn("rnk", row_number().over(wOrd))
+      .select(col("source"),
+        (col("base_q") +
+          when(col("rnk") <= col("extra"), 1L).otherwise(0L)).as("quota"))
+    val wPick = Window.partitionBy(col("source"))
+      .orderBy(expr(saltedHashExpr("quota")), col("doc_id"))
+    docs
+      .withColumn("pick_rank", row_number().over(wPick).cast("long"))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select("doc_id", "source", "quota", "pick_rank")
+      .orderBy("source", "pick_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_quota_sample" -> (p17QuotaSample _),
     "p16_agg_merge" -> (p16AggMerge _),
     "p15_epoch_shuffle" -> (p15EpochShuffle _),
     "p14_source_cap" -> (p14SourceCap _),
@@ -658,6 +706,38 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p17: the same apportionment + hash pick stated declaratively
+    "p17_quota_sample" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        |),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total FROM counts),
+        |base AS (
+        |  SELECT source, n_s,
+        |    (207 * n_s) // t.total AS base_q,
+        |    (207 * n_s) % t.total AS rem
+        |  FROM counts, tot t
+        |),
+        |seats AS (SELECT CAST(207 - SUM(base_q) AS BIGINT) AS extra FROM base),
+        |quota AS (
+        |  SELECT source,
+        |    CAST(base_q + CASE WHEN row_number() OVER (
+        |        ORDER BY rem DESC, n_s DESC, source ASC) <= s.extra
+        |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM base, seats s
+        |),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY CAST('0x' || substring(
+        |        md5('quota:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+        |        d.doc_id) AS pick_rank
+        |  FROM documents d
+        |)
+        |SELECT r.doc_id, r.source, q.quota, r.pick_rank
+        |FROM ranked r JOIN quota q USING (source)
+        |WHERE r.pick_rank <= q.quota
+        |ORDER BY r.source, r.pick_rank""".stripMargin,
     // p16: the full-recompute statement of the incrementally maintained
     // rollup — the merge must be value-identical to aggregating the
     // whole corpus in one pass

@@ -75,6 +75,11 @@ class PlanAuditSpec extends SparkTestBase {
     "q08_health" -> Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // five 1-row global aggs unioned
     "p03_profile" -> Set("multi-SinglePartition"),
+    // two 1-row scalar broadcasts (total, leftover seats) + the global
+    // remainder-rank window and final sort — all over the
+    // source-population-sized quota frame, never the corpus
+    "p17_quota_sample" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // distinct-cf histogram window (O(distinct frequencies) rows) + the
     // 1-row global fit agg — both tiny by construction; the vocabulary
     // itself is never globally sorted (two-phase rank)
