@@ -930,7 +930,48 @@ object RelOps {
       .orderBy("user_id")
   }
 
+  /** Cohort retention triangle: users cohorted by the ISO week of
+    * their FIRST event; for every (cohort_week, weeks_since) cell, the
+    * distinct users still active that week and the retention rate
+    * against the cohort's size. The product-analytics staple
+    * (週-over-week retention) as one declarative plan — every count is
+    * an exact integer, week arithmetic is integer day-diff div 7, and
+    * the rate is the one IEEE division both engines share.
+    *
+    * 100 TB posture: first-event extraction is a hash agg on user_id
+    * (NOT a window over the raw event stream — the min-per-key agg is
+    * map-side combinable, the window form sorts every event); activity
+    * dedups to (user, week) before any join, so the cohort join and
+    * the cell agg touch user-week rows, never raw events; offset-0
+    * cells double as cohort sizes (no second pass).
+    */
+  def w27RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firsts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val activity = e.select("user_id", "wk").distinct()
+    // activity is distinct (user, week) and a user has ONE cohort, so
+    // count(*) per cell already counts distinct users — no second
+    // distinct pass
+    val cells = graft.Caches.cache(activity.join(firsts, Seq("user_id"))
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_active")))
+    val sizes = cells.filter(col("weeks_since") === 0L)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(sizes, Seq("cohort_week"))
+      // DATE, not timestamp: DuckDB's date_trunc('week') yields DATE
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+        col("weeks_since"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention_rate"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w27_retention_cohorts" -> (w27RetentionCohorts _),
     "w26_funnel" -> (w26Funnel _),
     "w25_gapfill" -> (w25GapFill _),
     "w21_scd2_build" -> (w21Scd2Build _),
@@ -964,6 +1005,30 @@ object RelOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // w27: the same cohort triangle stated declaratively
+    "w27_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        |),
+        |firsts AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+        |),
+        |activity AS (SELECT DISTINCT user_id, wk FROM e),
+        |cells AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+        |      AS weeks_since,
+        |    count(*) AS n_active
+        |  FROM activity a JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2
+        |),
+        |sizes AS (SELECT cohort_week, n_active AS cohort_size
+        |          FROM cells WHERE weeks_since = 0)
+        |SELECT c.cohort_week, c.weeks_since, c.n_active, s.cohort_size,
+        |  CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+        |FROM cells c JOIN sizes s USING (cohort_week)
+        |ORDER BY c.cohort_week, c.weeks_since""".stripMargin,
+
     // w26: the same greedy-earliest witness chain as CTEs
     "w26_funnel" ->
       """WITH u AS (
