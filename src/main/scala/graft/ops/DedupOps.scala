@@ -1198,7 +1198,49 @@ object DedupOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** Per-family SHAPE report over the near-dup graph: for every
+    * converged component (d17's star contraction, so families of ANY
+    * diameter), its member count, internal edge count, edge density
+    * 2m/(n(n-1)) and a clique flag. The family-granularity complement
+    * of g01's per-node clustering coefficient: a template farm is a
+    * family with density -> 1 (every member corroborates every other),
+    * an incremental-edit chain has density -> 2/n — the difference
+    * decides whether d15's keep-the-best policy (one keeper per clique)
+    * or a chunk-level pass (chains share spans, not whole texts) is the
+    * right dedup action.
+    *
+    * 100 TB posture: labels come from the O(log n)-round contraction;
+    * both aggregates and the edge->label join are hash-keyed on the
+    * component/doc id over near-dup-population-sized frames — the
+    * corpus is never touched. Density is the one IEEE division of
+    * exact integers.
+    */
+  def d22FamilyShape(spark: SparkSession, dir: String): DataFrame =
+    familyShapeOf(graft.Caches.cache(d17StarComponents(spark, dir)),
+      pairGraph(spark, dir).select("doc_a", "doc_b"))
+
+  /** d22's body over any (doc_id, component) labeling and canonical
+    * edge frame (spec-shared).
+    */
+  private[graft] def familyShapeOf(
+      labels: DataFrame, pairs: DataFrame): DataFrame = {
+    val nodes = labels.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    val edges = pairs
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("component")), Seq("doc_a"))
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, Seq("component"))
+      .select(col("component"), col("n_members"), col("n_edges"),
+        when(col("n_edges") * 2 === col("n_members") * (col("n_members") - 1),
+          1L).otherwise(0L).as("is_clique"),
+        (col("n_edges").cast("double") * 2 /
+          (col("n_members") * (col("n_members") - 1))).as("density"))
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_family_shape" -> (d22FamilyShape _),
     "d21_winnowing" -> (d21Winnowing _),
     "d20_prefix_join" -> (d20PrefixJoin _),
     "d19_containment" -> (d19Containment _),
@@ -1474,6 +1516,40 @@ object DedupOps {
 
     // d19: the posting-join containment statement with the same df cap
     // on both engines; denominators are uncapped distinct-gram counts
+    // d22: the per-family aggregation over the same recursive-CTE
+    // component labels d17 states
+    "d22_family_shape" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ($d03Sql)
+         |),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS v, doc_b AS u FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(a, b) AS (
+         |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+         |  UNION
+         |  SELECT r.a, e.u FROM reach r JOIN edges e ON e.v = r.b
+         |),
+         |lab AS MATERIALIZED (
+         |  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+         |),
+         |nodes AS (
+         |  SELECT component, count(*) AS n_members FROM lab GROUP BY component
+         |),
+         |fedges AS (
+         |  SELECT l.component, count(*) AS n_edges
+         |  FROM pairs p JOIN lab l ON l.doc_id = p.doc_a
+         |  GROUP BY l.component
+         |)
+         |SELECT n.component, n.n_members, f.n_edges,
+         |  CAST(CASE WHEN f.n_edges * 2 = n.n_members * (n.n_members - 1)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_clique,
+         |  CAST(f.n_edges AS DOUBLE) * 2 /
+         |    (n.n_members * (n.n_members - 1)) AS density
+         |FROM nodes n JOIN fedges f ON f.component = n.component
+         |ORDER BY n.component""".stripMargin,
+
     // d21: same window-min selection stated declaratively; the
     // comparable string makes DuckDB's window MIN the (hash, pos)
     // argmin with no argmin construct
