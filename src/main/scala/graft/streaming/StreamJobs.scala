@@ -670,3 +670,80 @@ class RunningMaxProcessor
     Iterator(next)
   }
 }
+
+/** Typed rows for the streaming funnel: event-time in integer
+  * microseconds (the w26 arithmetic), stage timestamps -1 when unset.
+  */
+case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+case class FunnelProgress(
+    user_id: Long,
+    stage_reached: Long,
+    t_view_us: Long,
+    t_click_us: Long,
+    t_purchase_us: Long)
+
+/** StatefulProcessor for [[FunnelJobs.funnelTws]]: the w26 greedy
+  * ordered-sequence witness (view -> click -> purchase, each stage
+  * STRICTLY after the previous) as O(1) per-user streaming state —
+  * three stage timestamps in one ValueState, folded forward in event
+  * order.
+  *
+  * Ordering contract: rows are sorted by (ts, event_type) WITHIN each
+  * batch before folding, so intra-batch disorder is handled exactly;
+  * across batches the fold assumes per-key event-time progress (the
+  * watermark discipline). A cross-batch regression (a view arriving
+  * LATER than an already-accepted click's eligibility window) would
+  * require retaining every rejected stage-2/3 event to re-derive the
+  * chain — the retention/latency trade every streaming funnel product
+  * declines; the batch operator (RelOps.w26Funnel) is the
+  * reconciliation path, and the spec pins streaming==batch agreement
+  * on in-order histories.
+  */
+class FunnelProcessor
+    extends StatefulProcessor[Long, FunnelEvent, FunnelProgress] {
+  @transient private var st: ValueState[FunnelProgress] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelProgress]("funnel",
+      org.apache.spark.sql.Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[FunnelEvent],
+      timerValues: TimerValues): Iterator[FunnelProgress] = {
+    val prev = Option(st.get())
+      .getOrElse(FunnelProgress(uid, 0L, -1L, -1L, -1L))
+    var (tv, tc, tp) = (prev.t_view_us, prev.t_click_us, prev.t_purchase_us)
+    // sort per batch: greedy-first over an ordered fold == the batch
+    // operator's min-after-previous-stage selection
+    rows.toArray.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+      e.event_type match {
+        case "view" if tv < 0 => tv = e.ts_us
+        case "click" if tc < 0 && tv >= 0 && e.ts_us > tv => tc = e.ts_us
+        case "purchase" if tp < 0 && tc >= 0 && e.ts_us > tc => tp = e.ts_us
+        case _ => ()
+      }
+    }
+    val stage = if (tv < 0) 0L else if (tc < 0) 1L else if (tp < 0) 2L else 3L
+    val next = FunnelProgress(uid, stage, tv, tc, tp)
+    st.update(next)
+    if (next == prev) Iterator.empty else Iterator(next)
+  }
+}
+
+/** Streaming funnel entrypoint (separate object: [[StreamJobs]] is the
+  * batch-adjacent surface; this is the T6 arbitrary-state family).
+  */
+object FunnelJobs {
+  /** w26's continual-ingest twin: per-user funnel progression as
+    * transformWithState, emitting a row whenever a user's stage state
+    * ADVANCES (Update mode, no-change batches emit nothing). State is
+    * O(users) x 3 longs — no event retention.
+    */
+  def funnelTws(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -614,4 +614,77 @@ class StreamingSpec extends SparkTestBase {
     assert(n3 == 1L)
     assert(spark.read.parquet(out).count() == 3L)
   }
+  test("funnelTws: cross-batch progression matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[FunnelEvent]
+      val q = FunnelJobs.funnelTws(mem.toDS())
+        .writeStream.format("memory").queryName("funnel")
+        .outputMode("update").start()
+      val base = 1700000000000000L
+      // batch 1: user 1 views; user 2's purchase-before-anything ignored
+      mem.addData(FunnelEvent(1, "view", base),
+        FunnelEvent(2, "purchase", base))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks (later); an out-of-order pair for user 3
+      // inside ONE batch (purchase row fed before its earlier view+click)
+      mem.addData(FunnelEvent(1, "click", base + 60000000L),
+        FunnelEvent(3, "purchase", base + 3000000L),
+        FunnelEvent(3, "click", base + 2000000L),
+        FunnelEvent(3, "view", base + 1000000L))
+      q.processAllAvailable()
+      // batch 3: user 1 converts; a click at the SAME instant as user
+      // 2's view must not advance past stage 1 (strictly-after)
+      mem.addData(FunnelEvent(1, "purchase", base + 120000000L),
+        FunnelEvent(2, "view", base + 5000000L),
+        FunnelEvent(2, "click", base + 5000000L))
+      q.processAllAvailable(); q.stop()
+      val fin = spark.table("funnel").as[FunnelProgress].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.stage_reached)).toMap
+      assert(fin(1L).stage_reached == 3L)
+      assert(fin(1L).t_purchase_us == base + 120000000L)
+      assert(fin(3L).stage_reached == 3L) // intra-batch disorder handled
+      assert(fin(2L).stage_reached == 1L) // same-instant click rejected
+      // streaming state == the batch operator on the union of batches
+      val dir = Files.createTempDirectory("graft_funnel_stream").toString
+      Seq(
+        (1L, 1L, "view", base), (2L, 2L, "purchase", base),
+        (3L, 1L, "click", base + 60000000L),
+        (4L, 3L, "purchase", base + 3000000L),
+        (5L, 3L, "click", base + 2000000L),
+        (6L, 3L, "view", base + 1000000L),
+        (7L, 1L, "purchase", base + 120000000L),
+        (8L, 2L, "view", base + 5000000L),
+        (9L, 2L, "click", base + 5000000L)
+      ).toDF("event_id", "user_id", "event_type", "us")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("us"))).drop("us")
+        .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.ops.RelOps.w26Funnel(spark, dir).collect()
+        .map { r =>
+          def us(c: String): Long = Option(r.getAs[java.sql.Timestamp](c))
+            .map(t => t.getTime * 1000 + (t.getNanos / 1000) % 1000)
+            .getOrElse(-1L)
+          r.getAs[Long]("user_id") ->
+            ((r.getAs[Long]("stage_reached"), us("t_view"), us("t_click"),
+              us("t_purchase")))
+        }.toMap
+      fin.foreach { case (u, p) =>
+        assert(batch(u) == ((p.stage_reached, p.t_view_us, p.t_click_us,
+          p.t_purchase_us)), s"user $u streaming/batch divergence")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
