@@ -528,11 +528,70 @@ object TextOps {
     "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
     "t07_ngram_stats" -> (t07NgramStats _),
     "t02_langid" -> (t02LangId _),
+    "t15_langid_confusion" -> (t15LangidConfusion _),
     "t03_quality" -> (t03Quality _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_tfidf" -> (t05Tfidf _),
     "t06_repetition" -> (t06Repetition _)
   )
+
+  /** Language-ID confusion matrix: the classifier-audit query a data
+    * team runs before trusting t02's detector on a new corpus — every
+    * (declared lang, detected lang) cell with its count and the
+    * row-normalized rate (one IEEE division of exact integers), plus a
+    * diagonal flag so per-language accuracy reads straight off the
+    * is_match=1 rows. Detector disagreement concentrated in one row is
+    * the drift signal (a source mislabeling its lang metadata, or a
+    * marker list gone stale).
+    *
+    * 100 TB posture: the per-doc scoring is t02's single scan; the
+    * matrix is two hash aggs over cells bounded by |langs|^2 —
+    * everything after the scan is tiny.
+    */
+  def t15LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t02LangId(spark, dir)
+      .groupBy("labeled_lang", "detected_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("labeled_lang").agg(sum(col("n")).as("n_labeled"))
+    cells.join(tot, Seq("labeled_lang"))
+      .select(col("labeled_lang"), col("detected_lang"), col("n"),
+        col("n_labeled"),
+        (col("n").cast("double") / col("n_labeled")).as("rate"),
+        when(col("labeled_lang") === col("detected_lang"), 1L)
+          .otherwise(0L).as("is_match"))
+      .orderBy("labeled_lang", "detected_lang")
+  }
+
+  /** t02's full statement sans presentation sort — shared by the t02
+    * oracle and t15's confusion-matrix wrapper.
+    */
+  private def t02Sql: String =
+    s"""WITH s AS (
+         |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS t,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS score_zh
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, labeled_lang,
+         |    ${sqlMarkerCount(enMarkers)} AS score_en,
+         |    ${sqlMarkerCount(frMarkers)} AS score_fr,
+         |    ${sqlMarkerCount(deMarkers)} AS score_de,
+         |    ${sqlMarkerCount(esMarkers)} AS score_es,
+         |    score_zh
+         |  FROM s
+         |)
+         |SELECT doc_id, labeled_lang, score_en, score_fr, score_de, score_es,
+         |  score_zh,
+         |  CASE WHEN score_zh > 0 THEN 'zh'
+         |       WHEN greatest(score_en, score_fr, score_de, score_es) = 0
+         |         THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es)
+         |         THEN 'en'
+         |       WHEN score_es = greatest(score_en, score_fr, score_de, score_es)
+         |         THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es)
+         |         THEN 'de'
+         |       ELSE 'fr' END AS detected_lang
+         |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // t14: t13's unrolled rounds + one final replace, then the corpus
@@ -798,33 +857,26 @@ object TextOps {
         |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t02_langid" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS t,
-         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS score_zh
-         |  FROM documents
-         |), sc AS (
-         |  SELECT doc_id, labeled_lang,
-         |    ${sqlMarkerCount(enMarkers)} AS score_en,
-         |    ${sqlMarkerCount(frMarkers)} AS score_fr,
-         |    ${sqlMarkerCount(deMarkers)} AS score_de,
-         |    ${sqlMarkerCount(esMarkers)} AS score_es,
-         |    score_zh
-         |  FROM s
+    "t02_langid" -> s"$t02Sql ORDER BY doc_id",
+
+    // t15: row-normalized confusion matrix over the same t02 statement
+    "t15_langid_confusion" ->
+      s"""WITH base AS MATERIALIZED ($t02Sql),
+         |cells AS (
+         |  SELECT labeled_lang, detected_lang, count(*) AS n
+         |  FROM base GROUP BY 1, 2
+         |),
+         |tot AS (
+         |  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+         |  FROM cells GROUP BY labeled_lang
          |)
-         |SELECT doc_id, labeled_lang, score_en, score_fr, score_de, score_es,
-         |  score_zh,
-         |  CASE WHEN score_zh > 0 THEN 'zh'
-         |       WHEN greatest(score_en, score_fr, score_de, score_es) = 0
-         |         THEN 'und'
-         |       WHEN score_en = greatest(score_en, score_fr, score_de, score_es)
-         |         THEN 'en'
-         |       WHEN score_es = greatest(score_en, score_fr, score_de, score_es)
-         |         THEN 'es'
-         |       WHEN score_de = greatest(score_en, score_fr, score_de, score_es)
-         |         THEN 'de'
-         |       ELSE 'fr' END AS detected_lang
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |SELECT c.labeled_lang, c.detected_lang, c.n, t.n_labeled,
+         |  CAST(c.n AS DOUBLE) / t.n_labeled AS rate,
+         |  CAST(CASE WHEN c.labeled_lang = c.detected_lang
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
+         |FROM cells c JOIN tot t ON t.labeled_lang = c.labeled_lang
+         |ORDER BY c.labeled_lang, c.detected_lang""".stripMargin,
+
 
     "t03_quality" ->
       s"""WITH b AS (
