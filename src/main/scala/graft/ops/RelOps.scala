@@ -970,7 +970,38 @@ object RelOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** First-order behavioral transition matrix: within each user's
+    * event stream (totally ordered by (ts, event_id) — the w02
+    * precedent), every consecutive (event_type -> next event_type)
+    * step, aggregated to a Markov transition estimate. n and n_from are
+    * exact integers; p is the one shared IEEE division. The bigram
+    * model over user journeys — anomaly detection (improbable
+    * transitions), next-action features, and the sanity audit behind
+    * any sequence model trained on this stream.
+    *
+    * 100 TB posture: ONE user-keyed window pass (the lead), then a hash
+    * agg on the type pair — |types|^2 cells; nothing after the window
+    * touches event-sized data. No self-join formulation anywhere (the
+    * e1.seq+1 = e2.seq join form shuffles the stream twice).
+    */
+  def w28TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    cells.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w28_transition_matrix" -> (w28TransitionMatrix _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
     "w26_funnel" -> (w26Funnel _),
     "w25_gapfill" -> (w25GapFill _),
@@ -1005,6 +1036,28 @@ object RelOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // w28: the same lead + two-agg statement
+    "w28_transition_matrix" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |),
+        |cells AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM steps WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type
+        |),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM cells GROUP BY from_type
+        |)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  CAST(c.n AS DOUBLE) / t.n_from AS p
+        |FROM cells c JOIN tot t ON t.from_type = c.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
     // w27: the same cohort triangle stated declaratively
     "w27_retention_cohorts" ->
       """WITH e AS (
