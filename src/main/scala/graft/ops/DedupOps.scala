@@ -1097,37 +1097,49 @@ object DedupOps {
     prefixJoinPairs(gramSets(spark, dir))
 
   /** d20's body over any cached gramSets frame (ScalingProbe-shared). */
-  private[graft] def prefixJoinPairs(g: DataFrame): DataFrame = {
+  private[graft] def prefixJoinPairs(g: DataFrame): DataFrame =
+    prefixJoinPairsAt(g, 3, 5).orderBy("doc_a", "doc_b")
+
+  /** The prefix-filter join at ANY rational Jaccard threshold num/den
+    * (unordered output — callers sort or aggregate): d20 runs it at
+    * 3/5, d23's calibration sweep at 1/2.
+    */
+  private[graft] def prefixJoinPairsAt(
+      g: DataFrame, num: Int, den: Int): DataFrame = {
     val posting = g.select(col("doc_id"), col("n_g"),
       explode(col("ng")).as("gram"))
     val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gram"))
+    // prefix length n - ceil(t*n) + 1; ceil(num*n/den) integer-exact
     // cached: both sides of the candidate self-join read this frame —
     // uncached, the posting+df-join+window subtree executes twice
     val prefix = graft.Caches.cache(posting.join(dfreq, Seq("gram"))
       .withColumn("rnk", row_number().over(wOrd))
-      .filter(col("rnk") <= col("n_g") - expr("(3*n_g+4) div 5") + 1)
+      .filter(col("rnk") <=
+        col("n_g") - expr(s"($num*n_g+${den - 1}) div $den") + 1)
       .select(col("doc_id"), col("gram"), col("rnk"), col("n_g")))
     // PPJoin's positional + length filters run at the MATCH level,
     // before the arrays ever ship. Positional: at the pair's FIRST
     // shared prefix gram (in the global (df, gram) order) every common
     // gram sits at rank >= rnk_a in A and >= rnk_b in B, so overlap <=
-    // min(n_a-rnk_a, n_b-rnk_b) + 1; a J >= 3/5 pair needs overlap >=
-    // ceil(3*(n_a+n_b)/8) [t/(1+t) bound]. Keeping pairs where ANY
-    // match passes is lossless (the first match passes for true pairs);
-    // measured at sf0.1 it cuts candidates 299k -> 69k. Length: J >=
-    // 3/5 forces 5*min(|A|,|B|) >= 3*max. Both exact-integer.
+    // min(n_a-rnk_a, n_b-rnk_b) + 1; a J >= t pair needs overlap >=
+    // ceil(t/(1+t)*(n_a+n_b)) = ceil(num*(n_a+n_b)/(num+den)). Keeping
+    // pairs where ANY match passes is lossless (the first match passes
+    // for true pairs); measured at sf0.1/t=0.6 it cuts candidates
+    // 299k -> 69k. Length: J >= t forces den*min >= num*max. All
+    // exact-integer cross-multiplications.
     val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"),
         col("rnk").as("rnk_a"), col("n_g").as("n_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
         col("rnk").as("rnk_b"), col("n_g").as("n_b")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
-        // ubound >= ceil(3*(n_a+n_b)/8)  <=>  8*ubound >= 3*(n_a+n_b)
-        (least(col("n_a") - col("rnk_a"), col("n_b") - col("rnk_b")) + 1) * 8 >=
-          (col("n_a") + col("n_b")) * 3 &&
-        least(col("n_a"), col("n_b")) * 5 >=
-          greatest(col("n_a"), col("n_b")) * 3)
+        // ubound >= ceil(num*(na+nb)/(num+den)) <=>
+        //   (num+den)*ubound >= num*(na+nb)
+        (least(col("n_a") - col("rnk_a"), col("n_b") - col("rnk_b")) + 1) *
+          (num + den) >= (col("n_a") + col("n_b")) * num &&
+        least(col("n_a"), col("n_b")) * den >=
+          greatest(col("n_a"), col("n_b")) * num)
       .select("doc_a", "doc_b").distinct()
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"),
@@ -1138,12 +1150,11 @@ object DedupOps {
         size(array_intersect(col("ng_a"), col("ng_b"))).cast("long")
           .as("n_common"),
         col("n_a"), col("n_b"))
-      .filter(col("n_common") * 5 >=
-        (col("n_a") + col("n_b") - col("n_common")) * 3)
+      .filter(col("n_common") * den >=
+        (col("n_a") + col("n_b") - col("n_common")) * num)
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Winnowing fingerprint index (Schleimer/Wilkerson/Aiken, SIGMOD'03
@@ -1239,7 +1250,50 @@ object DedupOps {
       .orderBy("component")
   }
 
+  /** Similarity-threshold calibration sweep: the exact pair and
+    * involved-document counts at J >= 0.5/0.6/0.7/0.8/0.9 over the
+    * token-3-gram universe — the table a data team reads before fixing
+    * a dedup gate (too low over-merges distinct docs into families,
+    * too high leaves twins unpaired; the knee of this curve IS the
+    * decision). One lossless prefix-join pass at the LOOSEST threshold
+    * (d20's machinery at 1/2) yields every pair with its exact
+    * jaccard; each threshold then re-gates those pairs with the
+    * integer cross-multiplication 100*common >= thr*union — no float
+    * compare, zero rows kept for thresholds nothing reaches (the
+    * calibration table must SHOW the zeros).
+    *
+    * 100 TB posture: the sweep costs ONE prefix-join pass (candidates
+    * bounded by the 0.5 prefix filter), then threshold re-gating and
+    * distinct-doc counts over the near-dup-pair-sized result — the
+    * five-runs-of-d20 form rescans the corpus five times.
+    */
+  def d23ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val pairs = graft.Caches.cache(
+      prefixJoinPairsAt(gramSets(spark, dir), 1, 2)
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_a") + col("n_b") - col("n_common")).as("n_union")))
+    val thresholds = Seq(50L, 60L, 70L, 80L, 90L).toDF("threshold")
+    val gated = pairs.crossJoin(broadcast(thresholds))
+      .filter(col("n_common") * 100 >= col("threshold") * col("n_union"))
+    val nPairs = gated.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = gated
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b")))
+        .as("doc_id"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    thresholds
+      .join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_threshold_sweep" -> (d23ThresholdSweep _),
     "d22_family_shape" -> (d22FamilyShape _),
     "d21_winnowing" -> (d21Winnowing _),
     "d20_prefix_join" -> (d20PrefixJoin _),
@@ -1516,6 +1570,57 @@ object DedupOps {
 
     // d19: the posting-join containment statement with the same df cap
     // on both engines; denominators are uncapped distinct-gram counts
+    // d23: the all-pairs statement at the loosest gate, re-gated per
+    // threshold — zeros kept via the left joins
+    "d23_threshold_sweep" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t)-2, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM tk
+        |),
+        |sizes AS (SELECT doc_id, len(g) AS n FROM toks),
+        |p AS (SELECT doc_id, unnest(g) AS gram FROM toks),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS MATERIALIZED (
+        |  SELECT s.doc_a, s.doc_b, s.n_common,
+        |         sa.n + sb.n - s.n_common AS n_union
+        |  FROM shared s
+        |  JOIN sizes sa ON sa.doc_id = s.doc_a
+        |  JOIN sizes sb ON sb.doc_id = s.doc_b
+        |  WHERE 2 * s.n_common >= sa.n + sb.n - s.n_common
+        |),
+        |thr AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT)
+        |          AS threshold),
+        |gated AS MATERIALIZED (
+        |  SELECT t.threshold, p.doc_a, p.doc_b
+        |  FROM thr t JOIN pairs p
+        |    ON p.n_common * 100 >= t.threshold * p.n_union
+        |),
+        |np AS (SELECT threshold, count(*) AS n_pairs
+        |       FROM gated GROUP BY threshold),
+        |nd AS (
+        |  SELECT threshold, count(*) AS n_docs FROM (
+        |    SELECT DISTINCT threshold, doc FROM (
+        |      SELECT threshold, doc_a AS doc FROM gated
+        |      UNION ALL SELECT threshold, doc_b FROM gated))
+        |  GROUP BY threshold
+        |)
+        |SELECT t.threshold,
+        |  coalesce(np.n_pairs, 0) AS n_pairs,
+        |  coalesce(nd.n_docs, 0) AS n_docs
+        |FROM thr t
+        |LEFT JOIN np ON np.threshold = t.threshold
+        |LEFT JOIN nd ON nd.threshold = t.threshold
+        |ORDER BY t.threshold""".stripMargin,
+
     // d22: the per-family aggregation over the same recursive-CTE
     // component labels d17 states
     "d22_family_shape" ->

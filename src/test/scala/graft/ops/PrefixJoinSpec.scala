@@ -108,6 +108,35 @@ class PrefixJoinSpec extends SparkTestBase {
     assert(asSet(DedupOps.d20PrefixJoin(spark, dir)) == asSet(bruteForce(dir)))
   }
 
+  test("d23: sweep rows agree with d20 and brute force, zeros included") {
+    val sweep = DedupOps.d23ThresholdSweep(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))).toMap
+    assert(sweep.keySet == Set(50L, 60L, 70L, 80L, 90L))
+    // threshold 60 must count exactly d20's result set
+    assert(sweep(60L)._1 == DedupOps.d20PrefixJoin(spark, sf0001).count())
+    // threshold 50 must count the full brute-force J >= 0.5 pair set
+    val bf50 = {
+      val g = DedupOps.gramSets(spark, sf0001)
+      val a = g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"),
+        col("n_g").as("n_a"))
+      val b = g.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"),
+        col("n_g").as("n_b"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .select(size(array_intersect(col("ng_a"), col("ng_b")))
+          .cast("long").as("c"), col("n_a"), col("n_b"))
+        .filter(col("c") * 2 >= col("n_a") + col("n_b") - col("c"))
+        .count()
+    }
+    assert(sweep(50L)._1 == bf50)
+    // counts decrease monotonically in the threshold
+    val ordered = sweep.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((p1, d1), (p2, d2)) => assert(p2 <= p1 && d2 <= d1)
+      case _ => ()
+    }
+  }
+
   test("d20: prefix posting is a strict subset of the full posting") {
     // the filter's whole point at scale: fewer rows enter the
     // candidate self-join than a full posting join would ship
