@@ -127,6 +127,39 @@ object ScalingProbe {
         graft.ops.DedupOps.gramSetsOf(wordSoup(spark, n))).count()
     }
 
+  /** g03 shape: 2-core peeling to fixpoint on n/10 independent tailed
+    * stars (6-leaf hub + a 3-node tail path): leaves and the tail end
+    * peel round 1, the tail peels inward one round per hop, the
+    * stranded hub falls last — everything peels in a CONSTANT ~5
+    * rounds regardless of n, and no 2-core exists. Claimed posture:
+    * each round is one degree agg + two anti joins over a SHRINKING
+    * edge set, so 10x the graph should be ~linear runtime at the same
+    * round count (peel depth is set by the local geometry, not n).
+    */
+  private def kcoreProbe(spark: SparkSession, n: Int): Unit = {
+    val stars = n / 10
+    // hub i at id i*10; leaves i*10+1..6; tail i*10+7 -> +8 -> +9
+    val leafEdges = spark.range(stars.toLong)
+      .select(explode(expr("sequence(1, 6)")).as("j"), col("id"))
+      .select((col("id") * 10).as("doc_a"), (col("id") * 10 + col("j")).as("doc_b"))
+    val tailEdges = spark.range(stars.toLong)
+      .select(explode(expr("array(7, 8, 9)")).as("j"), col("id"))
+      .select(when(col("j") === 7, col("id") * 10)
+          .otherwise(col("id") * 10 + col("j") - 1).as("doc_a"),
+        (col("id") * 10 + col("j")).as("doc_b"))
+    val edges = leafEdges.union(tailEdges)
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val (out, rounds, converged) =
+        graft.ops.GraphOps.kcorePeelToFixpoint(edges, maxRounds = 20)
+      val cnt = out.filter(col("in_2core") === 1L).count()
+      println(f"g03_kcore_peel n=$n run $i: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs rounds=$rounds " +
+        f"converged=$converged core=$cnt")
+      Caches.unpersistAll()
+    }
+  }
+
   /** t11 shape: Misra-Gries heavy-token pass on the word-soup corpus
     * with one planted hot token per doc (2% of occurrences — far above
     * the 1/200 threshold) and an otherwise ~unique vocabulary that
@@ -213,6 +246,11 @@ object ScalingProbe {
     }
     if (cdcMode) {
       cdcProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("kcore")) {
+      kcoreProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }
