@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkTestBase {
     // s08's codebook scan (vectors x broadcast centroids); the pairwise
     // stage itself is an equality join on the cell key
     "s11_semantic_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // the 5-row threshold table broadcast against the pair-sized
+    // (never corpus-sized) prefix-join result
+    "d23_threshold_sweep" -> Set("BroadcastNestedLoopJoin"),
     // margin mining's all-pairs dot stage: side A x AQE-broadcast side B
     // — the declarative statement; at corpus scale the same mutual+
     // margin rule runs over s07's banded candidates (equality join)
