@@ -295,7 +295,49 @@ object MediaOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Multimodal dedup governance report — d18's per-source discipline
+    * on the MEDIA channel, per kind: every payload classified by
+    * DISJOINT removal cause, exact-first. A row is exact-removed if a
+    * smaller doc_id carries a byte-identical payload (md5 over the
+    * BINARY column), else near-removed if it is the larger side of an
+    * m06 perceptual-hash pair (pairs are canonical doc_a < doc_b, so
+    * "appears as doc_b" IS the smaller-partner rule), else kept;
+    * causes sum to n_media per kind (spec-pinned) and the removal
+    * rate is one exact division.
+    *
+    * 100 TB posture: the exact channel is one md5 hash shuffle with a
+    * payload-hash-only projection (bytes read once, never shipped);
+    * the near channel scans m06's banded pair output
+    * (near-dup-population-sized); the rollup is a hash agg on kind.
+    */
+  def m07MediaDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = mediaTable(spark, dir)
+      .select(col("doc_id"), col("kind"), md5(col("payload")).as("h"))
+    val keeper = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val near = m06PhashNeardup(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1L))
+    hashed.join(keeper, Seq("h"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("kind"),
+        when(col("doc_id") > col("keeper"), 1L).otherwise(0L).as("ex"),
+        when(col("doc_id") === col("keeper") && col("is_near").isNotNull, 1L)
+          .otherwise(0L).as("nr"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("ex")).as("n_exact_removed"),
+        sum(col("nr")).as("n_near_removed"))
+      .select(col("kind"), col("n_media"),
+        col("n_exact_removed"), col("n_near_removed"),
+        (col("n_media") - col("n_exact_removed") - col("n_near_removed"))
+          .as("n_kept"),
+        ((col("n_exact_removed") + col("n_near_removed")).cast("double") /
+          col("n_media")).as("removal_rate"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_media_dedup_report" -> (m07MediaDedupReport _),
     "m06_phash_neardup" -> (m06PhashNeardup _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -324,6 +366,56 @@ object MediaOps {
   val oracle: Map[String, String] = Map(
     // the all-pairs declarative statement of m06 (the engine bands;
     // hamming <= 1 makes banding lossless, so the sets agree exactly)
+    // m07: the same exact+perceptual channels aggregated per kind;
+    // md5(text) == md5 of the UTF-8 payload bytes in both engines
+    "m07_media_dedup_report" ->
+      """WITH c AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    list_transform(generate_series(1, greatest(length(text), 0)),
+        |      i -> ascii(substring(text, i, 1))) AS codes
+        |  FROM documents
+        |),
+        |blocks AS (
+        |  SELECT doc_id, n, list_sum(codes) AS total, b,
+        |    list_sum(list_slice(codes, CAST(floor(n*b/16) AS INT) + 1,
+        |                               CAST(floor(n*(b+1)/16) AS INT))) AS bsum,
+        |    CAST(floor(n*(b+1)/16) AS INT)
+        |      - CAST(floor(n*b/16) AS INT) AS blen
+        |  FROM c, unnest(generate_series(0, 15)) AS t(b)
+        |),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN blen > 0 AND bsum * n >= total * blen
+        |             THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+        |  FROM blocks GROUP BY doc_id
+        |),
+        |near AS (
+        |  SELECT DISTINCT b.doc_id FROM sig a JOIN sig b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 1
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    md5(text) AS h
+        |  FROM documents
+        |),
+        |keeper AS (SELECT h, min(doc_id) AS keeper FROM m GROUP BY h),
+        |cls AS (
+        |  SELECT m.kind,
+        |    CASE WHEN m.doc_id > k.keeper THEN 1 ELSE 0 END AS ex,
+        |    CASE WHEN m.doc_id = k.keeper AND nr.doc_id IS NOT NULL
+        |         THEN 1 ELSE 0 END AS nr
+        |  FROM m JOIN keeper k ON k.h = m.h
+        |  LEFT JOIN near nr ON nr.doc_id = m.doc_id
+        |)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(SUM(ex) AS BIGINT) AS n_exact_removed,
+        |  CAST(SUM(nr) AS BIGINT) AS n_near_removed,
+        |  CAST(count(*) - SUM(ex) - SUM(nr) AS BIGINT) AS n_kept,
+        |  CAST(SUM(ex) + SUM(nr) AS DOUBLE) / count(*) AS removal_rate
+        |FROM cls GROUP BY kind ORDER BY kind""".stripMargin,
+
     "m06_phash_neardup" ->
       """WITH c AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,
