@@ -1000,7 +1000,40 @@ object RelOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Robust per-group anomaly detection: every event scored against
+    * its type's MEDIAN and MAD (w23's exact two-phase rank machinery —
+    * mean/stddev z-scores break down exactly when outliers are present,
+    * since outliers inflate their own baseline; the median/MAD pair is
+    * the standard robust fix). dev = |value - median| is one
+    * subtraction + abs of identically-computed doubles; the flag is
+    * dev > 3*mad (multiply + compare, no division), and the
+    * consistency-scaled score dev/mad is emitted only when mad > 0 (a
+    * type where more than half the values tie has MAD 0 — every
+    * deviation is then infinitely surprising, and the flag still
+    * works). All rows emitted, flagged or not: an audit needs the
+    * clean rows (the t12 discipline).
+    *
+    * 100 TB posture: the baseline is G rows broadcast back onto the
+    * stream — one scan + the w23 rank passes, then pure map work; no
+    * window over raw events anywhere.
+    */
+  def w29RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val mad = madOf(Tables.events(spark, dir).select("event_type", "value"))
+      .select(col("event_type"), col("median_value"), col("mad"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("median_value")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("median_value"), col("mad"),
+        when(col("mad") > 0, col("dev") / col("mad")).as("robust_score"),
+        when(col("dev") > col("mad") * 3, 1L).otherwise(0L)
+          .as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
     "w26_funnel" -> (w26Funnel _),
@@ -1034,6 +1067,40 @@ object RelOps {
   private val zSqlExpr = (0 until 16).map(i =>
     s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
     .mkString(" + ")
+
+  /** w23's exact median+MAD CTE chain (through the `mad` CTE) —
+    * shared by the w23 oracle and w29's outlier join.
+    */
+  private val madSqlCtes: String =
+    """WITH s AS (SELECT event_type, value FROM events),
+        |n AS (SELECT event_type, count(*) AS cnt FROM s GROUP BY event_type),
+        |rk AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM s
+        |),
+        |med AS (
+        |  SELECT rk.event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |      AS median_value
+        |  FROM rk JOIN n USING (event_type)
+        |  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+        |  GROUP BY rk.event_type
+        |),
+        |d AS (
+        |  SELECT s.event_type, abs(s.value - m.median_value) AS dv
+        |  FROM s JOIN med m USING (event_type)
+        |),
+        |dr AS (
+        |  SELECT event_type, dv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn
+        |  FROM d
+        |),
+        |mad AS (
+        |  SELECT dr.event_type, dv
+        |  FROM dr JOIN n USING (event_type)
+        |  WHERE rn = (cnt + 1) // 2
+        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // w28: the same lead + two-agg statement
@@ -1436,38 +1503,27 @@ object RelOps {
     // w23: both medians stated with windows (the oracle may single-task
     // per group; the engine runs the two-phase histogram twice)
     "w23_mad" ->
-      """WITH s AS (SELECT event_type, value FROM events),
-        |n AS (SELECT event_type, count(*) AS cnt FROM s GROUP BY event_type),
-        |rk AS (
-        |  SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
-        |  FROM s
-        |),
-        |med AS (
-        |  SELECT rk.event_type,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-        |      AS median_value
-        |  FROM rk JOIN n USING (event_type)
-        |  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
-        |  GROUP BY rk.event_type
-        |),
-        |d AS (
-        |  SELECT s.event_type, abs(s.value - m.median_value) AS dv
-        |  FROM s JOIN med m USING (event_type)
-        |),
-        |dr AS (
-        |  SELECT event_type, dv,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn
-        |  FROM d
-        |),
-        |mad AS (
-        |  SELECT dr.event_type, dv
-        |  FROM dr JOIN n USING (event_type)
-        |  WHERE rn = (cnt + 1) // 2
-        |)
+      s"""$madSqlCtes
         |SELECT m.event_type, m.median_value, mad.dv AS mad, n.cnt AS n
         |FROM med m JOIN mad USING (event_type) JOIN n USING (event_type)
         |ORDER BY m.event_type""".stripMargin,
+
+    // w29: the same baseline joined back onto the stream
+    "w29_robust_outliers" ->
+      s"""$madSqlCtes,
+        |base AS (
+        |  SELECT m.event_type, m.median_value, mad.dv AS mad
+        |  FROM med m JOIN mad USING (event_type)
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  b.median_value, b.mad,
+        |  CASE WHEN b.mad > 0
+        |       THEN abs(e.value - b.median_value) / b.mad END
+        |    AS robust_score,
+        |  CAST(CASE WHEN abs(e.value - b.median_value) > b.mad * 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM events e JOIN base b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     // the all-pairs declarative statement of w22: per event, rank all
     // same-user orders by |time distance|, earlier date then smaller
