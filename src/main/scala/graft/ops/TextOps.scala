@@ -517,7 +517,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Crawl-order novelty curve: for every document (in doc_id order —
+    * the ingest order), the fraction of its distinct token-4-grams
+    * never seen in ANY earlier document. The dataset-curation signal
+    * behind "diminishing returns": a crawl whose novelty rate decays
+    * toward 0 is re-fetching what the corpus already holds, and the
+    * knee of this curve is where continued ingestion stops buying
+    * diversity (the data-mixing literature's token-crisis measurement
+    * at corpus granularity). A gram is novel exactly for the document
+    * holding its MINIMUM doc_id — so the whole curve needs no ordered
+    * scan at all: one gram->min(doc_id) hash agg and one join back,
+    * both keyed on the gram.
+    *
+    * Counts exact integers; novelty_rate is the one shared IEEE
+    * division.
+    *
+    * 100 TB posture: explode + two hash aggs + one gram-keyed join —
+    * the running-set formulation (each doc against a growing "seen"
+    * state) is inherently sequential and cannot distribute; min-per-key
+    * is its exact parallel form.
+    */
+  def t16Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams4 =
+      "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+        " i -> array_join(slice(toks, i, 4), ' ')))"
+    val g = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams4)).as("gram")))
+    val firsts = g.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    g.join(firsts, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_novelty" -> (t16Novelty _),
     "t14_bpe_encode" -> (t14BpeEncode _),
     "t13_bpe_merges" -> (t13BpeMerges _),
     "t12_contamination_score" -> (t12ContaminationScore _),
@@ -594,6 +633,28 @@ object TextOps {
          |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t16: the same first-occurrence formulation declaratively
+    "t16_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t)-3, 1)),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS gram
+        |  FROM tk
+        |),
+        |firsts AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS novelty_rate
+        |FROM g JOIN firsts f ON f.gram = g.gram
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // t14: t13's unrolled rounds + one final replace, then the corpus
     // joins the encoded vocabulary for per-doc symbol sums
     "t14_bpe_encode" ->
