@@ -1032,7 +1032,53 @@ object RelOps {
       .orderBy("event_id")
   }
 
+  /** Inter-arrival-gap tail quantiles per event type — the SLO/latency
+    * query over a behavioral stream: gaps are integer microseconds
+    * between consecutive events of the same (user, type) (lag over the
+    * (ts, event_id) total order — cross-user boundaries yield no gap),
+    * then p50/p90/p99 of those gaps selected EXACTLY by the shared
+    * two-phase rank machinery (percentile_disc semantics: rank
+    * ceil(q*n); no interpolation, no per-group sort). A p99 pulling
+    * away from p50 is burstiness — the signal behind session-gap
+    * tuning (w02's 30-minute threshold) and bot detection.
+    *
+    * 100 TB posture: one user-keyed window (the lag) + the w08-family
+    * histogram rank selection — no global or per-group full sort
+    * anywhere; gaps are exact integers so the selected quantiles are
+    * bit-identical across engines.
+    */
+  def w30GapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_type"), col("gap_us").cast("double").as("value"))
+    val stats = rankStats(gaps)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val wanted = stats
+      .select(col("event_type"), col("cnt"),
+        explode(array(qs.map { case (q, name) =>
+          struct(lit(name).as("q"),
+            expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))
+        }: _*)).as("t"))
+      .select(col("event_type"), col("cnt"),
+        col("t.q").as("q"), col("t.r").as("r"))
+    sortTiny(valuesAtRanks(gaps, stats, wanted)
+      .groupBy(col("event_type"), col("cnt"))
+      .agg(
+        max(when(col("q") === "p50", col("value"))).cast("long").as("p50_us"),
+        max(when(col("q") === "p90", col("value"))).cast("long").as("p90_us"),
+        max(when(col("q") === "p99", col("value"))).cast("long").as("p99_us"))
+      .select(col("event_type"), col("p50_us"), col("p90_us"), col("p99_us"),
+        col("cnt").as("n_gaps")),
+      "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w30_gap_quantiles" -> (w30GapQuantiles _),
     "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
@@ -1103,6 +1149,37 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w30: the same gaps + percentile_disc ranks declaratively
+    "w30_gap_quantiles" ->
+      """WITH rawgaps AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id)) AS DOUBLE) AS gv
+        |  FROM events
+        |),
+        |gaps AS (
+        |  SELECT event_type, gv AS value FROM rawgaps WHERE gv IS NOT NULL
+        |),
+        |n AS (SELECT event_type, count(*) AS cnt FROM gaps
+        |      GROUP BY event_type),
+        |rk AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM gaps
+        |)
+        |SELECT rk.event_type,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT)
+        |       THEN value END) AS BIGINT) AS p50_us,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT)
+        |       THEN value END) AS BIGINT) AS p90_us,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT)
+        |       THEN value END) AS BIGINT) AS p99_us,
+        |  n.cnt AS n_gaps
+        |FROM rk JOIN n USING (event_type)
+        |GROUP BY rk.event_type, n.cnt
+        |ORDER BY rk.event_type""".stripMargin,
+
     // w28: the same lead + two-agg statement
     "w28_transition_matrix" ->
       """WITH steps AS (
