@@ -1036,7 +1036,70 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Dimension-truncated adaptive retrieval (the Matryoshka/MRL
+    * pattern): a coarse pass ranks candidates on the FIRST 16 of 64
+    * components — a 4x cheaper integer dot against every corpus vector
+    * — then only the per-query top-20 pool is rescored at full
+    * precision for the final top-5. The third rescore lever next to
+    * s10 (precision axis: int8) and s13 (codebook axis: PQ/ADC); this
+    * is the DIMENSION axis, the one MRL-trained embeddings are built
+    * for (leading components carry the signal by construction; on
+    * generic embeddings the spec measures how much survives).
+    *
+    * Determinism: integer dots at both stages, (score desc, id) total
+    * orders everywhere; the coarse pool is a graft_topk bounded heap —
+    * K rows per query per partition reach the shuffle.
+    *
+    * 100 TB posture: the corpus-sized stage touches 16 ints per vector
+    * instead of 64 (at MRL scale: 64 of 768); the full-width read
+    * happens for poolK rows per query only — column pruning delivers
+    * exactly this when the truncated prefix is stored as its own
+    * column/file group.
+    */
+  def s20TruncatedRescore(spark: SparkSession, dir: String): DataFrame =
+    truncatedRescoreTopK(vectors(spark, dir), col("vec_id") % 50 === 0,
+      dims = 16, poolK = 20, k = 5)
+
+  /** s20's core over any prepared frame (spec-shared for planted
+    * recall measurement).
+    */
+  private[graft] def truncatedRescoreTopK(
+      prepared: DataFrame, isQuery: Column, dims: Int, poolK: Int,
+      k: Int): DataFrame = {
+    val v = graft.Caches.cache(
+      prepared
+        .withColumn("tv", expr(s"slice(qv, 1, $dims)"))
+        .withColumn("tn", expr(dotSq("tv", "tv"))))
+    val q = v.filter(isQuery).select(
+      col("vec_id").as("qid"), col("tv").as("qtv"), col("tn").as("qtn"),
+      col("qv").as("qemb"), col("vnorm").as("qnorm"))
+    val pool = v.select("vec_id", "tv", "tn")
+      .crossJoin(broadcast(q.select("qid", "qtv", "qtn")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("coarse_cosine", expr(dotSq("qtv", "tv")).cast("double") /
+        (sqrt(col("qtn").cast("double")) * sqrt(col("tn").cast("double"))))
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk(coarse_cosine, vec_id, $poolK)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"),
+        col("t.score").as("coarse_cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pool
+      .join(v.select("vec_id", "qv", "vnorm"), Seq("vec_id"))
+      .join(broadcast(q.select("qid", "qemb", "qnorm")), Seq("qid"))
+      .withColumn("dot", expr(dotSq("qemb", "qv")))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"),
+        col("coarse_cosine"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_truncated_rescore" -> (s20TruncatedRescore _),
     "s19_ivf_append" -> (s19IvfAppend _),
     "s18_margin_mining" -> (s18MarginMining _),
     "s16_sparse_cosine" -> (s16SparseCosine _),
@@ -1183,6 +1246,51 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    // s20: both stages declaratively — truncated coarse rank, exact
+    // rescore of the per-query pool
+    "s20_truncated_rescore" ->
+      s"""WITH $unnestSql,
+         |t AS (
+         |  SELECT vec_id, SUM(x * x) AS tn FROM u WHERE i <= 16
+         |  GROUP BY vec_id
+         |),
+         |cd AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot16
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id AND q.i <= 16
+         |  GROUP BY 1, 2
+         |),
+         |cc AS (
+         |  SELECT qid, vid, CAST(dot16 AS DOUBLE) /
+         |    (sqrt(CAST(tq.tn AS DOUBLE)) * sqrt(CAST(tv.tn AS DOUBLE)))
+         |      AS ccos
+         |  FROM cd JOIN t tq ON tq.vec_id = qid JOIN t tv ON tv.vec_id = vid
+         |),
+         |pool AS MATERIALIZED (
+         |  SELECT qid, vid, ccos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ccos DESC, vid ASC) AS r FROM cc)
+         |  WHERE r <= 20
+         |),
+         |d AS (
+         |  SELECT p.qid, p.vid, p.ccos, SUM(uq.x * uv.x) AS dot
+         |  FROM pool p
+         |  JOIN u uq ON uq.vec_id = p.qid
+         |  JOIN u uv ON uv.vec_id = p.vid AND uv.i = uq.i
+         |  GROUP BY 1, 2, 3
+         |),
+         |c2 AS (
+         |  SELECT qid, vid, ccos, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine,
+         |       ccos AS coarse_cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c2)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // s19: the declarative full-recompute statement — corpus-trained
     // codebook, corpus postings, batch assignment, per-cell growth

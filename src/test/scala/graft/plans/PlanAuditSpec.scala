@@ -41,6 +41,9 @@ class PlanAuditSpec extends SparkTestBase {
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
     // SQ8 coarse stage = corpus x broadcast queries, same family as s01
     "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
+    // truncated-prefix coarse stage = corpus x broadcast queries, the
+    // s10 shape on the dimension axis
+    "s20_truncated_rescore" -> Set("BroadcastNestedLoopJoin"),
     // MIPS scan = corpus x broadcast queries, same family as s01/s04
     "s12_mips_topk" -> Set("BroadcastNestedLoopJoin"),
     // hybrid RRF: the vector channel is the s01-family broadcast-queries
