@@ -685,7 +685,54 @@ object PipelineOps {
       .orderBy("source", "pick_rank")
   }
 
+  /** Contamination-aware split: p02's deterministic train/val/test
+    * assignment with two governance overrides — benchmark documents
+    * (the doc_id % 97 = 0 eval-suite convention) are labeled
+    * 'benchmark' and never enter a training split, and documents whose
+    * distinct-4-gram overlap with the benchmark side crosses the t12
+    * criterion (2*shared >= total, exact integers) are forced to
+    * 'quarantine'. Training on an eval set's near-verbatim copies is
+    * the classic silent eval inflation; the split is where that
+    * firewall belongs, because every downstream consumer inherits it.
+    * Untouched documents keep EXACTLY their p02 assignment (same salt,
+    * same hash — spec-pinned), so adopting the guard never reshuffles
+    * clean data.
+    *
+    * 100 TB posture: d08's broadcast-benchmark-grams posture for the
+    * flag (eval-suite-sized side, corpus exploded once), p02's pure
+    * map work for the buckets; one hash agg per doc for the gram
+    * counts.
+    */
+  def p18QuarantineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val grams4 =
+      "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+        " i -> array_join(slice(toks, i, 3 + 1), ' ')))"
+    val g = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams4)).as("gram")))
+    val tot = g.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+    val bench = g.filter(col("doc_id") % 97 === 0)
+      .select("gram").distinct()
+    val shared = g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(tot, Seq("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("bucket", expr(saltedHashExpr("split")) % 10)
+      .select(col("doc_id"), col("bucket"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("n_g"),
+        when(col("doc_id") % 97 === 0, "benchmark")
+          .when(coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_g"),
+            "quarantine")
+          .when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_quarantine_split" -> (p18QuarantineSplit _),
     "p17_quota_sample" -> (p17QuotaSample _),
     "p16_agg_merge" -> (p16AggMerge _),
     "p15_epoch_shuffle" -> (p15EpochShuffle _),
@@ -706,6 +753,40 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p18: p02's buckets + the d08/t12 contamination override
+    "p18_quarantine_split" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+        |    AS gram
+        |  FROM documents
+        |),
+        |tot AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |shared AS (
+        |  SELECT g.doc_id, count(*) AS n_shared
+        |  FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id
+        |),
+        |b AS (
+        |  SELECT d.doc_id, t.n_g,
+        |    coalesce(s.n_shared, 0) AS n_shared,
+        |    CAST('0x' || substring(md5('split:' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 10 AS bucket
+        |  FROM documents d
+        |  JOIN tot t ON t.doc_id = d.doc_id
+        |  LEFT JOIN shared s ON s.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, bucket, n_shared, n_g,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'benchmark'
+        |       WHEN n_shared * 2 >= n_g THEN 'quarantine'
+        |       WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // p17: the same apportionment + hash pick stated declaratively
     "p17_quota_sample" ->
       """WITH counts AS (
