@@ -555,7 +555,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Term burstiness (Church & Gale's dispersion measure): for every
+    * token with corpus frequency >= 100, its total frequency, document
+    * frequency, and burstiness = tf/df — the mean occurrences per
+    * document that CONTAINS the token. Function words spread thin
+    * (burstiness ~ tf/n_docs-ish, low), topical terms clump (a doc
+    * that mentions them mentions them repeatedly) — the signal that
+    * separates stopword-like tokens from content terms WITHOUT a
+    * stopword list, and the diagnostic behind idf-style weighting
+    * choices (t05) on a new corpus. tf/df is the one shared IEEE
+    * division of exact integers.
+    *
+    * 100 TB posture: one explode + one hash agg computing both counts
+    * in a single pass (count + countDistinct per token share the
+    * shuffle); the frequency floor bounds the output to the hot
+    * vocabulary, and at the 1/200-share scale t11's Misra-Gries
+    * candidate pass bounds what even reaches the aggregation.
+    */
+  def t17Burstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= 100)
+      .select(col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("df")).as("burstiness"))
+      .orderBy("tok")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_burstiness" -> (t17Burstiness _),
     "t16_novelty" -> (t16Novelty _),
     "t14_bpe_encode" -> (t14BpeEncode _),
     "t13_bpe_merges" -> (t13BpeMerges _),
@@ -633,6 +662,18 @@ object TextOps {
          |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t17: the same single-pass tf/df statement
+    "t17_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |)
+        |SELECT tok, count(*) AS tf,
+        |  count(DISTINCT doc_id) AS df,
+        |  CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS burstiness
+        |FROM t GROUP BY tok HAVING count(*) >= 100
+        |ORDER BY tok""".stripMargin,
+
     // t16: the same first-occurrence formulation declaratively
     "t16_novelty" ->
       """WITH tk AS (
