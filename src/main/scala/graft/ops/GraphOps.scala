@@ -236,7 +236,52 @@ object GraphOps {
     (out, r, stable)
   }
 
+  /** Degree assortativity (Newman's r) over the near-dup graph: the
+    * Pearson correlation of endpoint degrees across the symmetrized
+    * edge list — positive when similar-degree nodes attach (the
+    * template-farm signature: clique members all share one degree),
+    * negative for hub-and-spoke duplication (one canonical page, many
+    * one-off copies), the one-number summary of which dedup topology
+    * dominates a corpus. All five moments (m, Σx, Σxy, Σx², and Σy²
+    * = Σx² by symmetry) are EXACT integer sums; r is a single
+    * fixed-shape expression over them, emitted NULL when the variance
+    * term is zero (a degree-regular graph has no correlation to
+    * measure — the zero test is an exact integer compare, never a
+    * float-divide-by-zero).
+    *
+    * 100 TB posture: one degree hash-agg + one edge-keyed join + one
+    * global agg of five integer sums — no quadratic stage; the moments
+    * are mergeable partials, so the final agg is map-side combined.
+    */
+  def g04Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.cache(
+      DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b"))
+    assortativityOf(pairs)
+  }
+
+  /** g04's body over any canonical edge frame (spec-shared). */
+  private[graft] def assortativityOf(pairs: DataFrame): DataFrame = {
+    val deg = degrees(pairs)
+    val sym = symmetric(pairs)
+      .join(deg.select(col("doc_id").as("u"), col("degree").as("dx")),
+        Seq("u"))
+      .join(deg.select(col("doc_id").as("v"), col("degree").as("dy")),
+        Seq("v"))
+    sym.agg(
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("n_edges"), col("m"), col("sx"), col("sxy"), col("sxx"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g04_assortativity" -> (g04Assortativity _),
     "g03_kcore" -> (g03Kcore _),
     "g01_triangle_count" -> (g01TriangleCount _),
     "g02_pagerank" -> (g02Pagerank _)
@@ -289,6 +334,27 @@ object GraphOps {
     sql.replaceAll("\\bAS \\(", "AS MATERIALIZED (")
 
   val oracle: Map[String, String] = Map(
+    // g04: the same exact-moment statement (den factors are equal by
+    // symmetry, so no sqrt ever appears)
+    "g04_assortativity" -> materializedCtes(
+      s"""$graphSqlPrefix,
+         |j AS (
+         |  SELECT da.degree AS dx, db.degree AS dy
+         |  FROM edges e
+         |  JOIN deg da ON da.doc_id = e.u
+         |  JOIN deg db ON db.doc_id = e.v
+         |)
+         |SELECT CAST(count(*) // 2 AS BIGINT) AS n_edges,
+         |  count(*) AS m,
+         |  CAST(SUM(dx) AS BIGINT) AS sx,
+         |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |  CASE WHEN count(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) <> 0
+         |    THEN CAST(count(*) * SUM(dx * dy) - SUM(dx) * SUM(dx) AS DOUBLE)
+         |       / CAST(count(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE)
+         |    END AS assortativity
+         |FROM j""".stripMargin),
+
     // g03: the same 4 peel rounds unrolled declaratively
     "g03_kcore" -> materializedCtes(
       s"""$graphSqlPrefix,

@@ -158,6 +158,24 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("g04: star is perfectly disassortative, path is -0.5, regular is NULL") {
+    // star hub-leaf pairing: r = -1 by hand (m=6, sx=12, sxy=18, sxx=30)
+    val star = GraphOps.assortativityOf(
+      edges(0L -> 1L, 0L -> 2L, 0L -> 3L)).collect().head
+    assert(star.getAs[Long]("m") == 6L)
+    assert(star.getAs[Double]("assortativity") == -1.0)
+    // 4-path: degrees 1,2,2,1 -> r = -0.5 by hand
+    val path = GraphOps.assortativityOf(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L)).collect().head
+    assert(path.getAs[Double]("assortativity") == -0.5)
+    // a 5-cycle is degree-regular: zero variance, r is NULL (an exact
+    // integer test, never a float divide-by-zero)
+    val cyc = GraphOps.assortativityOf(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 1L -> 5L)).collect().head
+    assert(cyc.isNullAt(cyc.fieldIndex("assortativity")))
+    assert(cyc.getAs[Long]("n_edges") == 5L)
+  }
+
   test("g03: 4 rounds are converged on the real fixture pair graph") {
     val pairs = DedupOps.pairGraph(spark, sf0001).select("doc_a", "doc_b")
     val fixed = kcoreMap(GraphOps.kcorePeel(pairs, rounds = 4))
