@@ -1077,7 +1077,55 @@ object RelOps {
       "event_type")
   }
 
+  /** CUSUM change-point detection over hourly event rates, exact and
+    * integer: for each event type, the hour where the cumulative
+    * deviation from the mean rate peaks — the classic single
+    * level-shift estimator (where did the rate change?). The mean
+    * never appears as a float: with n hours and T total events, the
+    * scaled statistic S'_h = cumsum(n*x_h - T) equals n * the
+    * classical CUSUM, is integer-exact, telescopes to 0 at the last
+    * hour, and ARGMAX |S'| is the same hour — so the change-point,
+    * its score and its direction (sign at the peak: positive = the
+    * early segment ran HOT, the rate dropped there; negative = it
+    * rose) are all bit-identical across engines and partitionings.
+    * Empty hours count as zero via the w25 spine (a gap IS a rate
+    * observation; skipping it would blind the detector to outages).
+    *
+    * 100 TB posture: hourly pre-aggregation first (events collapse to
+    * type x hour cells before any window), then ONE type-keyed window
+    * cumsum over span-bounded spine rows; ties break to the earliest
+    * hour via the (abs desc, hour asc) rank order.
+    */
+  def w31Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = e.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val span = e.groupBy("event_type")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = span.select(col("event_type"),
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val cells = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val tot = cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("h").asc)
+    cells.join(tot, Seq("event_type"))
+      .withColumn("s",
+        sum(col("x") * col("n_hours") - col("total")).over(wCum))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_hours"), col("total"),
+        col("h").as("cp_hour"), abs(col("s")).as("cp_score"),
+        signum(col("s")).cast("long").as("direction"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w31_changepoint" -> (w31Changepoint _),
     "w30_gap_quantiles" -> (w30GapQuantiles _),
     "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
@@ -1149,6 +1197,50 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w31: the same scaled-integer CUSUM declaratively
+    "w31_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+        |),
+        |counts AS (
+        |  SELECT event_type, h, count(*) AS x FROM e GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY event_type
+        |),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span
+        |),
+        |cells AS (
+        |  SELECT s.event_type, s.h, coalesce(c.x, 0) AS x
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.event_type = s.event_type AND c.h = s.h
+        |),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(SUM(x) AS BIGINT) AS total
+        |  FROM cells GROUP BY event_type
+        |),
+        |cum AS (
+        |  SELECT c.event_type, c.h, t.n_hours, t.total,
+        |    CAST(SUM(c.x * t.n_hours - t.total) OVER (
+        |      PARTITION BY c.event_type ORDER BY c.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s
+        |  FROM cells c JOIN tot t ON t.event_type = c.event_type
+        |)
+        |SELECT event_type, n_hours, total, h AS cp_hour,
+        |  abs(s) AS cp_score,
+        |  CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS direction
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s) DESC, h ASC) AS rk FROM cum)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
     // w30: the same gaps + percentile_disc ranks declaratively
     "w30_gap_quantiles" ->
       """WITH rawgaps AS (
