@@ -1292,7 +1292,52 @@ object DedupOps {
       .orderBy("threshold")
   }
 
+  /** Source-pair overlap matrix: for every pair of sources, the
+    * Jaccard overlap of their DISTINCT token-4-gram vocabularies — the
+    * corpus-composition heatmap behind crawl-source consolidation (two
+    * feeds with high overlap are re-crawling each other's content;
+    * paying for both buys one corpus). Doc-level dedup (d01-d23) asks
+    * "which documents repeat"; this asks "which SOURCES repeat each
+    * other" — the procurement-level question.
+    *
+    * Determinism: set sizes and intersections are exact integers off
+    * distinct (source, gram) pairs; jaccard is the one shared IEEE
+    * division; source_a < source_b canonicalizes the pair.
+    *
+    * 100 TB posture: the corpus collapses to DISTINCT (source, gram)
+    * rows FIRST (one hash agg — the only corpus-sized stage); the
+    * self-join on the gram then has per-gram fan-out bounded by the
+    * SOURCE count (df <= |sources|, not document df) — join work is
+    * O(grams x sources^2) worst case with tiny constants, and the
+    * output is |sources|^2 rows.
+    */
+  def d24SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams4 =
+      "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+        " i -> array_join(slice(toks, i, 4), ' ')))"
+    val sg = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(expr(grams4)).as("gram"))
+      .distinct())
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_g"))
+    val shared = sg.select(col("source").as("source_a"), col("gram"))
+      .join(sg.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n_g").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_g").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_source_overlap" -> (d24SourceOverlap _),
     "d23_threshold_sweep" -> (d23ThresholdSweep _),
     "d22_family_shape" -> (d22FamilyShape _),
     "d21_winnowing" -> (d21Winnowing _),
@@ -1570,6 +1615,33 @@ object DedupOps {
 
     // d19: the posting-join containment statement with the same df cap
     // on both engines; denominators are uncapped distinct-gram counts
+    // d24: the same distinct source-gram posting join declaratively
+    "d24_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents
+        |),
+        |sg AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t)-3, 1)),
+        |    i -> array_to_string(t[i:i+3], ' ')))) AS gram
+        |  FROM tk
+        |),
+        |sizes AS (SELECT source, count(*) AS n_g FROM sg GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_shared
+        |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.source_a, s.source_b, s.n_shared,
+        |  sa.n_g AS n_a, sb.n_g AS n_b,
+        |  CAST(s.n_shared AS DOUBLE) / (sa.n_g + sb.n_g - s.n_shared)
+        |    AS jaccard
+        |FROM shared s
+        |JOIN sizes sa ON sa.source = s.source_a
+        |JOIN sizes sb ON sb.source = s.source_b
+        |ORDER BY s.source_a, s.source_b""".stripMargin,
+
     // d23: the all-pairs statement at the loosest gate, re-gated per
     // threshold — zeros kept via the left joins
     "d23_threshold_sweep" ->
