@@ -99,6 +99,53 @@ object GraftProps extends Properties("graft") {
       GraftHash.dot(aa, bb) == GraftHash.dot(bb, aa) &&
         GraftHash.dot(doubled, bb) == 2 * GraftHash.dot(aa, bb)
     }
+
+  property("prefix-filter principle holds at every rational threshold") =
+    // the mathematical core of d20/d23's losslessness, tested at the
+    // lemma level (no Spark): under the global (df asc, elem asc)
+    // order, ANY pair with Jaccard >= num/den shares an element inside
+    // both prefixes of length n - ceil(t*n) + 1, and its FIRST shared
+    // prefix match passes the positional upper-bound filter
+    Prop.forAll(
+      Gen.listOfN(6, Gen.nonEmptyListOf(Gen.chooseNum(0, 19)).map(_.toSet)),
+      Gen.oneOf((1, 2), (3, 5), (2, 3), (3, 4), (4, 5))) { (sets, t) =>
+      val (num, den) = t
+      val df = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def ranked(s: Set[Int]): Seq[Int] =
+        s.toSeq.sortBy(e => (df(e), e))
+      def prefix(s: Set[Int]): Set[Int] = {
+        val n = s.size
+        val plen = n - ((num * n + den - 1) / den) + 1
+        ranked(s).take(plen).toSet
+      }
+      sets.combinations(2).forall { case Seq(a, b) =>
+        val inter = (a intersect b).size
+        val union = (a union b).size
+        val isPair = den * inter >= num * union
+        if (!isPair) true
+        else {
+          val shared = prefix(a) intersect prefix(b)
+          shared.nonEmpty && {
+            // positional bound at the first shared match (global order)
+            val first = shared.toSeq.minBy(e => (df(e), e))
+            val ra = ranked(a).indexOf(first) + 1
+            val rb = ranked(b).indexOf(first) + 1
+            val ub = math.min(a.size - ra, b.size - rb) + 1
+            ub * (num + den) >= num * (a.size + b.size)
+          }
+        }
+      }
+    }
+
+  property("graft_pos_hashes: one hash per position, all in [0, P)") =
+    Prop.forAll(asciiText) { s =>
+      val hs = GraftHash.posHashes(UTF8String.fromString(s), 8)
+      val cps = s.codePoints().toArray.length
+      hs.numElements() == math.max(cps - 7, 1) &&
+        (0 until hs.numElements()).forall { i =>
+          val v = hs.getLong(i); v >= 0 && v < GraftHash.P
+        }
+    }
 }
 
 /** Spark-backed properties: latest-per-key dedup (W1) and sessionization
