@@ -1098,7 +1098,50 @@ object SimOps {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding centroid drift: per cell (label), the cosine between
+    * the centroid computed on the EARLY corpus half (vec_id % 4 < 2)
+    * and the LATE half — the direct measurement behind s19's
+    * retrain-due signal (its scaladoc reads drift off cell-skew
+    * symptoms; this reads it off the vectors). A cell whose two
+    * half-centroids diverge is a region of embedding space whose
+    * meaning moved between snapshots: the frozen IVF codebook still
+    * routes around the OLD centroid, and recall decays there first.
+    *
+    * Determinism: both centroids use the s08 label-mean rule
+    * (round(sum/n) back to the 1e6 integer scale — exact in both
+    * engines at any corpus size); the drift cosine is integer dots +
+    * the one shared IEEE division chain.
+    *
+    * 100 TB posture: two label-keyed hash aggs over disjoint halves
+    * (one corpus scan total) + an L-row join — nothing pairwise,
+    * nothing corpus-sized after the aggs.
+    */
+  def s21CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    def half(pred: Column): DataFrame =
+      cellCentroids(v.filter(pred))
+    val a = half(col("vec_id") % 4 < 2).select(
+      col("cell"), col("cvec").as("ca"), col("cnorm").as("na"))
+    val b = half(col("vec_id") % 4 >= 2).select(
+      col("cell"), col("cvec").as("cb"), col("cnorm").as("nb"))
+    val countsA = v.filter(col("vec_id") % 4 < 2)
+      .groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_early"))
+    val countsB = v.filter(col("vec_id") % 4 >= 2)
+      .groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_late"))
+    a.join(b, Seq("cell"))
+      .join(countsA, Seq("cell")).join(countsB, Seq("cell"))
+      .withColumn("dot", expr(dotSq("ca", "cb")))
+      .select(col("cell"), col("n_early"), col("n_late"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("centroid_cosine"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_centroid_drift" -> (s21CentroidDrift _),
     "s20_truncated_rescore" -> (s20TruncatedRescore _),
     "s19_ivf_append" -> (s19IvfAppend _),
     "s18_margin_mining" -> (s18MarginMining _),
@@ -1246,6 +1289,49 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    // s21: the two half-centroid statements joined per cell
+    "s21_centroid_drift" ->
+      s"""WITH $unnestSql,
+         |ca AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |    CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  WHERE u.vec_id % 4 < 2
+         |  GROUP BY e.label, u.i
+         |),
+         |cb AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |    CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  WHERE u.vec_id % 4 >= 2
+         |  GROUP BY e.label, u.i
+         |),
+         |nA AS (SELECT cell, SUM(cx * cx) AS na FROM ca GROUP BY cell),
+         |nB AS (SELECT cell, SUM(cx * cx) AS nb FROM cb GROUP BY cell),
+         |d AS (
+         |  SELECT ca.cell, SUM(ca.cx * cb.cx) AS dot
+         |  FROM ca JOIN cb ON cb.cell = ca.cell AND cb.dim = ca.dim
+         |  GROUP BY ca.cell
+         |),
+         |cnt AS (
+         |  SELECT CAST(label AS BIGINT) AS cell,
+         |    CAST(SUM(CASE WHEN vec_id % 4 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_early,
+         |    CAST(SUM(CASE WHEN vec_id % 4 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_late
+         |  FROM embeddings GROUP BY label
+         |)
+         |SELECT d.cell, cnt.n_early, cnt.n_late,
+         |  CAST(d.dot AS DOUBLE) /
+         |    (sqrt(CAST(nA.na AS DOUBLE)) * sqrt(CAST(nB.nb AS DOUBLE)))
+         |    AS centroid_cosine
+         |FROM d
+         |JOIN nA ON nA.cell = d.cell
+         |JOIN nB ON nB.cell = d.cell
+         |JOIN cnt ON cnt.cell = d.cell
+         |WHERE cnt.n_early > 0 AND cnt.n_late > 0
+         |ORDER BY d.cell""".stripMargin,
 
     // s20: both stages declaratively — truncated coarse rank, exact
     // rescore of the per-query pool
