@@ -1124,7 +1124,43 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** Week-over-week movers: per (event type, ISO week), the event
+    * count, the previous week's count, the integer delta and the
+    * growth ratio — the trend report every operational review reads
+    * (which behaviors accelerated, which collapsed). A week with no
+    * events is a REAL zero via the spine (the w25/w31 discipline), so
+    * a type that stops firing shows -100% instead of vanishing from
+    * the report; growth is NULL on a zero base (an exact integer
+    * test, never a float divide), and the first week has no base row.
+    *
+    * 100 TB posture: events pre-aggregate to type x week cells before
+    * the single type-keyed lag window; spine rows are span-bounded.
+    */
+  def w32TopMovers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+    val counts = e.groupBy("event_type", "wk").agg(count(lit(1)).as("x"))
+    val span = e.groupBy("event_type")
+      .agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+    val spine = span.select(col("event_type"),
+      explode(expr("sequence(w0, w1, interval 1 week)")).as("wk"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    spine.join(counts, Seq("event_type", "wk"), "left")
+      .select(col("event_type"), col("wk"),
+        coalesce(col("x"), lit(0L)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .select(col("event_type"), col("wk").cast("date").as("week"),
+        col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        when(col("prev_n") > 0,
+          (col("n") - col("prev_n")).cast("double") / col("prev_n"))
+          .as("growth"))
+      .orderBy("event_type", "week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w32_top_movers" -> (w32TopMovers _),
     "w31_changepoint" -> (w31Changepoint _),
     "w30_gap_quantiles" -> (w30GapQuantiles _),
     "w29_robust_outliers" -> (w29RobustOutliers _),
@@ -1197,6 +1233,41 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w32: the same spine + lag statement
+    "w32_top_movers" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('week', ts) AS wk FROM events
+        |),
+        |counts AS (
+        |  SELECT event_type, wk, count(*) AS x FROM e GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT event_type, min(wk) AS w0, max(wk) AS w1
+        |  FROM e GROUP BY event_type
+        |),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(CAST(w0 AS TIMESTAMP),
+        |      CAST(w1 AS TIMESTAMP), INTERVAL 1 WEEK)) AS wk
+        |  FROM span
+        |),
+        |cells AS (
+        |  SELECT s.event_type, s.wk, coalesce(c.x, 0) AS n
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.event_type = s.event_type AND c.wk = s.wk
+        |),
+        |lagged AS (
+        |  SELECT event_type, wk, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+        |  FROM cells
+        |)
+        |SELECT event_type, CAST(wk AS DATE) AS week, n, prev_n,
+        |  n - prev_n AS delta,
+        |  CASE WHEN prev_n > 0
+        |       THEN CAST(n - prev_n AS DOUBLE) / prev_n END AS growth
+        |FROM lagged WHERE prev_n IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin,
+
     // w31: the same scaled-integer CUSUM declaratively
     "w31_changepoint" ->
       """WITH e AS (
