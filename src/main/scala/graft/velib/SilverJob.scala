@@ -69,7 +69,8 @@ object SilverJob {
   def toWire(df: DataFrame): DataFrame =
     df.select(
       col("stationcode").cast("binary").as("key"),
-      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+        .cast("binary").as("value"))
 
   /** Connector-level Kafka sink config (S3): the fully-configured
     * streaming writer for `toWire` output, mirroring the reference
