@@ -4,16 +4,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Prints ONE machine-readable JSON line (last line of
   * stdout before sbt's `[success]` footer).
   *
-  * LINE-LENGTH CONTRACT (learned from BENCH_r02..r04): the driver keeps only
+  * LINE-LENGTH CONTRACT (learned from BENCH_r02..r07): the driver keeps only
   * the last ~2000 chars of output and parses the JSON line out of that tail.
   * r2's 51-query line (~1600 chars) parsed; r3/r4's 72-query lines (~4500
-  * chars with the warm map) did NOT — `parsed: null`, the judge saw no perf
-  * numbers. So the final line uses the unique id prefix of each query name
-  * ("d08_decontamination" -> "d08") and 3-decimal seconds, keeping it well
-  * under 1500 chars even as the suite grows. Full names + full precision go
-  * on PRECEDING lines prefixed "# " so nothing upstream looks like JSON.
+  * chars with the warm map) did NOT (`parsed: null`), and r7's defensive
+  * `require(line.length < 1800)` then CRASHED the gate at 147 queries (line
+  * = 1871 chars) — the guard protected the tail by destroying the artifact.
+  * The summary line therefore carries NO per-query map at all: only
+  * `{metric, value, warm_total, unit, errors, sf}` (~150 chars, growth-proof
+  * — `BenchLineSpec` pins it under 1500 chars at 500 queries). The durable
+  * per-query record is BENCH_FULL.json plus the "# bench-*-full" stdout
+  * lines; never `require` on the line about to be printed.
   */
 object Bench {
+  /** The ONE stdout summary line the driver parses. Deliberately carries no
+    * per-query data: its length is a function of the error COUNT only (and
+    * errors abort the run by default anyway), so it cannot outgrow the
+    * driver's ~2000-char stdout tail as the suite scales. Pure, for
+    * `BenchLineSpec`. Truncates (never throws) if a pathological error list
+    * would overflow — the artifact must always print.
+    */
+  def summaryLine(coldTotal: Double, warmTotal: Option[Double],
+      errorKeys: Seq[String], sfDir: String): String = {
+    def f3(v: Double): String = f"$v%.3f"
+    val warm = warmTotal.map(w => s""","warm_total":${f3(w)}""").getOrElse("")
+    val errs = if (errorKeys.isEmpty) ""
+      else {
+        val shown = errorKeys.take(20)
+        val more = if (errorKeys.size > shown.size)
+          s""","errors_truncated":${errorKeys.size - shown.size}""" else ""
+        s""","errors":[${shown.map(k => "\"" + k.take(24) + "\"").mkString(",")}]$more"""
+      }
+    s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec"$warm$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,13 +125,10 @@ object Bench {
       s"""},"cold_total":${f3(coldTotal)}${extra},"errors":[${errors.keys.map(jstr).mkString(",")}]}\n""")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       fullJson.getBytes("UTF-8"))
-    val errKey = if (errors.nonEmpty)
-      s""","errors":[${errors.keys.map(k => "\"" + shortKey(k) + "\"").mkString(",")}]"""
-    else ""
     // "value" stays the cold total — comparable with every prior round.
-    val line =
-      s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec","queries":${json(cold, f3, short = true)}$extra$errKey,"sf":"$sfDir"}"""
-    require(line.length < 1800, s"bench JSON line too long for driver tail: ${line.length}")
+    val line = summaryLine(coldTotal,
+      if (warmPass) Some(both.map(_._3).sum) else None,
+      errors.keys.toSeq.map(shortKey), sfDir)
     println(line)
     spark.stop()
     // After the artifact is printed AND persisted: a broken query fails

@@ -160,6 +160,53 @@ object ScalingProbe {
     }
   }
 
+  /** w25 shape: hourly LOCF gap-fill on n users, each with 56
+    * observations strided 6 hours apart across a fixed ~331-hour span
+    * (1/6 hour occupancy — 5 of 6 spine rows are LOCF-filled gaps).
+    * Claimed posture: spine rows are bounded by span/cadence per user
+    * (never a calendar cross join) and both the per-hour pick and the
+    * LOCF are single user-keyed shuffles, so 10x users => ~10x rows
+    * and ~linear runtime. The risk axis the probe watches: output is
+    * ~331 rows PER USER, the suite's biggest expansion.
+    */
+  private def gapfillProbe(spark: SparkSession, n: Int): Unit = {
+    val e = spark.range(n.toLong).select(col("id").as("user_id"),
+        explode(expr("sequence(0, 55)")).as("j"))
+      .select(col("user_id"), (col("j") * 6 + col("user_id") % 6).as("hoff"))
+      .select(col("user_id"),
+        expr("timestamp'2025-01-01 00:00:00' + hoff * interval '1' hour")
+          .as("ts"),
+        (col("user_id") * 1000 + col("hoff")).as("event_id"),
+        (col("user_id") % 97 + col("hoff")).cast("double").as("value"))
+    time("w25_gapfill", n) {
+      graft.ops.RelOps.gapFillCore(e).count()
+    }
+  }
+
+  /** w24 shape: point-in-time SCD2 consume on n customers x 8 weekly
+    * versions x 40 facts spread over the same span. Claimed posture:
+    * boundaries and facts union into ONE custkey-keyed window sort
+    * (never the oracle's per-customer quadratic inequality join), so
+    * 10x customers => ~linear runtime.
+    */
+  private def scd2Probe(spark: SparkSession, n: Int): Unit = {
+    val dim = spark.range(n.toLong).select(col("id").as("custkey"),
+        explode(expr("sequence(1, 8)")).as("v"))
+      .select(col("custkey"),
+        expr("date'2025-01-01' + CAST((v - 1) * 7 AS INT)").as("valid_from"),
+        col("v").cast("long").as("version_no"),
+        concat(lit("P"), col("v")).as("priority"))
+    val facts = spark.range(n.toLong).select(col("id").as("custkey"),
+        explode(expr("sequence(0, 39)")).as("f"))
+      .select(col("custkey"),
+        (col("custkey") * 40 + col("f")).as("l_orderkey"),
+        col("f").cast("int").as("l_linenumber"),
+        expr("date'2025-01-01' + CAST(f * 3 % 60 AS INT)").as("l_shipdate"))
+    time("w24_scd2_asof", n) {
+      graft.ops.RelOps.scd2AsofCore(dim, facts).count()
+    }
+  }
+
   /** t11 shape: Misra-Gries heavy-token pass on the word-soup corpus
     * with one planted hot token per doc (2% of occurrences — far above
     * the 1/200 threshold) and an otherwise ~unique vocabulary that
@@ -261,6 +308,16 @@ object ScalingProbe {
     }
     if (args.headOption.contains("stars")) {
       starsProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("gapfill")) {
+      gapfillProbe(spark, if (args.length > 1) args(1).toInt else 20000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("scd2")) {
+      scd2Probe(spark, if (args.length > 1) args(1).toInt else 50000)
       spark.stop()
       return
     }

@@ -658,16 +658,28 @@ object PipelineOps {
     * graft_topk-per-partition heap form drops in to cap what reaches
     * the shuffle.
     */
-  def p17QuotaSample(spark: SparkSession, dir: String): DataFrame = {
-    val N = 207L
-    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+  def p17QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    quotaSample(Tables.documents(spark, dir).select("doc_id", "source"), 207L)
+
+  /** The p17 core over any (doc_id, source) frame — exposed so the spec
+    * can pin the exact-N property AND the tiny-corpus clamp (ADVICE r7:
+    * with N > corpus size, floor(N*n_s/total) can exceed n_s and the
+    * output silently under-fills). The effective target is
+    * least(N, total): when the corpus cannot supply N docs, every doc is
+    * taken — quotas still sum to the effective target exactly, and no
+    * per-source quota ever exceeds that source's population (for
+    * eff < total, floor(eff*n_s/total) <= n_s - 1, so +1 seat is safe;
+    * for eff = total, base quotas are exactly n_s and extra = 0).
+    */
+  private[graft] def quotaSample(docs: DataFrame, N: Long): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val tot = counts.agg(sum(col("n_s")).as("total"))
     val base = counts.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_s"),
-        expr(s"($N * n_s) div total").as("base_q"),
-        (lit(N) * col("n_s") % col("total")).as("rem"))
-    val seats = base.agg((lit(N) - sum(col("base_q"))).as("extra"))
+      .withColumn("eff_n", least(lit(N), col("total")))
+      .select(col("source"), col("n_s"), col("eff_n"),
+        expr("(eff_n * n_s) div total").as("base_q"),
+        (col("eff_n") * col("n_s") % col("total")).as("rem"))
+    val seats = base.agg((max(col("eff_n")) - sum(col("base_q"))).as("extra"))
     val wOrd = Window.orderBy(col("rem").desc, col("n_s").desc,
       col("source").asc)
     val quota = base.crossJoin(broadcast(seats))
@@ -794,12 +806,13 @@ object PipelineOps {
         |),
         |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total FROM counts),
         |base AS (
-        |  SELECT source, n_s,
-        |    (207 * n_s) // t.total AS base_q,
-        |    (207 * n_s) % t.total AS rem
+        |  SELECT source, n_s, least(207, t.total) AS eff_n,
+        |    (least(207, t.total) * n_s) // t.total AS base_q,
+        |    (least(207, t.total) * n_s) % t.total AS rem
         |  FROM counts, tot t
         |),
-        |seats AS (SELECT CAST(207 - SUM(base_q) AS BIGINT) AS extra FROM base),
+        |seats AS (
+        |  SELECT CAST(MAX(eff_n) - SUM(base_q) AS BIGINT) AS extra FROM base),
         |quota AS (
         |  SELECT source,
         |    CAST(base_q + CASE WHEN row_number() OVER (

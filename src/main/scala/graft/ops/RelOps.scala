@@ -808,7 +808,7 @@ object RelOps {
     * (version starting ON the ship date, same-date versions, a fact
     * before the first version) the fixture hits only by accident.
     */
-  private[ops] def scd2AsofCore(
+  private[graft] def scd2AsofCore(
       dimIn: DataFrame, factsIn: DataFrame): DataFrame = {
     val dim = dimIn.select(
       col("custkey"), col("valid_from").as("ts"),
@@ -855,8 +855,16 @@ object RelOps {
     * observation history (quadratic per user). First spine hour always
     * has an observation (it IS min(hour)), so no leading-null branch.
     */
-  def w25GapFill(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def w25GapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillCore(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+
+  /** The w25 body over any (user_id, ts, event_id, value) frame —
+    * exposed so ScalingProbe can measure the user-count axis (VERDICT
+    * r7 item 6: the suite's biggest output had no 10x probe).
+    */
+  private[graft] def gapFillCore(raw: DataFrame): DataFrame = {
+    val e = raw
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("ts"), col("event_id"), col("value"))
     val wPick = Window.partitionBy(col("user_id"), col("h"))

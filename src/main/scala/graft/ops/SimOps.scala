@@ -943,7 +943,15 @@ object SimOps {
       col("vec_id").as("a_id"), col("qv").as("qa"), col("vnorm").as("na"))
     val b = v.filter(col("vec_id") % 2 === 1).select(
       col("vec_id").as("b_id"), col("qv").as("qb"), col("vnorm").as("nb"))
-    val c = a.crossJoin(b)
+    // Explicit broadcast on the B half: this is what AQE already picks at
+    // this scale (the PlanAudit-allowlisted BNLJ), and the explicit hint
+    // is the author's bounded-side declaration the CrossJoinGuard honors
+    // on the GraftExtensions path (ADVICE r7) — without it the guard
+    // would reject this declarative stage once both halves' estimates
+    // cross the 64 MiB bound. At corpus scale neither half broadcasts:
+    // the same mutual+margin rule runs over s07's banded candidates
+    // (equality join), as the scaladoc states.
+    val c = a.crossJoin(broadcast(b))
       .withColumn("dot", expr(dotSq("qa", "qb")))
       .select(col("a_id"), col("b_id"),
         (col("dot").cast("double") /

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint, SubqueryAlias}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Post-analysis check rule (`SparkSessionExtensions.injectCheckRule`):
@@ -44,13 +44,22 @@ object CrossJoinGuard extends (LogicalPlan => Unit) {
   val MaxBytesKey = "spark.graft.crossJoinGuard.maxBytes"
   val DefaultMaxBytes: Long = 64L * 1024 * 1024
 
-  private def hasBroadcastHint(p: LogicalPlan): Boolean = p.exists {
+  /** A broadcast hint is honored only when the author hinted THE SIDE
+    * itself — the hint at the root of the join input (alias wrappers
+    * peeled; aliasing changes no sizes). ADVICE r7: the old
+    * anywhere-in-subtree scan waved through a huge side that merely
+    * CONTAINED an inner `big.join(broadcast(tiny))` — the tiny-side
+    * declaration said nothing about the product's outer side.
+    */
+  @annotation.tailrec
+  private def rootBroadcastHint(p: LogicalPlan): Boolean = p match {
     case h: ResolvedHint => h.hints.strategy.contains(BROADCAST)
+    case a: SubqueryAlias => rootBroadcastHint(a.child)
     case _ => false
   }
 
   private def bounded(p: LogicalPlan, maxBytes: Long): Boolean =
-    hasBroadcastHint(p) || p.stats.sizeInBytes <= maxBytes
+    rootBroadcastHint(p) || p.stats.sizeInBytes <= maxBytes
 
   override def apply(plan: LogicalPlan): Unit = {
     val conf = SQLConf.get

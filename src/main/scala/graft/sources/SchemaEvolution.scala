@@ -30,19 +30,46 @@ import org.apache.spark.sql.functions._
   */
 object SchemaEvolution {
 
-  /** Read `root` with schema merging and fill declared defaults:
-    * a column absent from the merged schema entirely is materialized
-    * from its default; a present-but-null value (a pre-evolution row)
-    * is coalesced onto it. Defaults are Columns, so literals,
+  /** Read `root` with schema merging and fill declared defaults — but
+    * only for rows whose SOURCE FILE predates the column (its footer
+    * lacks the field). A genuine NULL written after evolution is data
+    * and stays NULL (ADVICE r7: the old blanket `coalesce` rewrote
+    * those too). Batch vintage is consulted per file footer: files are
+    * grouped by their footer's field-name set, each vintage group is
+    * scanned as plain parquet (pushdown + pruning intact per branch),
+    * missing columns are materialized from their defaults, and the
+    * groups are unioned by name. Defaults are Columns, so literals,
     * expressions over other columns, or marker values all work.
+    *
+    * The footer sweep is driver metadata work, one footer per file —
+    * the same cost class `mergeSchema` itself pays at planning time.
     */
   def readEvolved(spark: SparkSession, root: String,
       defaults: Map[String, Column] = Map.empty): DataFrame = {
-    val merged = spark.read.option("mergeSchema", "true").parquet(root)
-    defaults.foldLeft(merged) { case (df, (name, default)) =>
-      if (df.columns.contains(name))
-        df.withColumn(name, coalesce(col(name), default))
-      else df.withColumn(name, default)
+    if (defaults.isEmpty)
+      return spark.read.option("mergeSchema", "true").parquet(root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        files += f.getPath.toString
     }
+    val groups = files.toSeq
+      .groupBy(f => spark.read.parquet(f).schema.fieldNames.toSet)
+    val parts = groups.toSeq.map { case (cols, paths) =>
+      // mergeSchema within the (same-name-set) group keeps the type-
+      // conflict check loud; name-identical footers merge trivially
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      defaults.foldLeft(df) { case (d, (name, default)) =>
+        if (cols.contains(name)) d else d.withColumn(name, default)
+      }
+    }
+    // unionByName fails loudly on cross-vintage type conflicts — the
+    // same deliberate non-goal the merged read enforced
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

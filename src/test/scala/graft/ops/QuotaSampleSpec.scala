@@ -47,6 +47,35 @@ class QuotaSampleSpec extends SparkTestBase {
     assert(quotas.values.sum == 207L)
   }
 
+  test("p17: tiny corpus (total < N) takes every doc, no silent shortfall") {
+    // ADVICE r7: with N > total, floor(N*n_s/total) could exceed n_s and
+    // the realized sample under-filled silently. The clamp makes the
+    // effective target least(N, total): here 50 docs vs N=207 -> all 50
+    // picked, per-source quota == population.
+    val docs = ((0 until 30).map(i => (i.toLong, "src_a")) ++
+      (0 until 20).map(i => (100L + i, "src_b"))).toDF("doc_id", "source")
+    val rows = PipelineOps.quotaSample(docs, 207L).collect()
+    assert(rows.length == 50)
+    val quotas = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.head.getAs[Long]("quota")).toMap
+    assert(quotas == Map("src_a" -> 30L, "src_b" -> 20L))
+  }
+
+  test("p17: quota never exceeds source population near the clamp edge") {
+    // total=60 just over N=55: every per-source quota must stay <= n_s
+    // and the realized counts must equal the quotas and sum to 55.
+    val docs = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (0 until 15).map(i => (100L + i, "mid")) ++
+      (0 until 5).map(i => (200L + i, "tiny"))).toDF("doc_id", "source")
+    val rows = PipelineOps.quotaSample(docs, 55L).collect()
+    assert(rows.length == 55)
+    val n = Map("big" -> 40L, "mid" -> 15L, "tiny" -> 5L)
+    val realized = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    realized.foreach { case (s, c) => assert(c <= n(s), s"$s over-drawn") }
+    assert(realized.values.sum == 55L)
+  }
+
   test("p17: partitioning-invariant (hash pick, never rand)") {
     val a = PipelineOps.p17QuotaSample(spark, sf0001).collect().toSeq
     val b = PipelineOps.p17QuotaSample(spark, sf0001).collect().toSeq

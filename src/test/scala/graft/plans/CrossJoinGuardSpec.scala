@@ -56,6 +56,24 @@ class CrossJoinGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     big.join(big, Seq("id")).queryExecution.analyzed
   }
 
+  test("an inner broadcast join inside a big side does NOT waive the guard") {
+    // ADVICE r7: big.join(broadcast(tiny)) as a product side carries a
+    // BROADCAST ResolvedHint in its subtree, but the hint declared the
+    // TINY side bounded, not the enriched big side — the product must
+    // still fail. (Only a hint at the side's root is an author
+    // declaration about the side itself.)
+    val l = big // stabilize: `big` is a def, each call has fresh attr ids
+    val tiny = small.withColumnRenamed("id", "id2")
+    val enriched = l.join(broadcast(tiny), l("id") % 100 === tiny("id2"))
+    val e = intercept[Exception] {
+      enriched.crossJoin(big).queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("CrossJoinGuard"))
+    // while a root hint — even under an alias — still passes
+    broadcast(big.limit(1)).alias("t").crossJoin(big)
+      .queryExecution.analyzed
+  }
+
   test("a big-big using-join passes (the scratch-plan constraint)") {
     // Dataset.join(right, usingColumns) internally analyzes a
     // condition-free Inner join to disambiguate self-join columns; the

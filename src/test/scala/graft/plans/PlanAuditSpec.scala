@@ -92,6 +92,49 @@ class PlanAuditSpec extends SparkTestBase {
     "t09_zipf_fit" -> Set("multi-SinglePartition")
   )
 
+  test("companion guard: an Inner join whose condition folds away flags " +
+      "at audit time (VERDICT r7 item 5)") {
+    // CrossJoinGuard is Cross-only by the scratch-plan constraint; the
+    // physical-plan audit is its non-Cross companion. A join condition
+    // Catalyst constant-folds to TRUE leaves a condition-free Inner
+    // join — physically a cartesian — and must flag.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(1000).toDF("id")
+      val b = spark.range(1000).toDF("id2")
+      val dropped = a.join(b,
+        org.apache.spark.sql.functions.lit(1) ===
+          org.apache.spark.sql.functions.lit(1))
+      val fs = PlanAudit.flags(dropped.queryExecution.executedPlan.toString)
+      assert(fs.contains("CartesianProduct"),
+        s"folded-away equi-condition did not flag: $fs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("plan audit at sf0.1: flags stay within the sf0.001 allowlist " +
+      "(VERDICT r7 item 5 — audit at the bench scale, not just the " +
+      "tiny one)") {
+    // Stats-driven plan choices can differ with scale (a side that
+    // auto-broadcast at sf0.001 may sort-merge at sf0.1 — a flag
+    // legitimately DISAPPEARING), but no query may flag a trap the
+    // allowlist doesn't document: subset check here, exactness below.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flagged = PlanAudit
+        .sweep(spark, SparkEntry.queries.keys.toSeq.sorted, sf01)
+        .map { case (n, fs) => n -> fs.toSet }
+      val unexpected = flagged.filter { case (n, fs) =>
+        !fs.subsetOf(allow.getOrElse(n, Set.empty))
+      }
+      assert(unexpected.isEmpty,
+        s"queries flagging outside the allowlist at sf0.1: $unexpected")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan audit: no query flags a scale trap outside the allowlist") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -28,6 +28,22 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(m == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.9, 4L -> 0.4))
   }
 
+  test("genuine NULLs in post-evolution batches are preserved") {
+    // ADVICE r7: the fill must be vintage-gated — a NULL written by a
+    // batch that HAS the column is data, not a pre-evolution gap.
+    val root = Files.createTempDirectory("graft_evolve4").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.mode("append").parquet(root)
+    Seq((3L, "gamma", Some(0.9)), (5L, "eps", Option.empty[Double]))
+      .toDF("id", "name", "quality").write.mode("append").parquet(root)
+    val df = SchemaEvolution.readEvolved(spark, root,
+      Map("quality" -> lit(0.5)))
+    val m = df.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[Any]("quality"))).toMap
+    assert(m == Map(1L -> Some(0.5), 2L -> Some(0.5),
+      3L -> Some(0.9), 5L -> None))
+  }
+
   test("the hazard: a plain read of mixed vintages can drop the new column") {
     val root = Files.createTempDirectory("graft_evolve2").toString
     Seq((1L, "a")).toDF("id", "name").write.mode("append").parquet(root)
