@@ -743,7 +743,46 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Low-resource upsampling plan + materialized assignment: rebalance
+    * the corpus toward its largest language by REPEATING under-
+    * represented languages' documents — rep_factor =
+    * min(ceil(target / n_lang), 4) with target = the majority
+    * language's count, and one output row per (doc, copy). This is the
+    * multilingual-training counterpart of p14 (p14 caps the over-
+    * represented DOWN; this repeats the under-represented UP — the
+    * classic temperature-style rebalance, capped so no document
+    * repeats more than 4x per epoch). The explicit copy_id is what a
+    * training loader consumes (and what p15's epoch shuffle would
+    * permute per copy via a copy-salted hash).
+    *
+    * Determinism: integer ceil ((target + n - 1) div n), integer cap,
+    * sequence(1, rep) — no floats anywhere.
+    *
+    * 100 TB posture: the plan is language-population-sized (broadcast);
+    * the corpus-side work is one broadcast join + a bounded (<= 4x)
+    * explode — pure map work, no shuffle beyond the source scan; the
+    * fan-out bound means output size is predictable at plan time.
+    */
+  def p19UpsampleAssign(spark: SparkSession, dir: String): DataFrame =
+    upsampleAssign(Tables.documents(spark, dir).select("doc_id", "lang"))
+
+  /** The p19 body over any (doc_id, lang) frame — exposed for the
+    * hand-computed rep-factor/cap spec.
+    */
+  private[graft] def upsampleAssign(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(max(col("n_lang")).as("target"))
+    val plan = counts.crossJoin(broadcast(target))
+      .select(col("lang"), col("n_lang"),
+        expr("least((target + n_lang - 1) div n_lang, 4L)").as("rep_factor"))
+    docs.join(broadcast(plan), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("rep_factor"),
+        explode(expr("sequence(1L, rep_factor)")).as("copy_id"))
+      .orderBy("lang", "doc_id", "copy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_upsample_assign" -> (p19UpsampleAssign _),
     "p18_quarantine_split" -> (p18QuarantineSplit _),
     "p17_quota_sample" -> (p17QuotaSample _),
     "p16_agg_merge" -> (p16AggMerge _),
@@ -765,6 +804,22 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p19: the same integer plan + per-copy expansion
+    "p19_upsample_assign" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+        |),
+        |t AS (SELECT CAST(MAX(n_lang) AS BIGINT) AS target FROM counts),
+        |plan AS (
+        |  SELECT lang, n_lang,
+        |    least((t.target + n_lang - 1) // n_lang, 4) AS rep_factor
+        |  FROM counts, t
+        |)
+        |SELECT d.doc_id, d.lang, p.n_lang, p.rep_factor,
+        |  unnest(range(1, p.rep_factor + 1)) AS copy_id
+        |FROM documents d JOIN plan p USING (lang)
+        |ORDER BY d.lang, d.doc_id, copy_id""".stripMargin,
+
     // p18: p02's buckets + the d08/t12 contamination override
     "p18_quarantine_split" ->
       """WITH g AS (

@@ -1167,7 +1167,49 @@ object RelOps {
       .orderBy("event_type", "week")
   }
 
+  /** OHLC bars (open/high/low/close + exact volume) per event type per
+    * hour — the time-series bar aggregation every metrics/market stack
+    * runs as its first compaction step. Open/close are the earliest/
+    * latest reading by the (ts, event_id) total order via the struct-
+    * min/max idiom (A1's ordered-pick discipline as a pure AGGREGATE —
+    * no window, no sort of the raw stream); high/low are plain min/max
+    * over value; volume uses the exact-decimal-sum idiom (w01) so the
+    * float total is order-independent. NULL readings stay faithful:
+    * they count in n_events, a NULL open/close means the boundary
+    * reading itself was NULL, and high/low skip NULLs in both engines.
+    *
+    * 100 TB posture: ONE hash aggregate, fully map-side combinable
+    * (struct min/max and decimal sums all merge associatively) — the
+    * shuffle carries type x hour cells, never events. The window
+    * formulation the oracle states (row_number to find the boundary
+    * rows) would sort every partition of the raw stream instead.
+    */
+  def w33OhlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBars(Tables.events(spark, dir)
+      .select("event_type", "ts", "event_id", "value"))
+
+  /** The w33 body over any (event_type, ts, event_id, value) frame —
+    * exposed for the NULL-boundary and tie-order spec cases.
+    */
+  private[graft] def ohlcBars(raw: DataFrame): DataFrame =
+    raw
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("event_type", "hour")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close_v"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type", "hour")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w33_ohlc_bars" -> (w33OhlcBars _),
     "w32_top_movers" -> (w32TopMovers _),
     "w31_changepoint" -> (w31Changepoint _),
     "w30_gap_quantiles" -> (w30GapQuantiles _),
@@ -1241,6 +1283,29 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w33: boundary rows by row_number in both directions, then one agg
+    "w33_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+        |         value
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY ts DESC, event_id DESC) AS rn_z
+        |  FROM e
+        |)
+        |SELECT event_type, hour, count(*) AS n_events,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+        |  max(value) AS high_v, min(value) AS low_v,
+        |  MAX(CASE WHEN rn_z = 1 THEN value END) AS close_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
+
     // w32: the same spine + lag statement
     "w32_top_movers" ->
       """WITH e AS (

@@ -1148,7 +1148,70 @@ object SimOps {
       .orderBy("cell")
   }
 
+  /** One Lloyd (k-means) refinement iteration over the corpus, seeded
+    * from the label codebook (the s08/s06 centroids): every vector is
+    * re-assigned to its nearest centroid by cosine (ties to the lower
+    * cell — the s08 assignment rule), centroids are recomputed from the
+    * new assignment, and the report says what the iteration DID — per
+    * cell: seed population, post-assignment population, how many
+    * arrivals came from a different seed label, and the integer L1
+    * shift between old and new centroid (quantized scale). This is the
+    * index-maintenance step s19/s21 motivate: s21 measures that cells
+    * drifted, s19 appends against a frozen codebook — this is the
+    * retrain move itself, and its l1_shift/n_moved columns are the
+    * convergence signal a full Lloyd loop would iterate on (run-to-
+    * fixpoint follows the d07/g03 loop discipline; one step is the
+    * oracle-statable unit).
+    *
+    * Determinism: centroids by the s08 label-mean rule (round(sum/n)
+    * back to integer scale), assignment cosine = integer dots + the
+    * shared IEEE division chain, every report column an exact integer.
+    *
+    * 100 TB posture: one broadcast-codebook scoring scan (L-row
+    * codebook, map-side graft_topk(1)), two label/cell-keyed hash aggs
+    * (map-side combined posexplode partials), and L-row joins — the
+    * corpus is scanned twice (score + recompute), nothing pairwise.
+    */
+  def s22KmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    kmeansRefine(graft.Caches.cache(vectors(spark, dir)))
+
+  /** The s22 body over any (vec_id, qv, vnorm, label) frame — exposed
+    * so the spec can plant a mislabeled vector and hand-compute the
+    * resulting move and centroid shifts.
+    */
+  private[graft] def kmeansRefine(v: DataFrame): DataFrame = {
+    val cells = cellCentroids(v) // checkpointed L-row codebook
+    val assigned = assignCells(scoreCells(v, cells))
+    val after = assigned.join(
+      v.select(col("vec_id"), col("qv"),
+        col("label").cast("long").as("seed_cell")), Seq("vec_id"))
+    val nBefore = v.groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_before"))
+    val stats = after.groupBy("cell")
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("seed_cell") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_moved_in"))
+    val newCent = after
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)")
+        .as("nx"))
+    val oldCent = cells
+      .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "cx")))
+    val shift = newCent.join(oldCent, Seq("cell", "dim"))
+      .groupBy("cell")
+      .agg(sum(abs(col("nx") - col("cx"))).as("l1_shift"))
+    nBefore.join(stats, Seq("cell"), "left")
+      .join(shift, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        col("l1_shift"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_kmeans_refine" -> (s22KmeansRefine _),
     "s21_centroid_drift" -> (s21CentroidDrift _),
     "s20_truncated_rescore" -> (s20TruncatedRescore _),
     "s19_ivf_append" -> (s19IvfAppend _),
@@ -1297,6 +1360,61 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    // s22: seed centroids -> nearest-centroid re-assignment -> recomputed
+    // centroids -> per-cell iteration report, stated directly
+    "s22_kmeans_refine" ->
+      s"""WITH $unnestSql,
+         |cent AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |    CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnorm FROM cent GROUP BY cell),
+         |d AS (
+         |  SELECT u.vec_id, c.cell, SUM(u.x * c.cx) AS dot
+         |  FROM u JOIN cent c ON c.dim = u.i
+         |  GROUP BY u.vec_id, c.cell
+         |),
+         |a AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY CAST(d.dot AS DOUBLE) /
+         |        (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |         sqrt(CAST(cn.cnorm AS DOUBLE))) DESC,
+         |        d.cell ASC) AS rn
+         |    FROM d JOIN n nv ON nv.vec_id = d.vec_id
+         |    JOIN cn ON cn.cell = d.cell)
+         |  WHERE rn = 1
+         |),
+         |nb AS (SELECT CAST(label AS BIGINT) AS cell, count(*) AS n_before
+         |       FROM embeddings GROUP BY 1),
+         |st AS (
+         |  SELECT a.cell, count(*) AS n_after,
+         |    CAST(SUM(CASE WHEN CAST(e.label AS BIGINT) <> a.cell
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+         |  FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY a.cell
+         |),
+         |newc AS (
+         |  SELECT a.cell, u.i AS dim,
+         |    CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS nx
+         |  FROM u JOIN a ON a.vec_id = u.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |sh AS (
+         |  SELECT newc.cell, CAST(SUM(abs(nx - cx)) AS BIGINT) AS l1_shift
+         |  FROM newc JOIN cent ON cent.cell = newc.cell AND cent.dim = newc.dim
+         |  GROUP BY newc.cell
+         |)
+         |SELECT nb.cell, nb.n_before,
+         |  COALESCE(st.n_after, 0) AS n_after,
+         |  COALESCE(st.n_moved_in, 0) AS n_moved_in,
+         |  sh.l1_shift
+         |FROM nb LEFT JOIN st ON st.cell = nb.cell
+         |LEFT JOIN sh ON sh.cell = nb.cell
+         |ORDER BY nb.cell""".stripMargin,
 
     // s21: the two half-centroid statements joined per cell
     "s21_centroid_drift" ->

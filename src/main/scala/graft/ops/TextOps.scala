@@ -583,7 +583,56 @@ object TextOps {
         (col("tf").cast("double") / col("df")).as("burstiness"))
       .orderBy("tok")
 
+  /** Per-document keyword extraction: each document's top-3 terms by
+    * TF-IDF, with the IDF in t08's exact bit-bucket form — idf_bits =
+    * bits(N_docs) - bits(df), score = tf * idf_bits — so every score is
+    * an exact integer (no transcendental whose last ulp could differ
+    * across engines) and the ranking (score desc, token asc) is a total
+    * order. t05 reports the corpus-level TF-IDF table; this is the
+    * per-document consumer — the auto-labeling / search-snippet /
+    * topic-tag primitive a curation pipeline runs per doc. Ubiquitous
+    * terms get idf_bits 0 and sink; a doc whose every term is
+    * corpus-wide still emits 3 rows (all-zero scores, token-ordered) —
+    * rows per doc are EXACTLY min(3, distinct terms), never silently
+    * fewer.
+    *
+    * 100 TB posture: one explode -> (doc, token) tf hash agg (map-side
+    * partial), the df table derived from tf (O(vocab), never re-reads
+    * the corpus), one token-keyed join, ONE doc-keyed window whose
+    * partitions are bounded by per-doc distinct terms; the N_docs
+    * scalar rides a 1-row broadcast (the t05/t08 pattern).
+    */
+  def t18KeywordExtract(spark: SparkSession, dir: String): DataFrame =
+    keywordExtract(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** The t18 body over any (doc_id, text) frame — exposed for the
+    * hand-computed spec corpus.
+    */
+  private[graft] def keywordExtract(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cached = graft.Caches.cache(docs)
+    val tf = cached
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = cached.agg(count(lit(1)).as("n_docs"))
+    def bits(c: Column): Column =
+      length(conv(c.cast("string"), 10, 2)).cast("long")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (bits(col("n_docs")) - bits(col("df"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_keyword_extract" -> (t18KeywordExtract _),
     "t17_burstiness" -> (t17Burstiness _),
     "t16_novelty" -> (t16Novelty _),
     "t14_bpe_encode" -> (t14BpeEncode _),
@@ -662,6 +711,32 @@ object TextOps {
          |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t18: tf/df tables + the bit-bucket idf, ranked per doc
+    "t18_keyword_extract" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  GROUP BY doc_id, token
+        |),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * (length(format('{:b}', n.n_docs))
+        |             - length(format('{:b}', df.df))) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd n
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token ASC) AS rank
+        |  FROM s
+        |)
+        |SELECT doc_id, rank, token, tf, df, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // t17: the same single-pass tf/df statement
     "t17_burstiness" ->
       """WITH t AS (

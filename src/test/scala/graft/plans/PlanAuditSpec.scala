@@ -46,6 +46,13 @@ class PlanAuditSpec extends SparkTestBase {
     "s20_truncated_rescore" -> Set("BroadcastNestedLoopJoin"),
     // MIPS scan = corpus x broadcast queries, same family as s01/s04
     "s12_mips_topk" -> Set("BroadcastNestedLoopJoin"),
+    // s22: the s08-family codebook scan (corpus x broadcast L-row cells)
+    "s22_kmeans_refine" -> Set("BroadcastNestedLoopJoin"),
+    // t18: the t05/t08 1-row n_docs scalar broadcast
+    "t18_keyword_extract" -> Set("BroadcastNestedLoopJoin"),
+    // p19: the 1-row majority-target scalar broadcast over the
+    // language-population-sized counts frame
+    "p19_upsample_assign" -> Set("BroadcastNestedLoopJoin"),
     // hybrid RRF: the vector channel is the s01-family broadcast-queries
     // scan; the lexical channel joins on bigram, the fusion join on
     // (qid, doc_id) — both hash
