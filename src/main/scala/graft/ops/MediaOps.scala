@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A multimodal row: an opaque binary payload plus typed metadata — the
@@ -343,8 +344,60 @@ object MediaOps {
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
     "m04_resize" -> (m04Resize _),
-    "m05_sample_assembly" -> (m05SampleAssembly _)
+    "m05_sample_assembly" -> (m05SampleAssembly _),
+    "m08_shard_pack" -> (m08ShardPack _)
   )
+
+  /** Shard-manifest packing (the webdataset/tar-shard builder): every
+    * payload is assigned a shard and a byte offset by CONTIGUOUS FILL
+    * in doc_id order — shard = floor(start / capacity) where start is
+    * the exclusive running byte total. An item whose start lands in a
+    * shard belongs to it even if its bytes cross the boundary (the
+    * streaming-pack convention; shards overflow by at most one item),
+    * so the assignment is a pure function of the prefix sums — no
+    * packing heuristic, bit-identical everywhere.
+    *
+    * The oracle states ONE global window cumsum (a single-task sort at
+    * scale); the engine computes the same exclusive prefix sum in two
+    * phases (the p15 discipline): contiguous doc_id ranges bucket the
+    * corpus, per-bucket byte totals roll into bucket offsets (a
+    * bucket-count-sized window), and the in-bucket cumsum runs
+    * partition-parallel — start = bucket offset + in-bucket exclusive
+    * sum, identical to the global statement because the buckets are
+    * CONTIGUOUS in the pack order.
+    *
+    * 100 TB posture: payload bytes are never read (length-only,
+    * column-pruned); one bucket-keyed window + one tiny offsets window;
+    * the manifest is what a shard writer consumes to stream payloads
+    * into archives without ever co-shuffling the bytes.
+    */
+  def m08ShardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPack(mediaTable(spark, dir).select(col("doc_id"), col("kind"),
+      length(col("payload")).cast("long").as("n_bytes")), 8192L)
+
+  /** The m08 body over any (doc_id, kind, n_bytes) frame — exposed so
+    * the spec can pin the two-phase prefix sum against the naive
+    * global cumsum on a bucket-boundary-crossing fixture.
+    */
+  private[graft] def shardPack(sized: DataFrame, cap: Long): DataFrame = {
+    val m = sized
+      .withColumn("bucket", expr("doc_id div 256"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = m.groupBy("bucket")
+      .agg(sum(col("n_bytes")).as("bs"))
+      .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
+      .select("bucket", "off")
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start",
+        col("off") + coalesce(sum(col("n_bytes")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        expr(s"start div $cap").as("shard_id"),
+        (col("start") - expr(s"start div $cap") * cap).as("shard_offset"))
+      .orderBy("doc_id")
+  }
 
   /** All four media queries are oracle-checked. m02/m04 run through the
     * real mapPartitions decode/resize path on the Spark side; their
@@ -364,6 +417,26 @@ object MediaOps {
     * would shift instead.
     */
   val oracle: Map[String, String] = Map(
+    // m08: the pack stated as ONE global window cumsum
+    "m08_shard_pack" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start
+        |  FROM m
+        |)
+        |SELECT doc_id, kind, n_bytes,
+        |  start // 8192 AS shard_id,
+        |  start - (start // 8192) * 8192 AS shard_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // the all-pairs declarative statement of m06 (the engine bands;
     // hamming <= 1 makes banding lossless, so the sets agree exactly)
     // m07: the same exact+perceptual channels aggregated per kind;

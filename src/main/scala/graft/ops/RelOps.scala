@@ -1208,7 +1208,71 @@ object RelOps {
           .as("sum_value"))
       .orderBy("event_type", "hour")
 
+  /** Within-session conversion funnel: w02's gaps-and-islands session
+    * assignment composed with w26's greedy-earliest view -> click ->
+    * purchase witness, PER (user, session) — the strict form of funnel
+    * analytics (a purchase in tomorrow's session does not convert
+    * today's view; w26 answers "ever converted", this answers
+    * "converted in-session", the number a checkout flow is judged on).
+    * Greedy-earliest stays optimal inside a session for the same
+    * reason as w26 (any valid witness dominates pointwise), and all
+    * stage picks are exact MIN timestamps with integer-microsecond
+    * latency — no arithmetic touches a float.
+    *
+    * 100 TB posture: ONE user-keyed window sort assigns sessions
+    * (w02's plan), then the three stage aggs and two joins are all
+    * keyed on (user_id, sess_id) — a single logical shuffle key
+    * end-to-end, no per-session event-list materialization; stage
+    * count extends by one agg+join per stage as in w26.
+    */
+  def w34SessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    sessionFunnel(Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type"))
+
+  /** The w34 body over any (user_id, ts, event_id, event_type) frame —
+    * exposed so the spec can plant the cross-session purchase that
+    * must NOT convert the earlier session.
+    */
+  private[graft] def sessionFunnel(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1)
+      .otherwise(0)
+    val e = graft.Caches.cache(raw
+      .withColumn("sess_id",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long")))
+    val v = e.groupBy("user_id", "sess_id")
+      .agg(min(col("ts")).as("sess_start"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val c = v.join(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sess_id"), col("ts")),
+        Seq("user_id", "sess_id"), "left")
+      .groupBy("user_id", "sess_id", "sess_start", "t_view")
+      .agg(min(when(col("ts") > col("t_view"), col("ts"))).as("t_click"))
+    val p = c.join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sess_id"), col("ts")),
+        Seq("user_id", "sess_id"), "left")
+      .groupBy("user_id", "sess_id", "sess_start", "t_view", "t_click")
+      .agg(min(when(col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+    p.select(col("user_id"), col("sess_id"), col("sess_start"),
+        col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_view").isNull, 0L)
+          .when(col("t_click").isNull, 1L)
+          .when(col("t_purchase").isNull, 2L)
+          .otherwise(3L).as("stage_reached"),
+        when(col("t_purchase").isNotNull,
+          unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .as("funnel_us"))
+      .orderBy("user_id", "sess_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w34_session_funnel" -> (w34SessionFunnel _),
     "w33_ohlc_bars" -> (w33OhlcBars _),
     "w32_top_movers" -> (w32TopMovers _),
     "w31_changepoint" -> (w31Changepoint _),
@@ -1283,6 +1347,52 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w34: the w02 session CTE feeding the w26 greedy stage chain
+    "w34_session_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |y AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS sess_id
+        |  FROM x
+        |),
+        |v AS (
+        |  SELECT user_id, sess_id, min(ts) AS sess_start,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM y GROUP BY user_id, sess_id
+        |),
+        |c AS (
+        |  SELECT v.user_id, v.sess_id, v.sess_start, v.t_view,
+        |    min(CASE WHEN e.ts > v.t_view THEN e.ts END) AS t_click
+        |  FROM v LEFT JOIN y e
+        |    ON e.user_id = v.user_id AND e.sess_id = v.sess_id
+        |    AND e.event_type = 'click'
+        |  GROUP BY v.user_id, v.sess_id, v.sess_start, v.t_view
+        |),
+        |p AS (
+        |  SELECT c.user_id, c.sess_id, c.sess_start, c.t_view, c.t_click,
+        |    min(CASE WHEN e.ts > c.t_click THEN e.ts END) AS t_purchase
+        |  FROM c LEFT JOIN y e
+        |    ON e.user_id = c.user_id AND e.sess_id = c.sess_id
+        |    AND e.event_type = 'purchase'
+        |  GROUP BY c.user_id, c.sess_id, c.sess_start, c.t_view, c.t_click
+        |)
+        |SELECT user_id, sess_id, sess_start, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_view IS NULL THEN 0
+        |            WHEN t_click IS NULL THEN 1
+        |            WHEN t_purchase IS NULL THEN 2
+        |            ELSE 3 END AS BIGINT) AS stage_reached,
+        |  CASE WHEN t_purchase IS NOT NULL
+        |       THEN epoch_us(t_purchase) - epoch_us(t_view) END AS funnel_us
+        |FROM p ORDER BY user_id, sess_id""".stripMargin,
+
     // w33: boundary rows by row_number in both directions, then one agg
     "w33_ohlc_bars" ->
       """WITH e AS (

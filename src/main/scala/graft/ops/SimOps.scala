@@ -1210,7 +1210,43 @@ object SimOps {
       .orderBy("cell")
   }
 
+  /** Index coverage-gap mining: the 10 corpus vectors WORST served by
+    * the current codebook — lowest best-centroid cosine, ties to the
+    * lower vec_id. These are the k-center/k-means++ seeding candidates
+    * (the farthest-point rule picks exactly the top row) and the
+    * region-to-add-capacity report an index operator reads before
+    * s22's refinement or a codebook grow: a vector far from EVERY
+    * centroid is routed badly no matter how nProbe is tuned (s08), and
+    * a cluster of such vectors is a missing cell.
+    *
+    * Determinism: the s08 scoring chain (integer dots, shared IEEE
+    * division), best cell by graft_topk(1) with the (ccos desc, cell
+    * asc) tie rule, global bottom-10 by the (best_cos asc, vec_id asc)
+    * total order.
+    *
+    * 100 TB posture: one broadcast-codebook scan + map-side
+    * graft_topk(1) per vector; the global bottom-k is orderBy+limit —
+    * Spark's TakeOrdered, a per-partition heap + driver merge of K
+    * rows, never a global sort.
+    */
+  def s23CoverageGaps(spark: SparkSession, dir: String): DataFrame =
+    coverageGaps(graft.Caches.cache(vectors(spark, dir)), 10)
+
+  /** The s23 body over any (vec_id, qv, vnorm, label) frame — exposed
+    * so the spec can plant an uncovered outlier.
+    */
+  private[graft] def coverageGaps(v: DataFrame, k: Int): DataFrame = {
+    val best = scoreCells(v, cellCentroids(v))
+      .groupBy("vec_id")
+      .agg(expr("graft_topk(ccos, cell, 1)").as("top"))
+      .select(col("vec_id"),
+        element_at(col("top"), 1).getField("id").as("cell"),
+        element_at(col("top"), 1).getField("score").as("best_cos"))
+    best.orderBy(col("best_cos").asc, col("vec_id").asc).limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_coverage_gaps" -> (s23CoverageGaps _),
     "s22_kmeans_refine" -> (s22KmeansRefine _),
     "s21_centroid_drift" -> (s21CentroidDrift _),
     "s20_truncated_rescore" -> (s20TruncatedRescore _),
@@ -1360,6 +1396,39 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "s01_knn_bruteforce" -> knnSql,
     "s04_knn_topk_agg" -> knnSql,
+
+    // s23: the same seed centroids + per-vector best cell, bottom-10
+    "s23_coverage_gaps" ->
+      s"""WITH $unnestSql,
+         |cent AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |    CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnorm FROM cent GROUP BY cell),
+         |d AS (
+         |  SELECT u.vec_id, c.cell, SUM(u.x * c.cx) AS dot
+         |  FROM u JOIN cent c ON c.dim = u.i
+         |  GROUP BY u.vec_id, c.cell
+         |),
+         |b AS (
+         |  SELECT vec_id, cell, ccos AS best_cos FROM (
+         |    SELECT d.vec_id, d.cell,
+         |      CAST(d.dot AS DOUBLE) /
+         |        (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |         sqrt(CAST(cn.cnorm AS DOUBLE))) AS ccos,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY CAST(d.dot AS DOUBLE) /
+         |          (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |           sqrt(CAST(cn.cnorm AS DOUBLE))) DESC,
+         |        d.cell ASC) AS rn
+         |    FROM d JOIN n nv ON nv.vec_id = d.vec_id
+         |    JOIN cn ON cn.cell = d.cell)
+         |  WHERE rn = 1
+         |)
+         |SELECT vec_id, cell, best_cos FROM b
+         |ORDER BY best_cos ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // s22: seed centroids -> nearest-centroid re-assignment -> recomputed
     // centroids -> per-cell iteration report, stated directly

@@ -48,6 +48,8 @@ class PlanAuditSpec extends SparkTestBase {
     "s12_mips_topk" -> Set("BroadcastNestedLoopJoin"),
     // s22: the s08-family codebook scan (corpus x broadcast L-row cells)
     "s22_kmeans_refine" -> Set("BroadcastNestedLoopJoin"),
+    // s23: the same codebook scan feeding the bottom-k TakeOrdered
+    "s23_coverage_gaps" -> Set("BroadcastNestedLoopJoin"),
     // t18: the t05/t08 1-row n_docs scalar broadcast
     "t18_keyword_extract" -> Set("BroadcastNestedLoopJoin"),
     // p19: the 1-row majority-target scalar broadcast over the
