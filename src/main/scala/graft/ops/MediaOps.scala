@@ -345,7 +345,8 @@ object MediaOps {
     "m03_frame_sample" -> (m03FrameSample _),
     "m04_resize" -> (m04Resize _),
     "m05_sample_assembly" -> (m05SampleAssembly _),
-    "m08_shard_pack" -> (m08ShardPack _)
+    "m08_shard_pack" -> (m08ShardPack _),
+    "m09_shard_append" -> (m09ShardAppend _)
   )
 
   /** Shard-manifest packing (the webdataset/tar-shard builder): every
@@ -379,7 +380,18 @@ object MediaOps {
     * the spec can pin the two-phase prefix sum against the naive
     * global cumsum on a bucket-boundary-crossing fixture.
     */
-  private[graft] def shardPack(sized: DataFrame, cap: Long): DataFrame = {
+  private[graft] def shardPack(sized: DataFrame, cap: Long): DataFrame =
+    packStarts(sized)
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        expr(s"start div $cap").as("shard_id"),
+        (col("start") - expr(s"start div $cap") * cap).as("shard_offset"))
+      .orderBy("doc_id")
+
+  /** The two-phase exclusive byte prefix sum in doc_id order: every
+    * input column survives, plus `start`. Shared by m08 (pack) and m09
+    * (append — which shifts a batch's starts by the corpus total).
+    */
+  private[graft] def packStarts(sized: DataFrame): DataFrame = {
     val m = sized
       .withColumn("bucket", expr("doc_id div 256"))
     val wOff = Window.orderBy(col("bucket"))
@@ -393,7 +405,39 @@ object MediaOps {
     m.join(broadcast(offsets), Seq("bucket"))
       .withColumn("start",
         col("off") + coalesce(sum(col("n_bytes")).over(wIn), lit(0L)))
-      .select(col("doc_id"), col("kind"), col("n_bytes"),
+      .drop("bucket", "off")
+  }
+
+  /** Incremental shard append — m08's maintenance half (the m-side twin
+    * of s19's frozen-codebook IVF append): the corpus slice
+    * (doc_id % 10 != 7) is packed exactly as m08 would pack it, and
+    * "today's batch" (% 10 = 7, the s19 convention) appends AFTER it,
+    * its starts shifted by the corpus byte total — so existing
+    * assignments NEVER move (spec-pinned equal to the corpus-only
+    * pack), the batch's first items fill the tail shard's remainder,
+    * and the whole result equals one m08 pack of the reordered
+    * (corpus-then-batch) input, which is what the oracle states as a
+    * single (is_batch, doc_id)-ordered cumsum. Re-packing from scratch
+    * at 100 TB re-streams every archive; the append touches only the
+    * tail shard and the new bytes.
+    *
+    * 100 TB posture: two packStarts passes (each the m08 two-phase
+    * form) + a 1-row corpus-total broadcast; nothing corpus-sized is
+    * re-sorted or re-shuffled beyond the pack's own bucket windows.
+    */
+  def m09ShardAppend(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 8192L
+    val m = mediaTable(spark, dir).select(col("doc_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("is_batch", (col("doc_id") % 10 === 7).cast("long"))
+    val corpus = packStarts(m.filter(col("is_batch") === 0L))
+    val total = corpus.agg(sum(col("n_bytes")).as("base"))
+    val batch = packStarts(m.filter(col("is_batch") === 1L))
+      .crossJoin(broadcast(total))
+      .withColumn("start", col("start") + col("base"))
+      .drop("base")
+    corpus.unionByName(batch)
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("is_batch"),
         expr(s"start div $cap").as("shard_id"),
         (col("start") - expr(s"start div $cap") * cap).as("shard_offset"))
       .orderBy("doc_id")
@@ -433,6 +477,28 @@ object MediaOps {
         |  FROM m
         |)
         |SELECT doc_id, kind, n_bytes,
+        |  start // 8192 AS shard_id,
+        |  start - (start // 8192) * 8192 AS shard_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // m09: the append stated as ONE (is_batch, doc_id)-ordered cumsum
+    "m09_shard_append" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         CAST(doc_id % 10 = 7 AS BIGINT) AS is_batch
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (
+        |    ORDER BY is_batch, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start
+        |  FROM m
+        |)
+        |SELECT doc_id, kind, n_bytes, is_batch,
         |  start // 8192 AS shard_id,
         |  start - (start // 8192) * 8192 AS shard_offset
         |FROM c ORDER BY doc_id""".stripMargin,

@@ -1271,7 +1271,49 @@ object RelOps {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Rolling engagement: per calendar day, DAU (distinct active users),
+    * trailing-7-day WAU, and the DAU/WAU stickiness ratio — the
+    * product-analytics headline triple. The naive WAU statement is a
+    * per-day distinct over a sliding RANGE window — distinct-over-
+    * window doesn't exist in either engine, and a day x user range
+    * join explodes. Instead each (user, active-day) row COVERS the 7
+    * days it keeps the user active for (a bounded explode of exactly
+    * 7), and WAU is a plain distinct + hash agg on the covered day —
+    * the w19-style bounded fan-out trick that turns a sliding distinct
+    * into two exact integer aggs. Day spine bounds from the data, so
+    * zero-activity days inside the span show DAU 0 (the w25/w31 real-
+    * zero discipline); stickiness is NULL when WAU is 0 (exact integer
+    * test, never a float divide).
+    *
+    * 100 TB posture: the corpus collapses to DISTINCT (user, day)
+    * FIRST (one hash agg); the 7x explode runs on that collapsed
+    * frame, never on raw events; everything downstream is day-keyed
+    * (spine-bounded). The 1-row bounds frame rides a broadcast.
+    */
+  def w35RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ud = graft.Caches.cache(Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val cov = ud
+      .select(col("user_id"), explode(expr(
+        "sequence(day, date_add(day, 6))")).as("day"))
+      .distinct()
+    val wau = cov.groupBy("day").agg(count(lit(1)).as("wau7"))
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(
+      explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(dau, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .withColumn("stickiness",
+        when(col("wau7") > 0, col("dau").cast("double") / col("wau7")))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w35_rolling_active" -> (w35RollingActive _),
     "w34_session_funnel" -> (w34SessionFunnel _),
     "w33_ohlc_bars" -> (w33OhlcBars _),
     "w32_top_movers" -> (w32TopMovers _),
@@ -1347,6 +1389,35 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w35: the same covering-explode statement of the sliding distinct
+    "w35_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events
+        |),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day + u.i AS day
+        |  FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS u(i)
+        |),
+        |wau AS (SELECT day, count(*) AS wau7 FROM cov GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(b.d0, b.d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b
+        |)
+        |SELECT s.day,
+        |  COALESCE(d.dau, 0) AS dau,
+        |  COALESCE(w.wau7, 0) AS wau7,
+        |  CASE WHEN COALESCE(w.wau7, 0) > 0
+        |       THEN CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau7 END
+        |    AS stickiness
+        |FROM spine s LEFT JOIN dau d ON d.day = s.day
+        |LEFT JOIN wau w ON w.day = s.day
+        |ORDER BY s.day""".stripMargin,
+
     // w34: the w02 session CTE feeding the w26 greedy stage chain
     "w34_session_funnel" ->
       """WITH x AS (

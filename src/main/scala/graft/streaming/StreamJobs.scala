@@ -52,6 +52,33 @@ object StreamJobs {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming OHLC bars — the watermarked twin of RelOps.w33OhlcBars:
+    * tumbling 1-hour event-time windows per type with open/close picked
+    * by the same (ts, event_id) struct-min/max total order. Struct
+    * min/max are ordinary MERGEABLE aggregates, so the bar finalizes
+    * incrementally across micro-batches with O(active windows) state
+    * under the watermark — no per-window event buffering, which is what
+    * makes an event-at-a-time OHLC implementation (keep the earliest/
+    * latest seen so far) state-bounded in the engine for free.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close_v"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("event_type"), col("window.start").as("hour"),
+        col("n_events"), col("open_v"), col("high_v"), col("low_v"),
+        col("close_v"), col("sum_value"))
+
   /** Stream-static enrichment join: each micro-batch of the stream
     * joins the static dimension (broadcast — it's the small side by
     * construction). No watermark needed: stream-STATIC inner joins are

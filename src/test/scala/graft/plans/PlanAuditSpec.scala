@@ -55,6 +55,11 @@ class PlanAuditSpec extends SparkTestBase {
     // p19: the 1-row majority-target scalar broadcast over the
     // language-population-sized counts frame
     "p19_upsample_assign" -> Set("BroadcastNestedLoopJoin"),
+    // m09: the 1-row corpus-total broadcast shifting the batch's starts
+    // + TWO bucket-count-sized offsets windows (corpus and batch
+    // packStarts passes each roll their own)
+    "m09_shard_append" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // hybrid RRF: the vector channel is the s01-family broadcast-queries
     // scan; the lexical channel joins on bigram, the fusion join on
     // (qid, doc_id) — both hash

@@ -39,6 +39,25 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.map(_(2)) == Seq(2L, 1L, 1L, 1L)) // 10h a:2; 11h b:1; 12h a:1, b:1
   }
 
+  test("ohlcBars: streaming complete-mode equals the batch w33 twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = StreamJobs.ohlcBars(mem.toDF())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ohlc")
+      .orderBy("event_type", "hour").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.RelOps.ohlcBars(
+        rows.toDF().select("event_type", "ts", "event_id", "value"))
+      .orderBy("event_type", "hour").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the 10h "a" bar: open 1.0 (10:05), close 2.0 (10:55)
+    val a10 = streamed.head
+    assert(a10(2) == 2L && a10(3) == 1.0 && a10(6) == 2.0)
+  }
+
   test("slidingCounts: each event lands in exactly two 2h/1h windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
