@@ -781,7 +781,46 @@ object PipelineOps {
       .orderBy("lang", "doc_id", "copy_id")
   }
 
+  /** The composed epoch-0 training order: p19's upsampled (doc, copy)
+    * assignment permuted by p15's salted-hash epoch shuffle — the FINAL
+    * manifest a training loader consumes. Each copy hashes
+    * independently (salt 'epoch0:' + doc_id + ':' + copy_id), so a
+    * doc's repeats scatter across the epoch instead of clumping — the
+    * property upsampling needs to not bias consecutive batches. The
+    * permutation is p15's two-phase form (64 contiguous hash buckets,
+    * bucket offsets from a 64-row window, partition-parallel in-bucket
+    * ranks), so positions are a bijection 0..N-1 without a global sort;
+    * ties on equal 32-bit hashes break (doc_id, copy_id) — total in
+    * both engines.
+    *
+    * 100 TB posture: p19's bounded <= 4x explode + ONE bucket-keyed
+    * window shuffle; the bucket offsets are a 64-row frame. Epoch k
+    * re-salts; nothing else changes.
+    */
+  def p20TrainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val a = upsampleAssign(
+        Tables.documents(spark, dir).select("doc_id", "lang"))
+      .select("doc_id", "lang", "copy_id")
+    val hashed = graft.Caches.cache(a.withColumn("h",
+        expr("CAST(conv(substring(md5(concat('epoch0:', " +
+          "CAST(doc_id AS STRING), ':', CAST(copy_id AS STRING))), " +
+          "1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", col("h") % 64))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hashed.groupBy("bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+    val wRank = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"), col("copy_id"))
+    hashed.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .select(col("doc_id"), col("lang"), col("copy_id"),
+        (col("off") + row_number().over(wRank) - 1).as("pos"))
+      .orderBy("doc_id", "copy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_training_order" -> (p20TrainingOrder _),
     "p19_upsample_assign" -> (p19UpsampleAssign _),
     "p18_quarantine_split" -> (p18QuarantineSplit _),
     "p17_quota_sample" -> (p17QuotaSample _),
@@ -804,6 +843,34 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p20: p19's plan + the p15-style global window permutation
+    "p20_training_order" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+        |),
+        |t AS (SELECT CAST(MAX(n_lang) AS BIGINT) AS target FROM counts),
+        |plan AS (
+        |  SELECT lang, n_lang,
+        |    least((t.target + n_lang - 1) // n_lang, 4) AS rep_factor
+        |  FROM counts, t
+        |),
+        |a AS (
+        |  SELECT d.doc_id, d.lang,
+        |    unnest(range(1, p.rep_factor + 1)) AS copy_id
+        |  FROM documents d JOIN plan p USING (lang)
+        |),
+        |h AS (
+        |  SELECT doc_id, lang, copy_id,
+        |    CAST('0x' || substring(md5('epoch0:' ||
+        |      CAST(doc_id AS VARCHAR) || ':' || CAST(copy_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) AS h
+        |  FROM a
+        |)
+        |SELECT doc_id, lang, copy_id,
+        |  row_number() OVER (ORDER BY h % 64, h, doc_id, copy_id) - 1
+        |    AS pos
+        |FROM h ORDER BY doc_id, copy_id""".stripMargin,
+
     // p19: the same integer plan + per-copy expansion
     "p19_upsample_assign" ->
       """WITH counts AS (

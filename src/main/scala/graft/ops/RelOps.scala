@@ -1104,17 +1104,27 @@ object RelOps {
     * cumsum over span-bounded spine rows; ties break to the earliest
     * hour via the (abs desc, hour asc) rank order.
     */
-  def w31Changepoint(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  /** Zero-filled hourly (event_type, h, x) cells over each type's span —
+    * the w25/w31 real-zero spine, shared by w31 and w36.
+    */
+  private def hourlyCells(spark: SparkSession, dir: String): DataFrame =
+    hourlyCellsOf(Tables.events(spark, dir).select("event_type", "ts"))
+
+  private def hourlyCellsOf(raw: DataFrame): DataFrame = {
+    val e = raw
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
     val counts = e.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
     val span = e.groupBy("event_type")
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = span.select(col("event_type"),
       explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-    val cells = spine.join(counts, Seq("event_type", "h"), "left")
+    spine.join(counts, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  def w31Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val cells = hourlyCells(spark, dir)
     val tot = cells.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("total"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("h"))
@@ -1312,7 +1322,43 @@ object RelOps {
       .orderBy("day")
   }
 
+  /** Seasonal (hour-of-day) baseline + anomaly flags: every hourly cell
+    * is compared against ITS OWN hour-of-day's average across the span —
+    * 3am traffic judged against 3am traffic, the diurnal-pattern-aware
+    * anomaly rule (a flat 2x-mean threshold fires every rush hour and
+    * misses a quiet-hour surge). Cells come from the w31 zero-filled
+    * spine, so an hour with NO events both drags its slot's baseline
+    * honestly and can never be flagged. The spike test is the exact
+    * integer cross-multiplication n * hod_slots > 2 * hod_total (no
+    * float threshold can drift across engines); the reported baseline
+    * is the one shared IEEE division.
+    *
+    * 100 TB posture: events pre-aggregate to type x hour cells before
+    * anything else; the baseline table is (types x 24)-sized and rides
+    * a broadcast-sized join; no window over raw events.
+    */
+  def w36SeasonalBaseline(spark: SparkSession, dir: String): DataFrame =
+    seasonalBaseline(Tables.events(spark, dir).select("event_type", "ts"))
+
+  /** The w36 body over any (event_type, ts) frame — exposed for the
+    * hand-computed spike/zero-fill spec.
+    */
+  private[graft] def seasonalBaseline(raw: DataFrame): DataFrame = {
+    val cells = graft.Caches.cache(hourlyCellsOf(raw)
+      .withColumn("hod", hour(col("h")).cast("long")))
+    val base = cells.groupBy("event_type", "hod")
+      .agg(sum(col("x")).as("hod_total"), count(lit(1)).as("hod_slots"))
+    cells.join(base, Seq("event_type", "hod"))
+      .select(col("event_type"), col("h").as("hour"), col("hod"),
+        col("x").as("n"),
+        (col("hod_total").cast("double") / col("hod_slots")).as("baseline"),
+        when(col("x") * col("hod_slots") > lit(2) * col("hod_total"), 1L)
+          .otherwise(0L).as("is_spike"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w36_seasonal_baseline" -> (w36SeasonalBaseline _),
     "w35_rolling_active" -> (w35RollingActive _),
     "w34_session_funnel" -> (w34SessionFunnel _),
     "w33_ohlc_bars" -> (w33OhlcBars _),
@@ -1389,6 +1435,43 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w36: the same spine + hour-of-day baseline, stated directly
+    "w36_seasonal_baseline" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+        |),
+        |counts AS (
+        |  SELECT event_type, h, count(*) AS x FROM e GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY event_type
+        |),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span
+        |),
+        |cells AS (
+        |  SELECT s.event_type, s.h,
+        |    CAST(date_part('hour', s.h) AS BIGINT) AS hod,
+        |    CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.event_type = s.event_type AND c.h = s.h
+        |),
+        |b AS (
+        |  SELECT event_type, hod, CAST(SUM(x) AS BIGINT) AS hod_total,
+        |    count(*) AS hod_slots
+        |  FROM cells GROUP BY event_type, hod
+        |)
+        |SELECT c.event_type, c.h AS hour, c.hod, c.x AS n,
+        |  CAST(b.hod_total AS DOUBLE) / b.hod_slots AS baseline,
+        |  CAST(CASE WHEN c.x * b.hod_slots > 2 * b.hod_total
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM cells c JOIN b
+        |  ON b.event_type = c.event_type AND b.hod = c.hod
+        |ORDER BY c.event_type, hour""".stripMargin,
+
     // w35: the same covering-explode statement of the sliding distinct
     "w35_rolling_active" ->
       """WITH ud AS (

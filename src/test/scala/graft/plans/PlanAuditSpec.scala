@@ -60,6 +60,10 @@ class PlanAuditSpec extends SparkTestBase {
     // packStarts passes each roll their own)
     "m09_shard_append" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // p20: inherits p19's 1-row majority-target broadcast + the p15
+    // 64-row bucket-offsets window next to the 1-row target agg
+    "p20_training_order" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // hybrid RRF: the vector channel is the s01-family broadcast-queries
     // scan; the lexical channel joins on bigram, the fusion join on
     // (qid, doc_id) — both hash
