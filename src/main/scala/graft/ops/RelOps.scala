@@ -1357,7 +1357,43 @@ object RelOps {
       .orderBy("event_type", "hour")
   }
 
+  /** A/B experiment readout over the w26 funnel: users are split into
+    * control/treatment by the deterministic user_id parity (the
+    * assignment an experiment platform would persist), exposure = the
+    * user had a view, conversion = the full ordered view -> click ->
+    * purchase witness (w26's stage 3), and the one-row report carries
+    * exact integer counts, the two conversion rates, and the lift
+    * ratio. Rates and lift are the only doubles — each one division
+    * (lift divides the two rates — same operands in both engines),
+    * NULL on zero denominators by exact integer tests.
+    *
+    * 100 TB posture: inherits w26's plan (three user-keyed hash aggs +
+    * two joins, one logical shuffle key) and collapses to a single
+    * 1-row global aggregate — the report is O(1) regardless of users.
+    */
+  def w37AbLift(spark: SparkSession, dir: String): DataFrame = {
+    val f = w26Funnel(spark, dir).select(col("user_id"),
+      col("t_view").isNotNull.as("exposed"),
+      (col("stage_reached") === 3L).as("conv"))
+    f.agg(
+        sum(when(col("user_id") % 2 === 0 && col("exposed"), 1L)
+          .otherwise(0L)).as("exposed_a"),
+        sum(when(col("user_id") % 2 === 0 && col("conv"), 1L)
+          .otherwise(0L)).as("converted_a"),
+        sum(when(col("user_id") % 2 === 1 && col("exposed"), 1L)
+          .otherwise(0L)).as("exposed_b"),
+        sum(when(col("user_id") % 2 === 1 && col("conv"), 1L)
+          .otherwise(0L)).as("converted_b"))
+      .withColumn("cvr_a", when(col("exposed_a") > 0,
+        col("converted_a").cast("double") / col("exposed_a")))
+      .withColumn("cvr_b", when(col("exposed_b") > 0,
+        col("converted_b").cast("double") / col("exposed_b")))
+      .withColumn("lift",
+        when(col("cvr_a") > 0, col("cvr_b") / col("cvr_a")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w37_ab_lift" -> (w37AbLift _),
     "w36_seasonal_baseline" -> (w36SeasonalBaseline _),
     "w35_rolling_active" -> (w35RollingActive _),
     "w34_session_funnel" -> (w34SessionFunnel _),
@@ -1435,6 +1471,51 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w37: w26's greedy stage chain collapsed to the one-row experiment
+    // report
+    "w37_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT u.user_id, u.t_view,
+        |    min(CASE WHEN e.ts > u.t_view THEN e.ts END) AS t_click
+        |  FROM u LEFT JOIN events e
+        |    ON e.user_id = u.user_id AND e.event_type = 'click'
+        |  GROUP BY u.user_id, u.t_view
+        |),
+        |p AS (
+        |  SELECT c.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.ts > c.t_click THEN e.ts END) AS t_purchase
+        |  FROM c LEFT JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |  GROUP BY c.user_id, c.t_view, c.t_click
+        |),
+        |agg AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (user_id % 2 = 0 AND t_view IS NOT NULL)
+        |      AS BIGINT) AS exposed_a,
+        |    CAST(count(*) FILTER (user_id % 2 = 0 AND t_purchase IS NOT
+        |      NULL) AS BIGINT) AS converted_a,
+        |    CAST(count(*) FILTER (user_id % 2 = 1 AND t_view IS NOT NULL)
+        |      AS BIGINT) AS exposed_b,
+        |    CAST(count(*) FILTER (user_id % 2 = 1 AND t_purchase IS NOT
+        |      NULL) AS BIGINT) AS converted_b
+        |  FROM p
+        |)
+        |SELECT *,
+        |  CASE WHEN cvr_a > 0 THEN cvr_b / cvr_a END AS lift
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN exposed_a > 0
+        |         THEN CAST(converted_a AS DOUBLE) / exposed_a END AS cvr_a,
+        |    CASE WHEN exposed_b > 0
+        |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
+        |  FROM agg
+        |)""".stripMargin,
+
     // w36: the same spine + hour-of-day baseline, stated directly
     "w36_seasonal_baseline" ->
       """WITH e AS (
