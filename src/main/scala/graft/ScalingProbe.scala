@@ -207,6 +207,43 @@ object ScalingProbe {
     }
   }
 
+  /** m08 shape: contiguous-fill shard packing over n synthetic payload
+    * sizes. Claimed posture: the two-phase exclusive prefix sum is one
+    * bucket-keyed window + a bucket-count-sized offsets window, so 10x
+    * rows => ~linear runtime (the naive statement is ONE global window
+    * sort — a single task at any size).
+    */
+  private def packProbe(spark: SparkSession, n: Int): Unit = {
+    val sized = spark.range(n.toLong).select(col("id").as("doc_id"),
+      lit("x").as("kind"), (col("id") % 900 + 100).as("n_bytes"))
+    time("m08_shard_pack", n) {
+      // sum(shard_id), not count(): a count lets Catalyst skip the
+      // cardinality-preserving window work entirely (the shingle-probe
+      // head() lesson) — the sum forces every start to be computed
+      graft.ops.MediaOps.shardPack(sized, 1 << 20)
+        .agg(sum(col("shard_id"))).head()
+      n.toLong
+    }
+  }
+
+  /** w35 shape: rolling DAU/WAU via the covering explode on n users,
+    * each active a deterministic 12 of 60 days. Claimed posture: the
+    * corpus collapses to DISTINCT (user, day) first and the 7x explode
+    * runs on the collapsed frame, so 10x users => ~linear runtime with
+    * a constant day spine.
+    */
+  private def activeProbe(spark: SparkSession, n: Int): Unit = {
+    val e = spark.range(n.toLong).select(col("id").as("user_id"),
+        explode(expr("sequence(0, 11)")).as("j"))
+      .select(col("user_id"),
+        expr("timestamp'2025-01-01 00:00:00' + " +
+          "((j * 5 + user_id % 5) * 24 + user_id % 24) * interval '1' hour")
+          .as("ts"))
+    time("w35_rolling_active", n) {
+      graft.ops.RelOps.rollingActiveOf(e).count()
+    }
+  }
+
   /** t11 shape: Misra-Gries heavy-token pass on the word-soup corpus
     * with one planted hot token per doc (2% of occurrences — far above
     * the 1/200 threshold) and an otherwise ~unique vocabulary that
@@ -308,6 +345,16 @@ object ScalingProbe {
     }
     if (args.headOption.contains("stars")) {
       starsProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pack")) {
+      packProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("active")) {
+      activeProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

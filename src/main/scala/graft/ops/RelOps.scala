@@ -1300,8 +1300,14 @@ object RelOps {
     * frame, never on raw events; everything downstream is day-keyed
     * (spine-bounded). The 1-row bounds frame rides a broadcast.
     */
-  def w35RollingActive(spark: SparkSession, dir: String): DataFrame = {
-    val ud = graft.Caches.cache(Tables.events(spark, dir)
+  def w35RollingActive(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveOf(Tables.events(spark, dir).select("user_id", "ts"))
+
+  /** The w35 body over any (user_id, ts) frame — shared with
+    * ScalingProbe's user-count axis.
+    */
+  private[graft] def rollingActiveOf(raw: DataFrame): DataFrame = {
+    val ud = graft.Caches.cache(raw
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val cov = ud
