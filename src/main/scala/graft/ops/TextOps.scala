@@ -478,6 +478,27 @@ object TextOps {
     * counts per doc — the corpus never re-runs the merge iteration.
     */
   def t14BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocab(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_char_symbols"),
+        sum(col("n_sym_w")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_char_symbols"),
+        col("n_bpe_tokens"),
+        (col("n_char_symbols").cast("double") / col("n_bpe_tokens"))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
+  /** t13/t14's trained 3-round BPE vocab as (word, n_chars_w, n_sym_w)
+    * — extracted so t14 (per-doc encode) and t19 (per-language
+    * fertility audit) share one training pass. The per-round `.head()`
+    * argmax is the documented driver-side step (1 row per round).
+    */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     val w = graft.Caches.cache(Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wn")))
@@ -500,21 +521,41 @@ object TextOps {
         call_function("replace", col("seq"),
           lit(l + " " + r), lit(l + r)).as("seq")))
     }
-    val vocab = s.select(col("word"),
+    s.select(col("word"),
       length(col("word")).cast("long").as("n_chars_w"),
       size(split(col("seq"), " ")).cast("long").as("n_sym_w"))
+  }
+
+  /** Tokenizer-fertility audit per language: how well the t13-trained
+    * BPE vocabulary serves each language — words, char-symbols, BPE
+    * tokens, tokens-per-word (fertility) and chars-per-token
+    * (compression), grouped by the documents' declared lang. THE
+    * multilingual-tokenizer health check: a language whose fertility
+    * runs high pays more sequence length per word (trains slower,
+    * truncates sooner) because the merges were learned on someone
+    * else's distribution — the number that drives vocab-budget
+    * rebalancing decisions. Integer sums + two single divisions.
+    *
+    * 100 TB posture: one training pass shared with t14 (vocab is
+    * vocabulary-sized, broadcast); the corpus-side work is one explode
+    * + broadcast join + a languages-sized hash agg.
+    */
+  def t19TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocab(spark, dir)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .join(broadcast(vocab), Seq("word"))
-      .groupBy("doc_id")
+      .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_chars_w")).as("n_char_symbols"),
         sum(col("n_sym_w")).as("n_bpe_tokens"))
-      .select(col("doc_id"), col("n_words"), col("n_char_symbols"),
+      .select(col("lang"), col("n_words"), col("n_char_symbols"),
         col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
         (col("n_char_symbols").cast("double") / col("n_bpe_tokens"))
           .as("compression"))
-      .orderBy("doc_id")
+      .orderBy("lang")
   }
 
   /** Crawl-order novelty curve: for every document (in doc_id order —
