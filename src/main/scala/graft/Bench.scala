@@ -51,6 +51,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Layer-3 runtime plan guard, wired for the whole suite: every
+    // executed plan of every benched query is swept for cartesian/trap
+    // shapes, turning the bench into a runtime plan audit for free. A
+    // flag fails the run at the end (after artifacts are persisted).
+    val planGuard = new graft.plans.PlanGuardListener()
+    spark.listenerManager.register(planGuard)
     // Warm up JVM/codegen/parquet-reader paths so the first timed query
     // isn't charged for session initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -69,20 +75,32 @@ object Bench {
     // lands in the errors map — never elapsed-time-to-crash, which reads
     // as a healthy number (the r6 d17 lesson).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query EXECUTED-plan flags (synchronous, exactly attributed —
+    // the listener above sees the same plans but its callbacks arrive
+    // on the async listener bus under an action name, not a query name)
+    val runtimeFlags =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     def benchOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val df =
+        try { val d = fn(spark, sfDir); d.count(); Some(d) }
         catch { case e: Throwable =>
           errors(name) = e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300)
-          false
+          None
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      Caches.unpersistAll() // bookkeeping, outside the timed span
-      if (ok) dt else -1.0
+      // plan sweep + cache bookkeeping, outside the timed span
+      df.foreach { d =>
+        val fs =
+          try graft.PlanAudit.flags(d.queryExecution.executedPlan.toString)
+          catch { case _: Throwable => Nil }
+        if (fs.nonEmpty) runtimeFlags(name) = fs
+      }
+      Caches.unpersistAll()
+      if (df.isDefined) dt else -1.0
     }
     def pass(): Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
@@ -130,12 +148,28 @@ object Bench {
       if (warmPass) Some(both.map(_._3).sum) else None,
       errors.keys.toSeq.map(shortKey), sfDir)
     println(line)
+    // Runtime plan-guard readout: the synchronous per-query sweep (the
+    // gate) and the async listener's aggregate (the wired layer-3 path
+    // — it observes every executed plan including warm-up and any
+    // embedded use the sweep can't see).
+    println("# bench-planguard " + runtimeFlags.map { case (n, fs) =>
+      s"${jstr(n)}:[${fs.map(jstr).mkString(",")}]"
+    }.mkString("{", ",", "}") + s" listener_hits=${planGuard.flagged.size}")
     spark.stop()
     // After the artifact is printed AND persisted: a broken query fails
     // the run loudly unless explicitly waived — elapsed-time-to-crash
     // must never ship looking green again.
-    if (sys.env.get("SPARK_GRAFT_ALLOW_ERRORS").isEmpty)
+    if (sys.env.get("SPARK_GRAFT_ALLOW_ERRORS").isEmpty) {
       require(errors.isEmpty,
         s"bench queries failed: ${errors.map { case (k, v) => s"$k ($v)" }.mkString("; ")}")
+      // Structural-trap gate over EXECUTED plans (VERDICT r8 item 2):
+      // a cartesian or BNLJ outside the documented allowlist fails the
+      // bench. multi-SinglePartition is readout-only here — AQE
+      // coalescing makes runtime exchange counts environment-dependent;
+      // the no-AQE CI sweep (PlanAuditSpec) stays its exact gate.
+      val bad = PlanAudit.violations(runtimeFlags.toMap)
+      require(bad.isEmpty, s"executed plans with structural traps " +
+        s"outside PlanAudit.allowlist: $bad")
+    }
   }
 }

@@ -431,7 +431,8 @@ object MediaOps {
         length(col("payload")).cast("long").as("n_bytes"))
       .withColumn("is_batch", (col("doc_id") % 10 === 7).cast("long"))
     val corpus = packStarts(m.filter(col("is_batch") === 0L))
-    val total = corpus.agg(sum(col("n_bytes")).as("base"))
+    // coalesce: an empty corpus slice must append from byte 0, not NULL
+    val total = corpus.agg(coalesce(sum(col("n_bytes")), lit(0L)).as("base"))
     val batch = packStarts(m.filter(col("is_batch") === 1L))
       .crossJoin(broadcast(total))
       .withColumn("start", col("start") + col("base"))

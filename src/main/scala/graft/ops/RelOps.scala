@@ -1382,13 +1382,13 @@ object RelOps {
       col("t_view").isNotNull.as("exposed"),
       (col("stage_reached") === 3L).as("conv"))
     f.agg(
-        sum(when(col("user_id") % 2 === 0 && col("exposed"), 1L)
+        sum(when(pmod(col("user_id"), lit(2)) === 0 && col("exposed"), 1L)
           .otherwise(0L)).as("exposed_a"),
-        sum(when(col("user_id") % 2 === 0 && col("conv"), 1L)
+        sum(when(pmod(col("user_id"), lit(2)) === 0 && col("conv"), 1L)
           .otherwise(0L)).as("converted_a"),
-        sum(when(col("user_id") % 2 === 1 && col("exposed"), 1L)
+        sum(when(pmod(col("user_id"), lit(2)) === 1 && col("exposed"), 1L)
           .otherwise(0L)).as("exposed_b"),
-        sum(when(col("user_id") % 2 === 1 && col("conv"), 1L)
+        sum(when(pmod(col("user_id"), lit(2)) === 1 && col("conv"), 1L)
           .otherwise(0L)).as("converted_b"))
       .withColumn("cvr_a", when(col("exposed_a") > 0,
         col("converted_a").cast("double") / col("exposed_a")))
@@ -1501,13 +1501,13 @@ object RelOps {
         |),
         |agg AS (
         |  SELECT
-        |    CAST(count(*) FILTER (user_id % 2 = 0 AND t_view IS NOT NULL)
+        |    CAST(count(*) FILTER (((user_id % 2) + 2) % 2 = 0 AND t_view IS NOT NULL)
         |      AS BIGINT) AS exposed_a,
-        |    CAST(count(*) FILTER (user_id % 2 = 0 AND t_purchase IS NOT
+        |    CAST(count(*) FILTER (((user_id % 2) + 2) % 2 = 0 AND t_purchase IS NOT
         |      NULL) AS BIGINT) AS converted_a,
-        |    CAST(count(*) FILTER (user_id % 2 = 1 AND t_view IS NOT NULL)
+        |    CAST(count(*) FILTER (((user_id % 2) + 2) % 2 = 1 AND t_view IS NOT NULL)
         |      AS BIGINT) AS exposed_b,
-        |    CAST(count(*) FILTER (user_id % 2 = 1 AND t_purchase IS NOT
+        |    CAST(count(*) FILTER (((user_id % 2) + 2) % 2 = 1 AND t_purchase IS NOT
         |      NULL) AS BIGINT) AS converted_b
         |  FROM p
         |)

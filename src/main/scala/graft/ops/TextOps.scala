@@ -536,9 +536,10 @@ object TextOps {
     * else's distribution — the number that drives vocab-budget
     * rebalancing decisions. Integer sums + two single divisions.
     *
-    * 100 TB posture: one training pass shared with t14 (vocab is
-    * vocabulary-sized, broadcast); the corpus-side work is one explode
-    * + broadcast join + a languages-sized hash agg.
+    * 100 TB posture: training runs on the distinct-word vocabulary
+    * (same [[bpeVocab]] form t14 uses — vocabulary-sized regardless of
+    * corpus size, broadcast to the join); the corpus-side work is one
+    * explode + broadcast join + a languages-sized hash agg.
     */
   def t19TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     val vocab = bpeVocab(spark, dir)
@@ -677,6 +678,7 @@ object TextOps {
     "t17_burstiness" -> (t17Burstiness _),
     "t16_novelty" -> (t16Novelty _),
     "t14_bpe_encode" -> (t14BpeEncode _),
+    "t19_tokenizer_fertility" -> (t19TokenizerFertility _),
     "t13_bpe_merges" -> (t13BpeMerges _),
     "t12_contamination_score" -> (t12ContaminationScore _),
     "t11_heavy_tokens" -> (t11HeavyTokens _),
@@ -751,6 +753,65 @@ object TextOps {
          |       ELSE 'fr' END AS detected_lang
          |FROM sc""".stripMargin
 
+  /** The t13-trained 3-round BPE vocabulary as DuckDB CTEs ending in
+    * `v(word, n_chars_w, n_sym_w)` — shared verbatim by the t14 and
+    * t19 oracles exactly as [[bpeVocab]] is shared by the Spark
+    * bodies, so the two audits are provably trained on one tokenizer.
+    */
+  private val bpeVocabCtes: String =
+    """WITH w AS (
+      |  SELECT tok AS word, count(*) AS wn
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok
+      |),
+      |s0 AS (
+      |  SELECT word, wn,
+      |    array_to_string(list_transform(generate_series(1, length(word)),
+      |      i -> substring(word, i, 1)), ' ') AS seq
+      |  FROM w
+      |),
+      |p1 AS (
+      |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+      |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s0),
+      |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  GROUP BY t[i], t[i+1]
+      |),
+      |m1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+      |s1 AS (
+      |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m1),
+      |                           (SELECT l || r FROM m1)) AS seq
+      |  FROM s0
+      |),
+      |p2 AS (
+      |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+      |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s1),
+      |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  GROUP BY t[i], t[i+1]
+      |),
+      |m2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+      |s2 AS (
+      |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m2),
+      |                           (SELECT l || r FROM m2)) AS seq
+      |  FROM s1
+      |),
+      |p3 AS (
+      |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+      |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s2),
+      |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  GROUP BY t[i], t[i+1]
+      |),
+      |m3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1),
+      |s3 AS (
+      |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m3),
+      |                           (SELECT l || r FROM m3)) AS seq
+      |  FROM s2
+      |),
+      |v AS (
+      |  SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,
+      |         CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym_w
+      |  FROM s3
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // t18: tf/df tables + the bit-bucket idf, ranked per doc
     "t18_keyword_extract" ->
@@ -812,61 +873,11 @@ object TextOps {
         |FROM g JOIN firsts f ON f.gram = g.gram
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
-    // t14: t13's unrolled rounds + one final replace, then the corpus
-    // joins the encoded vocabulary for per-doc symbol sums
-    "t14_bpe_encode" ->
-      """WITH w AS (
-        |  SELECT tok AS word, count(*) AS wn
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY tok
-        |),
-        |s0 AS (
-        |  SELECT word, wn,
-        |    array_to_string(list_transform(generate_series(1, length(word)),
-        |      i -> substring(word, i, 1)), ' ') AS seq
-        |  FROM w
-        |),
-        |p1 AS (
-        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
-        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s0),
-        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |  GROUP BY t[i], t[i+1]
-        |),
-        |m1 AS (SELECT l, r FROM p1 ORDER BY n DESC, l, r LIMIT 1),
-        |s1 AS (
-        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m1),
-        |                           (SELECT l || r FROM m1)) AS seq
-        |  FROM s0
-        |),
-        |p2 AS (
-        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
-        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s1),
-        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |  GROUP BY t[i], t[i+1]
-        |),
-        |m2 AS (SELECT l, r FROM p2 ORDER BY n DESC, l, r LIMIT 1),
-        |s2 AS (
-        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m2),
-        |                           (SELECT l || r FROM m2)) AS seq
-        |  FROM s1
-        |),
-        |p3 AS (
-        |  SELECT t[i] AS l, t[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
-        |  FROM (SELECT wn, string_split(seq, ' ') AS t FROM s2),
-        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |  GROUP BY t[i], t[i+1]
-        |),
-        |m3 AS (SELECT l, r FROM p3 ORDER BY n DESC, l, r LIMIT 1),
-        |s3 AS (
-        |  SELECT word, wn, replace(seq, (SELECT l || ' ' || r FROM m3),
-        |                           (SELECT l || r FROM m3)) AS seq
-        |  FROM s2
-        |),
-        |v AS (
-        |  SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,
-        |         CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym_w
-        |  FROM s3
-        |),
+    // t14: t13's unrolled rounds + one final replace (the shared
+    // bpeVocabCtes), then the corpus joins the encoded vocabulary for
+    // per-doc symbol sums
+    "t14_bpe_encode" -> (bpeVocabCtes + "," +
+      """
         |dw AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents
@@ -876,7 +887,23 @@ object TextOps {
         |  CAST(SUM(v.n_sym_w) AS BIGINT) AS n_bpe_tokens,
         |  CAST(SUM(v.n_chars_w) AS DOUBLE) / SUM(v.n_sym_w) AS compression
         |FROM dw JOIN v USING (word)
-        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
+
+    // t19: the same trained vocabulary, audited per LANGUAGE —
+    // fertility (tokens/word) and compression (chars/token) by lang
+    "t19_tokenizer_fertility" -> (bpeVocabCtes + "," +
+      """
+        |dw AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |)
+        |SELECT dw.lang, count(*) AS n_words,
+        |  CAST(SUM(v.n_chars_w) AS BIGINT) AS n_char_symbols,
+        |  CAST(SUM(v.n_sym_w) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(v.n_sym_w) AS DOUBLE) / count(*) AS fertility,
+        |  CAST(SUM(v.n_chars_w) AS DOUBLE) / SUM(v.n_sym_w) AS compression
+        |FROM dw JOIN v USING (word)
+        |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin),
 
     // 3 BPE rounds unrolled: each round's argmax feeds the next
     // round's replace via scalar subqueries

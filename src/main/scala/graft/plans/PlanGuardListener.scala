@@ -32,6 +32,9 @@ final class PlanGuardListener(maxEntries: Int = 256)
     extends QueryExecutionListener {
 
   private val log = new ConcurrentLinkedQueue[(String, Seq[String])]()
+  // atomic admission counter: ConcurrentLinkedQueue.size is O(n) and a
+  // size-check-then-add races under concurrent listener-bus deliveries
+  private val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Snapshot of (funcName, flags) hits recorded so far. */
   def flagged: Seq[(String, Seq[String])] = {
@@ -39,15 +42,25 @@ final class PlanGuardListener(maxEntries: Int = 256)
     log.asScala.toSeq
   }
 
-  def clear(): Unit = log.clear()
+  def clear(): Unit = { log.clear(); admitted.set(0) }
 
   private def record(funcName: String, qe: QueryExecution): Unit = {
+    // Once the log is full, stop paying for plan toString + sweep
+    // entirely: the listener-bus thread runs CONCURRENTLY with the
+    // next query on the driver, so unbounded per-action sweeps bleed
+    // into foreground timings (measured in the r9 bench wiring).
+    if (admitted.get() >= maxEntries) return
     // executedPlan is already materialized by the finished query; the
     // flags scan is a string sweep — cheap enough for every query.
     val fs =
       try graft.PlanAudit.flags(qe.executedPlan.toString)
       catch { case _: Throwable => Nil } // never break the listener bus
-    if (fs.nonEmpty && log.size < maxEntries) log.add(funcName -> fs)
+    if (fs.nonEmpty) {
+      // reserve a slot atomically; roll back on overflow so the
+      // counter can't creep past maxEntries under contention
+      if (admitted.incrementAndGet() <= maxEntries) log.add(funcName -> fs)
+      else admitted.decrementAndGet()
+    }
   }
 
   override def onSuccess(

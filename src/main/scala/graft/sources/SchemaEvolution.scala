@@ -48,8 +48,9 @@ object SchemaEvolution {
       defaults: Map[String, Column] = Map.empty): DataFrame = {
     if (defaults.isEmpty)
       return spark.read.option("mergeSchema", "true").parquet(root)
+    val hadoopConf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = rootPath.getFileSystem(hadoopConf)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(rootPath, true)
     while (it.hasNext) {
@@ -58,14 +59,37 @@ object SchemaEvolution {
       if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
         files += f.getPath.toString
     }
-    val groups = files.toSeq
-      .groupBy(f => spark.read.parquet(f).schema.fieldNames.toSet)
-    val parts = groups.toSeq.map { case (cols, paths) =>
+    require(files.nonEmpty,
+      s"readEvolved: no parquet files under $root")
+    // Vintage = the footer's field-name set, read via ParquetFileReader
+    // (footer metadata only — NOT a per-file spark.read, which pays
+    // full reader resolution per file)
+    val groups = files.toSeq.groupBy { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), hadoopConf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+      } finally reader.close()
+    }
+    val parts = groups.toSeq.map { case (_, paths) =>
+      // basePath anchors Hive-style partition-directory discovery so
+      // path columns (day=..., lang=...) survive the per-group file
+      // listing exactly as the plain root read would surface them;
       // mergeSchema within the (same-name-set) group keeps the type-
-      // conflict check loud; name-identical footers merge trivially
-      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      // conflict check loud
+      val df = spark.read
+        .option("basePath", root)
+        .option("mergeSchema", "true")
+        .parquet(paths: _*)
+      // fill decisions consult the ACTUAL frame columns (footer fields
+      // + partition-path columns), so a partition column never gets
+      // clobbered by a same-named default
+      val present = df.columns.toSet
       defaults.foldLeft(df) { case (d, (name, default)) =>
-        if (cols.contains(name)) d else d.withColumn(name, default)
+        if (present.contains(name)) d else d.withColumn(name, default)
       }
     }
     // unionByName fails loudly on cross-vintage type conflicts — the

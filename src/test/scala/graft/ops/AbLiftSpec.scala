@@ -26,4 +26,28 @@ class AbLiftSpec extends SparkTestBase {
       assert(r.getAs[Double]("lift") ==
         r.getAs[Double]("cvr_b") / r.getAs[Double]("cvr_a"))
   }
+
+  test("w37: negative user_ids land in an arm (ADVICE r8 — Spark's % " +
+      "would yield -1 and silently exclude them)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w37").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user -3 (odd -> arm B) and user -4 (even -> arm A) both complete
+    // the full view -> click -> purchase chain
+    Seq(
+      (1L, t("2024-01-01 00:00:00"), -3L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 01:00:00"), -3L, "click", 1.0, "{}"),
+      (3L, t("2024-01-01 02:00:00"), -3L, "purchase", 1.0, "{}"),
+      (4L, t("2024-01-01 00:00:00"), -4L, "view", 1.0, "{}"),
+      (5L, t("2024-01-01 01:00:00"), -4L, "click", 1.0, "{}"),
+      (6L, t("2024-01-01 02:00:00"), -4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RelOps.w37AbLift(spark, dir).collect().head
+    assert(r.getAs[Long]("exposed_a") == 1L &&
+      r.getAs[Long]("converted_a") == 1L)
+    assert(r.getAs[Long]("exposed_b") == 1L &&
+      r.getAs[Long]("converted_b") == 1L)
+    assert(r.getAs[Double]("lift") == 1.0)
+  }
 }

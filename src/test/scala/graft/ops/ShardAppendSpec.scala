@@ -35,4 +35,23 @@ class ShardAppendSpec extends SparkTestBase {
     assert(start == corpusTotal)
     assert(batch.nonEmpty && corpus.nonEmpty)
   }
+
+  test("m09: an empty corpus slice packs the batch from byte 0 " +
+      "(ADVICE r8 — NULL base)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m09").toString
+    // every doc_id = 7 (mod 10): the whole table is "today's batch"
+    Seq((7L, "abcd"), (17L, "efghij")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MediaOps.m09ShardAppend(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("is_batch") == 1L))
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("shard_id") == 0L &&
+      first.getAs[Long]("shard_offset") == 0L,
+      s"batch did not start at byte 0: ${rows.mkString(";")}")
+    val second = rows.maxBy(_.getAs[Long]("doc_id"))
+    assert(second.getAs[Long]("shard_offset") == 4L) // after "abcd"
+  }
 }

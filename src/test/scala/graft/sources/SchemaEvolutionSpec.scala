@@ -56,6 +56,42 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(merged.filter(col("quality").isNull).count() == 1L)
   }
 
+  test("hive-partitioned roots keep partition-path columns through the " +
+      "vintage-grouped read (ADVICE r8)") {
+    val root = Files.createTempDirectory("graft_evolve5").toString
+    // two partitions, evolving mid-life: day=1 predates quality
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(s"$root/day=1")
+    Seq((3L, "c", 0.9)).toDF("id", "name", "quality")
+      .write.mode("append").parquet(s"$root/day=2")
+    val df = SchemaEvolution.readEvolved(spark, root,
+      Map("quality" -> lit(0.5)))
+    assert(df.columns.contains("day"),
+      s"partition column dropped: ${df.columns.mkString(",")}")
+    val m = df.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Int]("day"), r.getAs[Double]("quality")))).toMap
+    assert(m == Map(1L -> ((1, 0.5)), 2L -> ((1, 0.5)), 3L -> ((2, 0.9))))
+  }
+
+  test("a same-named default never clobbers a partition column") {
+    val root = Files.createTempDirectory("graft_evolve6").toString
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("append").parquet(s"$root/day=7")
+    val df = SchemaEvolution.readEvolved(spark, root,
+      Map("day" -> lit(-1), "quality" -> lit(0.5)))
+    val r = df.collect().head
+    assert(r.getAs[Int]("day") == 7) // path value, not the default
+    assert(r.getAs[Double]("quality") == 0.5)
+  }
+
+  test("an empty root fails loudly (ADVICE r8 — reduce on empty groups)") {
+    val root = Files.createTempDirectory("graft_evolve7").toString
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.readEvolved(spark, root, Map("q" -> lit(1)))
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
   test("type conflicts fail loudly, not silently cast") {
     val root = Files.createTempDirectory("graft_evolve3").toString
     Seq((1L, 10)).toDF("id", "metric").write.mode("append").parquet(root)
