@@ -60,4 +60,26 @@ object Caches {
     checkpointed.foreach(_.unpersist(blocking = false))
     checkpointed.clear()
   }
+
+  /** Release ONE checkpointed frame's persisted blocks mid-query — the
+    * fixpoint-loop discipline (r9): a driver loop that checkpoints
+    * every round would otherwise pin O(rounds) copies of the working
+    * set until [[unpersistAll]], turning an O(log n)-round contraction
+    * into an O(edges x log n) memory bill at scale. Callers release
+    * round r's frame once round r+1 is materialized AND no later code
+    * touches r (checkpointing truncated its lineage — a released frame
+    * is unrecoverable, which is why this is an explicit per-frame call
+    * and never automatic). No-op for frames this registry never
+    * checkpointed.
+    */
+  def release(df: DataFrame): Unit = synchronized {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val (hit, keep) = checkpointed.partition(_.id == lr.rdd.id)
+        hit.foreach(_.unpersist(blocking = false))
+        checkpointed.clear()
+        checkpointed ++= keep
+      case _ => ()
+    }
+  }
 }

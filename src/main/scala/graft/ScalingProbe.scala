@@ -99,15 +99,25 @@ object ScalingProbe {
     * rounds should grow by ~log(10x)/log(x) (a few), runtime ~linearly
     * in edges x rounds.
     */
+  /** Persisted bytes still pinned by the Caches registry right now —
+    * read AFTER a fixpoint loop returns and BEFORE unpersistAll, it is
+    * the loop's end-state footprint (the r9 per-round release keeps it
+    * at ~2 working-set copies instead of O(rounds)).
+    */
+  private def pinnedMb(spark: SparkSession): Double =
+    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+
   private def starsProbe(spark: SparkSession, n: Int): Unit = {
     val edges = spark.range(n - 1L)
       .select((col("id") + 1).as("hi"), col("id").as("lo"))
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val (stars, rounds) = graft.ops.DedupOps.starContract(edges)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val mb = pinnedMb(spark)
       val rows = stars.count()
-      println(f"d17_star_contract n=$n run $i: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2fs rounds=$rounds rows=$rows")
+      println(f"d17_star_contract n=$n run $i: ${dt}%.2fs rounds=$rounds " +
+        f"perRound=${dt / rounds}%.2fs pinnedMB=$mb%.1f rows=$rows")
       Caches.unpersistAll()
     }
   }
@@ -152,11 +162,68 @@ object ScalingProbe {
       val t0 = System.nanoTime()
       val (out, rounds, converged) =
         graft.ops.GraphOps.kcorePeelToFixpoint(edges, maxRounds = 20)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val mb = pinnedMb(spark)
       val cnt = out.filter(col("in_2core") === 1L).count()
-      println(f"g03_kcore_peel n=$n run $i: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2fs rounds=$rounds " +
+      println(f"g03_kcore_peel n=$n run $i: ${dt}%.2fs rounds=$rounds " +
+        f"perRound=${dt / rounds}%.2fs pinnedMB=$mb%.1f " +
         f"converged=$converged core=$cnt")
       Caches.unpersistAll()
+    }
+  }
+
+  /** w34 shape: in-session funnel on n users, each with 24 events in 4
+    * sessions of 6 (view/click/purchase/noise mix, 10-minute gaps
+    * in-session, 2-day gaps between). Claimed posture: ONE user-keyed
+    * window sort then (user, sess)-keyed aggs/joins — a single logical
+    * shuffle key, so 10x users => ~linear runtime.
+    */
+  private def funnelProbe(spark: SparkSession, n: Int): Unit = {
+    val types = "array('view','click','purchase','error','view','click')"
+    val e = spark.range(n.toLong).select(col("id").as("user_id"),
+        explode(expr("sequence(0, 23)")).as("j"))
+      .select(col("user_id"),
+        expr("timestamp'2025-01-01 00:00:00' + (j div 6) * interval '2' day" +
+          " + (j % 6) * interval '10' minute").as("ts"),
+        (col("user_id") * 24 + col("j")).as("event_id"),
+        expr(s"element_at($types, CAST(j % 6 + 1 AS INT))").as("event_type"))
+    time("w34_session_funnel", n) {
+      graft.ops.RelOps.sessionFunnel(e).count()
+    }
+  }
+
+  /** w36 shape: hour-of-day baseline on n events over a fixed 60-day,
+    * 8-type span. Claimed posture: events pre-aggregate to type x hour
+    * cells FIRST (one hash agg, map-side combinable), every downstream
+    * frame is (types x hours)-sized — 10x events => ~linear in the one
+    * scan+agg, constant after.
+    */
+  private def seasonalProbe(spark: SparkSession, n: Int): Unit = {
+    val e = spark.range(n.toLong).select(
+      concat(lit("type"), (col("id") % 8).cast("string")).as("event_type"),
+      expr("timestamp'2025-01-01 00:00:00' + " +
+        "((id * 37) % 1440) * interval '1' hour").as("ts"))
+    time("w36_seasonal_baseline", n) {
+      graft.ops.RelOps.seasonalBaseline(e).count()
+    }
+  }
+
+  /** m09 shape: incremental append of an n-row batch onto a FIXED 1M-row
+    * packed corpus. Claimed posture: two independent packStarts passes
+    * (each bucket-parallel) + a 1-row broadcast shift — 10x batch rows
+    * move only the batch's pack cost; the corpus side is constant, and
+    * the tail-shard fill is arithmetic, not data movement.
+    */
+  private def appendProbe(spark: SparkSession, n: Int): Unit = {
+    val corpusN = 1000000L
+    val m = spark.range(corpusN + n).select(
+      col("id").as("doc_id"), lit("x").as("kind"),
+      (col("id") % 900 + 100).as("n_bytes"),
+      (col("id") >= corpusN).cast("long").as("is_batch"))
+    time("m09_shard_append", n) {
+      graft.ops.MediaOps.shardAppendOf(m, 1 << 20)
+        .agg(sum(col("shard_id"))).head()
+      n.toLong
     }
   }
 
@@ -355,6 +422,21 @@ object ScalingProbe {
     }
     if (args.headOption.contains("active")) {
       activeProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("funnel")) {
+      funnelProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("seasonal")) {
+      seasonalProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("append")) {
+      appendProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

@@ -452,11 +452,15 @@ object DedupOps {
           Seq("u"))
         .groupBy(col("v").as("doc_id"))
         .agg(min(col("ulabel")).as("nlabel"))
+      val prevLabels = labels
       labels = graft.Caches.checkpoint(
         labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nlabel"), col("label")))
               .as("label")))
+      // round r's labels are consumed by the eager checkpoint — release
+      // so the loop pins 2 label frames, not O(rounds)
+      graft.Caches.release(prevLabels)
       rounds += 1
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
@@ -593,6 +597,11 @@ object DedupOps {
       // extra job on one round, never per-round work.
       stable = cur == prev && next.exceptAll(e).isEmpty
       prev = cur
+      // round r's edges are checkpointed (lineage-truncated) and no
+      // longer referenced once the stability check above consumed them
+      // — release NOW so peak storage is 2 rounds of edges, not
+      // O(rounds) (r9: the fixpoint-loop memory discipline)
+      graft.Caches.release(e)
       e = next
     }
     require(stable,
@@ -1336,7 +1345,46 @@ object DedupOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Near-dup family SIZE CENSUS: the histogram a dedup run publishes
+    * — for every family size, how many families and how many documents
+    * live at that size, singletons included (docs in no near-dup pair
+    * are size-1 families). The census is how duplication structure is
+    * actually read at corpus scale: a fat tail of large families means
+    * template farms (d22's per-family density tells WHICH), a dominant
+    * size-2 bucket means pairwise near-misses, and n_docs sums back to
+    * the corpus — a built-in completeness check the spec pins.
+    *
+    * 100 TB posture: labels come from the materialized pair graph
+    * (near-dup-population-sized); the census is two hash aggs over
+    * that population plus ONE anti-join of the corpus id column
+    * against the labeled ids (broadcast — labels are tiny relative to
+    * the corpus) collapsed to a 1-row count. No corpus-sized shuffle,
+    * no cross join.
+    */
+  def d25FamilyCensus(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = graft.Caches.cache(
+      neardupLabels(spark, dir).select(col("doc_id"), col("label")))
+    val hist = labeled.groupBy("label")
+      .agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+    val singletons = Tables.documents(spark, dir).select("doc_id")
+      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_families"))
+      .filter(col("n_families") > 0)
+      .select(lit(1L).as("family_size"), col("n_families"))
+    // re-aggregate the union: under-merged labelings (possible beyond
+    // the fixed propagation depth) could emit a labeled size-1 bucket
+    // next to the singleton row — one row per size, deterministically
+    hist.unionByName(singletons)
+      .groupBy("family_size")
+      .agg(sum(col("n_families")).as("n_families"))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"))
+      .orderBy("family_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_family_census" -> (d25FamilyCensus _),
     "d24_source_overlap" -> (d24SourceOverlap _),
     "d23_threshold_sweep" -> (d23ThresholdSweep _),
     "d22_family_shape" -> (d22FamilyShape _),
@@ -1431,6 +1479,32 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // d25: d07's labels -> per-family sizes -> size histogram, with the
+    // unlabeled corpus remainder folded in as size-1 families
+    "d25_family_census" ->
+      s"""WITH lab AS (SELECT * FROM ($d07Sql)),
+         |fam AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS family_size
+         |  FROM lab GROUP BY component
+         |),
+         |hist AS (
+         |  SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
+         |  FROM fam GROUP BY family_size
+         |),
+         |singles AS (
+         |  SELECT CAST(1 AS BIGINT) AS family_size,
+         |    CAST(count(*) AS BIGINT) AS n_families
+         |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+         |  WHERE lab.doc_id IS NULL
+         |  HAVING count(*) > 0
+         |)
+         |SELECT family_size,
+         |  CAST(SUM(n_families) AS BIGINT) AS n_families,
+         |  CAST(family_size * SUM(n_families) AS BIGINT) AS n_docs
+         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+         |GROUP BY family_size
+         |ORDER BY family_size""".stripMargin,
+
     "d16_corpus_diff" ->
       s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
          |hx AS (SELECT doc_id, md5(text) AS text_hash FROM documents),

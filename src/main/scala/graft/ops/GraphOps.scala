@@ -220,10 +220,16 @@ object GraphOps {
         .join(curDeg, Seq("doc_id"), "left")
         .filter(coalesce(col("d"), lit(0L)) < 2)
         .select(col("doc_id"), lit(r.toLong).as("peel_round"))
+      val prevRemoved = removed
+      val prevLive = live
       removed = graft.Caches.checkpoint(removed.union(drop))
       live = graft.Caches.checkpoint(live
         .join(drop.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
         .join(drop.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
+      // both round-r frames are fully consumed by the eager checkpoints
+      // above — release so peak storage stays 2 rounds, not O(rounds)
+      graft.Caches.release(prevRemoved)
+      graft.Caches.release(prevLive)
       val n = removed.count()
       stable = n == nRemoved
       nRemoved = n

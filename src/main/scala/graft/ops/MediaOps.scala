@@ -426,10 +426,16 @@ object MediaOps {
     * re-sorted or re-shuffled beyond the pack's own bucket windows.
     */
   def m09ShardAppend(spark: SparkSession, dir: String): DataFrame = {
-    val cap = 8192L
     val m = mediaTable(spark, dir).select(col("doc_id"), col("kind"),
         length(col("payload")).cast("long").as("n_bytes"))
       .withColumn("is_batch", (col("doc_id") % 10 === 7).cast("long"))
+    shardAppendOf(m, 8192L)
+  }
+
+  /** The m09 body over any (doc_id, kind, n_bytes, is_batch) frame —
+    * shared with ScalingProbe's batch-size axis.
+    */
+  private[graft] def shardAppendOf(m: DataFrame, cap: Long): DataFrame = {
     val corpus = packStarts(m.filter(col("is_batch") === 0L))
     // coalesce: an empty corpus slice must append from byte 0, not NULL
     val total = corpus.agg(coalesce(sum(col("n_bytes")), lit(0L)).as("base"))

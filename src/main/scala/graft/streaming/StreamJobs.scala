@@ -774,3 +774,98 @@ object FunnelJobs {
         TimeMode.None(), OutputMode.Update())
   }
 }
+
+/** Typed rows for the streaming DAU/WAU board: activity in integer
+  * epoch days (the exact arithmetic both engines share).
+  */
+case class ActiveEvent(user_id: Long, epoch_day: Int)
+case class ActiveDelta(user_id: Long, epoch_day: Int, kind: String)
+
+/** StatefulProcessor for [[RollingJobs.rollingActiveTws]]: per-user
+  * MapState over ACTIVE DAYS (the E94 machinery on the w35 shape).
+  * For every day the user was not yet known active it emits one "dau"
+  * delta, plus one "wau" delta for each day of [d, d+6] not already
+  * covered by the user's trailing-7-day windows — so a downstream
+  * count of deltas per day IS the board: the user contributes to
+  * DAU(d) once and to WAU(c) once per covered day c, exactly the
+  * batch operator's DISTINCT (user, day) / covering-explode counts.
+  *
+  * State is O(active days) per user as point-lookup map entries (never
+  * deserialized wholesale — the MapState-vs-fMGWS argument), and the
+  * emitted stream is append-only deltas: the lakehouse-as-accumulator
+  * pattern (E114) — the serving board is a day-keyed count over the
+  * delta table, refreshable incrementally at any cadence.
+  */
+class RollingActiveProcessor
+    extends StatefulProcessor[Long, ActiveEvent, ActiveDelta] {
+  @transient private var days: MapState[Int, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    days = getHandle.getMapState[Int, Boolean]("days",
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[ActiveEvent],
+      timerValues: TimerValues): Iterator[ActiveDelta] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ActiveDelta]
+    // dedupe within the batch, ascending so an earlier new day's
+    // coverage is visible to a later one (insertion order invariance:
+    // the union of [d, d+6] windows is order-independent; processing
+    // sorted just makes the per-day check exact against prior state)
+    val newDays = rows.map(_.epoch_day).toSet
+      .filterNot(days.containsKey).toSeq.sorted
+    newDays.foreach { d =>
+      out += ActiveDelta(uid, d, "dau")
+      // a candidate day c is newly covered iff no EXISTING active day
+      // lies in its trailing window [c-6, c] (d itself not yet inserted)
+      (d to d + 6).foreach { c =>
+        val covered = (c - 6 to c).exists(days.containsKey)
+        if (!covered) out += ActiveDelta(uid, c, "wau")
+      }
+      days.updateValue(d, true)
+    }
+    out.iterator
+  }
+}
+
+/** Streaming rolling-active entrypoint (the T6 family, w35's twin). */
+object RollingJobs {
+  /** w35's continual-ingest twin: per-user active-day MapState emitting
+    * dau/wau coverage deltas — Update mode, already-known days emit
+    * nothing, so a quiet micro-batch costs nothing downstream.
+    */
+  def rollingActiveTws(events: Dataset[ActiveEvent]): Dataset[ActiveDelta] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RollingActiveProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated delta table into the w35 board — day spine
+    * clipped to the active-day range, DAU/WAU7 counts, stickiness.
+    * Output is column-identical to `RelOps.w35RollingActive`; the spec
+    * pins value equality. Deltas are unique per (user, day, kind) by
+    * the processor contract, so the counts are plain COUNT(*).
+    */
+  def rollingActiveBoard(deltas: DataFrame): DataFrame = {
+    val asDay = expr("date_add(DATE '1970-01-01', epoch_day)")
+    val dau = deltas.filter(col("kind") === "dau")
+      .select(asDay.as("day"))
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = deltas.filter(col("kind") === "wau")
+      .select(asDay.as("day"))
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    val bounds = dau.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(dau, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .withColumn("stickiness",
+        when(col("wau7") > 0, col("dau").cast("double") / col("wau7")))
+      .orderBy("day")
+  }
+}

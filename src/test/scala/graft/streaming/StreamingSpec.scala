@@ -706,4 +706,51 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("rollingActiveTws: accumulated deltas fold to EXACTLY the batch " +
+      "w35 board (r8 VERDICT item 6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, sf0001)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("int").as("epoch_day"))
+        .as[ActiveEvent].collect()
+      // two micro-batches with overlapping users/days: re-sent activity
+      // must emit nothing the second time
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      val mem = MemoryStream[ActiveEvent]
+      val q = RollingJobs.rollingActiveTws(mem.toDS())
+        .writeStream.format("memory").queryName("active_deltas")
+        .outputMode("update").start()
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable(); q.stop()
+      val deltas = spark.table("active_deltas")
+      // processor contract: one delta per (user, day, kind), ever
+      assert(deltas.groupBy("user_id", "epoch_day", "kind").count()
+        .filter(col("count") > 1).count() == 0L)
+      val board = RollingJobs.rollingActiveBoard(deltas).collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Long]("dau"), r.getAs[Long]("wau7"),
+          Option(r.getAs[Any]("stickiness")))).toSeq
+      val batch = graft.ops.RelOps.w35RollingActive(spark, sf0001).collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Long]("dau"), r.getAs[Long]("wau7"),
+          Option(r.getAs[Any]("stickiness")))).toSeq
+      assert(board == batch,
+        s"streaming board != batch w35 (board ${board.size} rows, " +
+          s"batch ${batch.size})")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
