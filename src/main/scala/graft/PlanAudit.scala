@@ -59,6 +59,10 @@ object PlanAudit {
     "s22_kmeans_refine" -> Set("BroadcastNestedLoopJoin"),
     // s23: the same codebook scan feeding the bottom-k TakeOrdered
     "s23_coverage_gaps" -> Set("BroadcastNestedLoopJoin"),
+    // s24: the s08-family codebook scans + s01's broadcast-queries
+    // exact side + the 1-row truth-set-size broadcast (d23's scalar
+    // pattern) — all documented broadcast shapes
+    "s24_nprobe_sweep" -> Set("BroadcastNestedLoopJoin"),
     // t18: the t05/t08 1-row n_docs scalar broadcast
     "t18_keyword_extract" -> Set("BroadcastNestedLoopJoin"),
     // (t14/t19 need no entry: their vocab broadcast is an equality

@@ -104,6 +104,73 @@ object SimOps {
       .orderBy("qid")
   }
 
+  /** IVF nProbe calibration sweep — the FAISS-tuning analog of d23's
+    * threshold sweep: the recall-vs-cost frontier a team reads before
+    * fixing the index's probe count. ONE search pass at the LOOSEST
+    * setting (nProbe=4) tags every candidate with the rank of the
+    * probe that found it; each sweep level then re-reads those
+    * candidates with probe_rank <= level (a sequence-explode, no
+    * second corpus pass), ranks its own top-5, and scores recall
+    * against the brute-force truth (s01's machinery at rank <= 5).
+    * n_candidates/n_hits/n_exact are exact integers; recall_at_5 the
+    * one shared division.
+    *
+    * 100 TB posture: the expensive halves are paid once — one corpus
+    * assignment scan + one candidate join at the widest probe setting
+    * (the 4-levels-of-s08 form rescans the corpus four times), and the
+    * exact side runs on the sampled query set exactly as s17 argues.
+    * The 4-level explode multiplies only candidate rows (query-bounded),
+    * and the final report is 4 rows.
+    */
+  def s24NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val maxProbe = 4
+    val v = graft.Caches.cache(vectors(spark, dir))
+    val isQuery = col("vec_id") % 50 === 0
+    val cells = cellCentroids(v)
+    val assigned = assignCells(scoreCells(v, cells))
+    val probes = scoreCells(v.filter(isQuery), cells)
+      .groupBy(col("vec_id").as("qid"))
+      .agg(expr(s"graft_topk(ccos, cell, $maxProbe)").as("top"))
+      .select(col("qid"),
+        posexplode(col("top").getField("id")).as(Seq("p0", "cell")))
+      .select(col("qid"), (col("p0") + 1).cast("long").as("probe_rank"),
+        col("cell"))
+    val q = v.filter(isQuery).select(col("vec_id").as("qid"),
+      col("qv").as("qemb"), col("vnorm").as("qnorm"))
+    val cand = graft.Caches.cache(
+      v.join(assigned, Seq("vec_id"))
+        .join(broadcast(probes.join(q, Seq("qid"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr(dotSq("qemb", "qv")))
+        .withColumn("cosine", cosine)
+        .select(col("qid"), col("vec_id"), col("probe_rank"),
+          col("cosine")))
+    // a candidate found by probe r participates in every level >= r
+    val leveled = graft.Caches.cache(cand.withColumn("n_probe",
+      explode(expr(s"sequence(probe_rank, $maxProbe)"))))
+    val w = Window.partitionBy(col("n_probe"), col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val annTop = leveled
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val exact = graft.Caches.cache(s01KnnBruteforce(spark, dir)
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("neighbor_id").as("vec_id")))
+    val hits = annTop.join(exact, Seq("qid", "vec_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    val cands = leveled.groupBy("n_probe")
+      .agg(count(lit(1)).as("n_candidates"))
+    // 1-row truth-set size broadcast (the d23 scalar pattern; BNLJ
+    // allowlisted) — the denominator is level-independent
+    val denom = exact.agg(count(lit(1)).as("n_exact"))
+    cands.join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("n_probe"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall_at_5"))
+      .orderBy("n_probe")
+  }
+
   /** Sign-LSH bucket key: sign bits of components [from, from+bits).
     * An axis-aligned random-projection LSH — the scale path that turns
     * all-pairs search into a per-bucket search.
@@ -1268,7 +1335,8 @@ object SimOps {
     "s09_knn_join" -> (s09KnnJoin _),
     "s10_quantized_rescore" -> (s10QuantizedRescore _),
     "s11_semantic_dedup" -> (s11SemanticDedup _),
-    "s17_recall_report" -> (s17RecallReport _)
+    "s17_recall_report" -> (s17RecallReport _),
+    "s24_nprobe_sweep" -> (s24NprobeSweep _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -1999,6 +2067,79 @@ object SimOps {
     // s17: exact top-5 (the knn CTE) intersected with the s02 LSH
     // top-5, counted per query — pure integer work over the two
     // rankings stated above
+    // s24: one widest-probe candidate pass re-read per sweep level,
+    // scored against the same brute-force truth as s17
+    "s24_nprobe_sweep" ->
+      s"""WITH $unnestSql,
+         |$cellAsgSql,
+         |probe AS (
+         |  SELECT vec_id AS qid, cell, CAST(r AS BIGINT) AS probe_rank
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r
+         |    FROM sc WHERE vec_id % 50 = 0)
+         |  WHERE r <= 4
+         |),
+         |dall AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |call AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM dall JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |),
+         |ex AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid ASC) AS rank FROM call)
+         |  WHERE rank <= 5
+         |),
+         |dc AS (
+         |  SELECT p.qid, v.vec_id AS vid, p.probe_rank,
+         |         SUM(uq.x * uv.x) AS dot
+         |  FROM probe p
+         |  JOIN asg v ON v.cell = p.cell AND v.vec_id <> p.qid
+         |  JOIN u uq ON uq.vec_id = p.qid
+         |  JOIN u uv ON uv.vec_id = v.vec_id AND uv.i = uq.i
+         |  GROUP BY p.qid, v.vec_id, p.probe_rank
+         |),
+         |cand AS (
+         |  SELECT qid, vid, probe_rank, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM dc JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |),
+         |leveled AS (
+         |  SELECT c.*, CAST(l AS BIGINT) AS n_probe
+         |  FROM cand c, unnest(generate_series(c.probe_rank, 4)) AS t(l)
+         |),
+         |anntop AS (
+         |  SELECT n_probe, qid, vid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY n_probe, qid
+         |      ORDER BY cosine DESC, vid ASC) AS rank FROM leveled)
+         |  WHERE rank <= 5
+         |),
+         |hits AS (
+         |  SELECT a.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM anntop a JOIN ex ON ex.qid = a.qid AND ex.vid = a.vid
+         |  GROUP BY a.n_probe
+         |),
+         |cands AS (
+         |  SELECT n_probe, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM leveled GROUP BY n_probe
+         |),
+         |denom AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT c.n_probe, c.n_candidates,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, d.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / d.n_exact AS recall_at_5
+         |FROM cands c LEFT JOIN hits h ON h.n_probe = c.n_probe
+         |CROSS JOIN denom d
+         |ORDER BY c.n_probe""".stripMargin,
+
     "s17_recall_report" ->
       s"""WITH $unnestSql,
          |e AS (

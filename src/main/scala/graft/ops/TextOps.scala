@@ -673,7 +673,41 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Dataset card — the (source x lang) composition table a corpus
+    * release publishes: documents, tokens and characters per cell,
+    * plus each cell's share of its source's docs and tokens (the two
+    * numbers a mixture designer actually reads — "this crawl is 62%
+    * English by tokens but 41% by documents" is the long-document
+    * skew signal). Counts are exact integer sums; the two shares are
+    * single divisions against per-source totals.
+    *
+    * 100 TB posture: ONE corpus scan into a (sources x langs)-sized
+    * hash agg (map-side combinable); the per-source totals re-aggregate
+    * the tiny cell frame and ride a broadcast-hash join back — the
+    * corpus is never touched twice and nothing is windowed.
+    */
+  def t20DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val totals = cells.groupBy("source")
+      .agg(sum(col("n_docs")).as("src_docs"),
+        sum(col("n_tokens")).as("src_tokens"))
+    cells.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        (col("n_docs").cast("double") / col("src_docs")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("src_tokens"))
+          .as("token_share"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_dataset_card" -> (t20DatasetCard _),
     "t18_keyword_extract" -> (t18KeywordExtract _),
     "t17_burstiness" -> (t17Burstiness _),
     "t16_novelty" -> (t16Novelty _),
@@ -813,6 +847,25 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t20: one (source x lang) agg + per-source total shares
+    "t20_dataset_card" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source, lang
+        |),
+        |tot AS (
+        |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM cells GROUP BY source
+        |)
+        |SELECT c.source, c.lang, c.n_docs, c.n_tokens, c.n_chars,
+        |  CAST(c.n_docs AS DOUBLE) / t.src_docs AS doc_share,
+        |  CAST(c.n_tokens AS DOUBLE) / t.src_tokens AS token_share
+        |FROM cells c JOIN tot t ON t.source = c.source
+        |ORDER BY c.source, c.lang""".stripMargin,
+
     // t18: tf/df tables + the bit-bucket idf, ranked per doc
     "t18_keyword_extract" ->
       """WITH tok AS (
