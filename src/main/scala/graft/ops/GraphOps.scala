@@ -286,7 +286,67 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Common-neighbor LINK-PREDICTION PRECISION AUDIT over the near-dup
+    * graph: predict missed pairs from a STRICTER gate (J >= 0.98 — a
+    * production threshold set too high) via transitivity, then grade
+    * each suggestion against the looser J >= 0.8 pair graph as ground
+    * truth. A suggestion is any non-edge (in the strict graph) sharing
+    * >= 1 neighbor, scored common / (deg_x + deg_y - common); the
+    * `confirmed` flag says whether d03's exact-verify truth contains
+    * the pair — so the output directly measures what common-neighbor
+    * transitivity would recover for an over-tight gate (the dedup-QA
+    * question behind threshold post-mortems, d23's sweep read from the
+    * graph side). Counts/degrees exact integers; the score the one
+    * shared division; the 0.98 compare is on d03's bit-identical
+    * jaccard doubles.
+    *
+    * 100 TB posture: wedge volume is sum(deg^2) over strict-graph
+    * nodes (family-bounded degrees — the d03 banding caps fan-out),
+    * never corpus-sized; the anti-join, truth join and degree joins
+    * all hash on node ids.
+    */
+  def g05LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val full = DedupOps.pairGraph(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+    linkPrediction(
+      full.filter(col("jaccard") >= 0.98).select("doc_a", "doc_b"),
+      full.select("doc_a", "doc_b"))
+  }
+
+  /** g05's body over canonical (doc_a < doc_b) distinct edge frames:
+    * `strict` is the prediction graph, `truth` the confirmation set
+    * (spec-shared).
+    */
+  private[graft] def linkPrediction(
+      strict: DataFrame, truth: DataFrame): DataFrame = {
+    val adj = graft.Caches.cache(symmetric(strict))
+    val deg = adj.groupBy(col("u").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+    val wedges = adj.select(col("u").as("p"), col("v").as("x"))
+      .join(adj.select(col("u").as("p"), col("v").as("y")), Seq("p"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(strict.select(col("doc_a").as("x"), col("doc_b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(truth.select(col("doc_a").as("x"), col("doc_b").as("y"),
+        lit(1L).as("confirmed")), Seq("x", "y"), "left")
+      .join(deg.select(col("doc_id").as("x"), col("degree").as("deg_x")),
+        Seq("x"))
+      .join(deg.select(col("doc_id").as("y"), col("degree").as("deg_y")),
+        Seq("y"))
+      .select(col("x").as("doc_x"), col("y").as("doc_y"), col("n_common"),
+        col("deg_x"), col("deg_y"),
+        (col("n_common").cast("double") /
+          (col("deg_x") + col("deg_y") - col("n_common")))
+          .as("link_score"),
+        coalesce(col("confirmed"), lit(0L)).as("confirmed"))
+      .orderBy("doc_x", "doc_y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g05_link_prediction" -> (g05LinkPrediction _),
     "g04_assortativity" -> (g04Assortativity _),
     "g03_kcore" -> (g03Kcore _),
     "g01_triangle_count" -> (g01TriangleCount _),
@@ -340,6 +400,41 @@ object GraphOps {
     sql.replaceAll("\\bAS \\(", "AS MATERIALIZED (")
 
   val oracle: Map[String, String] = Map(
+    // g05: strict-graph wedges, anti-joined strict edges, confirmed
+    // against the full J >= 0.8 truth
+    "g05_link_prediction" -> materializedCtes(
+      s"""WITH truth AS (SELECT doc_a, doc_b, jaccard
+         |              FROM (${DedupOps.d03Sql})),
+         |strict AS (SELECT doc_a, doc_b FROM truth WHERE jaccard >= 0.98),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM strict
+         |  UNION ALL SELECT doc_b, doc_a FROM strict
+         |),
+         |deg AS (SELECT u AS doc_id, count(*) AS degree
+         |        FROM edges GROUP BY u),
+         |wed AS (
+         |  SELECT a.v AS x, b.v AS y, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM edges a JOIN edges b ON b.u = a.u AND a.v < b.v
+         |  GROUP BY a.v, b.v
+         |),
+         |cand AS (
+         |  SELECT w.* FROM wed w
+         |  LEFT JOIN strict e ON e.doc_a = w.x AND e.doc_b = w.y
+         |  WHERE e.doc_a IS NULL
+         |)
+         |SELECT c.x AS doc_x, c.y AS doc_y, c.n_common,
+         |  CAST(dx.degree AS BIGINT) AS deg_x,
+         |  CAST(dy.degree AS BIGINT) AS deg_y,
+         |  CAST(c.n_common AS DOUBLE) /
+         |    (dx.degree + dy.degree - c.n_common) AS link_score,
+         |  CAST(CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS confirmed
+         |FROM cand c
+         |LEFT JOIN truth t ON t.doc_a = c.x AND t.doc_b = c.y
+         |JOIN deg dx ON dx.doc_id = c.x
+         |JOIN deg dy ON dy.doc_id = c.y
+         |ORDER BY doc_x, doc_y""".stripMargin),
+
     // g04: the same exact-moment statement (den factors are equal by
     // symmetry, so no sqrt ever appears)
     "g04_assortativity" -> materializedCtes(

@@ -1462,7 +1462,52 @@ object RelOps {
       .orderBy("event_type", "run_start")
   }
 
+  /** Conversion-latency quantiles per experiment arm: for users who
+    * complete the w26 funnel, the exact p50/p90/p99 of (purchase -
+    * view) in integer microseconds, split by the w37 parity arms — the
+    * readout that answers "did the treatment SPEED UP conversion?",
+    * which a rate-only A/B report (w37) cannot see. Latencies are
+    * exact integer differences; the quantiles are percentile_disc
+    * picks through the shared two-phase rank machinery (w08/w30's
+    * plan: scan + hash-agg histogram selection, no per-group sort).
+    *
+    * 100 TB posture: inherits w26's single-shuffle-key funnel, then
+    * the rank machinery sees only converted-user rows (funnel-output-
+    * sized); 2 arms x 3 quantiles ride the G-row target frames.
+    */
+  def w39ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    // the rank machinery keys on a column literally named event_type;
+    // here the "type" is the experiment arm
+    val lat = w26Funnel(spark, dir)
+      .filter(col("stage_reached") === 3L)
+      .select(
+        when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b")
+          .as("event_type"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .cast("double").as("value"))
+    val stats = rankStats(lat)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val wanted = stats
+      .select(col("event_type"), col("cnt"),
+        explode(array(qs.map { case (q, name) =>
+          struct(lit(name).as("q"),
+            expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))
+        }: _*)).as("t"))
+      .select(col("event_type"), col("cnt"),
+        col("t.q").as("q"), col("t.r").as("r"))
+    sortTiny(valuesAtRanks(lat, stats, wanted)
+      .groupBy(col("event_type"), col("cnt"))
+      .agg(
+        max(when(col("q") === "p50", col("value"))).cast("long").as("p50_us"),
+        max(when(col("q") === "p90", col("value"))).cast("long").as("p90_us"),
+        max(when(col("q") === "p99", col("value"))).cast("long").as("p99_us"))
+      .select(col("event_type").as("arm"), col("p50_us"), col("p90_us"),
+        col("p99_us"), col("cnt").as("n_conversions")),
+      "arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w39_conversion_latency" -> (w39ConversionLatency _),
     "w38_anomaly_runs" -> (w38AnomalyRuns _),
     "w37_ab_lift" -> (w37AbLift _),
     "w36_seasonal_baseline" -> (w36SeasonalBaseline _),
@@ -1586,6 +1631,53 @@ object RelOps {
         |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
         |  FROM agg
         |)""".stripMargin,
+
+    // w39: w37's funnel chain -> per-arm latency -> w30's rank picks
+    "w39_conversion_latency" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT u.user_id, u.t_view,
+        |    min(CASE WHEN e.ts > u.t_view THEN e.ts END) AS t_click
+        |  FROM u LEFT JOIN events e
+        |    ON e.user_id = u.user_id AND e.event_type = 'click'
+        |  GROUP BY u.user_id, u.t_view
+        |),
+        |p AS (
+        |  SELECT c.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.ts > c.t_click THEN e.ts END) AS t_purchase
+        |  FROM c LEFT JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |  GROUP BY c.user_id, c.t_view, c.t_click
+        |),
+        |lat AS (
+        |  SELECT
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 'a' ELSE 'b' END
+        |      AS arm,
+        |    CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE)
+        |      AS value
+        |  FROM p WHERE t_purchase IS NOT NULL
+        |),
+        |n AS (SELECT arm, count(*) AS cnt FROM lat GROUP BY arm),
+        |rk AS (
+        |  SELECT arm, value,
+        |    row_number() OVER (PARTITION BY arm ORDER BY value) AS rn
+        |  FROM lat
+        |)
+        |SELECT rk.arm,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT)
+        |       THEN value END) AS BIGINT) AS p50_us,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT)
+        |       THEN value END) AS BIGINT) AS p90_us,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT)
+        |       THEN value END) AS BIGINT) AS p99_us,
+        |  n.cnt AS n_conversions
+        |FROM rk JOIN n USING (arm)
+        |GROUP BY rk.arm, n.cnt
+        |ORDER BY rk.arm""".stripMargin,
 
     // w38: w36's flagged cells + gaps-and-islands run collapse
     "w38_anomaly_runs" ->

@@ -297,4 +297,38 @@ object SparkWindowProps extends Properties("spark-windows") {
       } yield ZOrder.zValue(a / cell, b / cell, bb)).toSet
       got == expected
     }
+
+  private val edgeSetGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 25).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 11L)
+        b <- Gen.chooseNum(0L, 11L)
+      } yield (math.min(a, b), math.max(a, b)))
+    }.map(_.filter { case (a, b) => a < b }.distinct)
+
+  property("g05 link prediction equals the brute-force recount on " +
+      "random graphs") =
+    Prop.forAll(edgeSetGen) { es =>
+      import spark.implicits._
+      import org.scalacheck.Prop.propBoolean
+      (es.nonEmpty) ==> {
+        val strict = es.toDF("doc_a", "doc_b")
+        val got = graft.ops.GraphOps.linkPrediction(strict, strict)
+          .collect().map(r => (r.getAs[Long]("doc_x"),
+            r.getAs[Long]("doc_y")) -> ((r.getAs[Long]("n_common"),
+            r.getAs[Long]("deg_x"), r.getAs[Long]("deg_y")))).toMap
+        graft.Caches.unpersistAll()
+        // brute force: adjacency sets over the same ids
+        val adj = (es.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keys.toSeq.sorted
+        val want = (for {
+          x <- nodes; y <- nodes if x < y
+          if !es.contains((x, y))
+          common = (adj(x) intersect adj(y)).size if common > 0
+        } yield (x, y) -> ((common.toLong, adj(x).size.toLong,
+          adj(y).size.toLong))).toMap
+        got == want
+      }
+    }
 }

@@ -183,4 +183,31 @@ class GraphOpsSpec extends SparkTestBase {
     assert(converged)
     assert(fixed == kcoreMap(out))
   }
+
+  test("g05: hand-computed link scores on square + tail, confirmation " +
+      "against a truth set") {
+    // strict graph: square 1-2-3-4 + tail 4-5. Non-edges sharing
+    // neighbors: (1,3) via {2,4} -> 2/(2+2-2)=1.0; (2,4) via {1,3} ->
+    // 2/(2+3-2)=2/3; (1,5) and (3,5) via {4} -> 1/(2+1-1)=0.5.
+    // truth additionally holds (1,3) -> only that suggestion confirms.
+    val strict = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 4L -> 5L)
+    val truth = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 4L -> 5L,
+      1L -> 3L)
+    val rows = GraphOps.linkPrediction(strict, truth).collect()
+      .map(r => ((r.getAs[Long]("doc_x"), r.getAs[Long]("doc_y")),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("deg_x"),
+          r.getAs[Long]("deg_y"), r.getAs[Double]("link_score"),
+          r.getAs[Long]("confirmed"))))
+    assert(rows.toSeq == Seq(
+      (1L, 3L) -> ((2L, 2L, 2L, 1.0, 1L)),
+      (1L, 5L) -> ((1L, 2L, 1L, 0.5, 0L)),
+      (2L, 4L) -> ((2L, 2L, 3L, 2.0 / 3.0, 0L)),
+      (3L, 5L) -> ((1L, 2L, 1L, 0.5, 0L))), s"got ${rows.mkString("; ")}")
+    // no strict edge ever appears as a suggestion
+    val sugg = rows.map(_._1).toSet
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L)).foreach { e =>
+      assert(!sugg.contains(e))
+    }
+    graft.Caches.unpersistAll()
+  }
 }
