@@ -122,7 +122,11 @@ object PlanAudit {
     // distinct-cf histogram window (O(distinct frequencies) rows) + the
     // 1-row global fit agg — both tiny by construction; the vocabulary
     // itself is never globally sorted (two-phase rank)
-    "t09_zipf_fit" -> Set("multi-SinglePartition")
+    "t09_zipf_fit" -> Set("multi-SinglePartition"),
+    // w40: the d23 1-row totals broadcast + the global topk collapse
+    // and 10-row cumulative window — all scalar/10-row frames
+    "w40_key_skew" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

@@ -1506,7 +1506,45 @@ object RelOps {
       "arm")
   }
 
+  /** Join-key skew audit — the pre-shuffle diagnostic behind w07's
+    * salting decision: the top-10 heaviest keys of events.user_id with
+    * exact counts, each key's share of all rows, the cumulative share,
+    * and the skew ratio n * n_keys / n_rows (how many times the mean
+    * key weight this key carries). A skew_ratio in the hundreds on
+    * rank 1 is the "one reducer gets the hot key" signal that decides
+    * between a plain hash join and salting/AQE skew handling. Counts
+    * exact; each reported double is one division of exact integers.
+    *
+    * 100 TB posture: ONE key-counting hash agg over the corpus, then a
+    * map-side graft_topk heap bounds the shuffle to 10 rows per
+    * partition; the totals ride the d23 1-row scalar broadcast
+    * (allowlisted BNLJ) and the cumulative window runs over 10 rows.
+    */
+  def w40KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val counts = graft.Caches.cache(Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n")))
+    val tot = counts.agg(sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts
+      .agg(expr("graft_topk(CAST(n AS DOUBLE), user_id, 10)").as("top"))
+      .select(posexplode(col("top")).as(Seq("p0", "s")))
+      .select((col("p0") + 1).cast("long").as("rank"),
+        col("s.id").as("user_id"), col("s.score").cast("long").as("n"))
+    val wCum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(tot))
+      .select(col("rank"), col("user_id"), col("n"),
+        (col("n").cast("double") / col("n_rows")).as("share"),
+        (sum(col("n")).over(wCum).cast("double") / col("n_rows"))
+          .as("cum_share"),
+        ((col("n") * col("n_keys")).cast("double") / col("n_rows"))
+          .as("skew_ratio"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w40_key_skew" -> (w40KeySkew _),
     "w39_conversion_latency" -> (w39ConversionLatency _),
     "w38_anomaly_runs" -> (w38AnomalyRuns _),
     "w37_ab_lift" -> (w37AbLift _),
@@ -1631,6 +1669,33 @@ object RelOps {
         |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
         |  FROM agg
         |)""".stripMargin,
+
+    // w40: key counts -> top-10 by (n DESC, id ASC) -> scalar-total shares
+    "w40_key_skew" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM counts
+        |),
+        |top AS (
+        |  SELECT user_id, n, CAST(rank AS BIGINT) AS rank FROM (
+        |    SELECT *, row_number() OVER (ORDER BY n DESC, user_id ASC)
+        |      AS rank
+        |    FROM counts)
+        |  WHERE rank <= 10
+        |)
+        |SELECT t.rank, t.user_id, t.n,
+        |  CAST(t.n AS DOUBLE) / tt.n_rows AS share,
+        |  CAST(SUM(t.n) OVER (ORDER BY t.rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / tt.n_rows AS cum_share,
+        |  CAST(t.n * tt.n_keys AS DOUBLE) / tt.n_rows AS skew_ratio
+        |FROM top t CROSS JOIN tot tt
+        |ORDER BY t.rank""".stripMargin,
 
     // w39: w37's funnel chain -> per-arm latency -> w30's rank picks
     "w39_conversion_latency" ->

@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   */
 class NprobeSweepSpec extends SparkTestBase {
 
+  private def collectOrdered(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.Row] = {
+    val out = df.collect().toSeq
+    graft.Caches.unpersistAll()
+    out
+  }
+
   test("s24: monotone candidates and recall; nProbe=2 hits reconcile " +
       "with an independent s08-vs-exact intersection") {
-    val rows = DedupOpsSpecHelpers.collectOrdered(
-      SimOps.s24NprobeSweep(spark, sf0001))
+    val rows = collectOrdered(SimOps.s24NprobeSweep(spark, sf0001))
     assert(rows.map(_.getAs[Long]("n_probe")) == Seq(1L, 2L, 3L, 4L))
     // cost and recall both grow (weakly) with the probe count
     val cands = rows.map(_.getAs[Long]("n_candidates"))
@@ -30,15 +36,5 @@ class NprobeSweepSpec extends SparkTestBase {
     val expected = exact.join(s08, Seq("qid", "neighbor_id")).count()
     assert(rows(1).getAs[Long]("n_hits") == expected,
       s"sweep level 2 ${rows(1).getAs[Long]("n_hits")} != s08 $expected")
-  }
-}
-
-/** Shared helper: collect preserving the frame's own ordering. */
-private[ops] object DedupOpsSpecHelpers {
-  def collectOrdered(df: org.apache.spark.sql.DataFrame)
-      : Seq[org.apache.spark.sql.Row] = {
-    val out = df.collect().toSeq
-    graft.Caches.unpersistAll()
-    out
   }
 }
