@@ -126,6 +126,10 @@ object PlanAudit {
     // w40: the d23 1-row totals broadcast + the global topk collapse
     // and 10-row cumulative window — all scalar/10-row frames
     "w40_key_skew" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // t21: the 1-row max-id scalar broadcast + the 10-row decile lag
+    // window next to the 1-row bound agg
+    "t21_vocab_growth" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
   )
 

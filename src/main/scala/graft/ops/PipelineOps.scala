@@ -160,6 +160,74 @@ object PipelineOps {
     packByBudget(docs, budget = 500L, grpSize = 64L)
   }
 
+  /** Packing-efficiency report over p04's shard assignment: per shard,
+    * document count, token load, fill rate against the 500-token
+    * budget, and an overflow flag. Under start-offset assignment (a
+    * doc goes to the shard its cumulative start falls in) shard loads
+    * WOBBLE around the budget — the long-document overhang this report
+    * quantifies is exactly what a loader's truncation/padding pays,
+    * and a fat overflow tail is the "sort long docs first" signal.
+    * Counts exact; fill_rate the one division by the integer budget.
+    *
+    * 100 TB posture: p04's two-phase prefix sum is the corpus work;
+    * this report is ONE shard-keyed hash agg on its (3-longs/row)
+    * output — shard count is corpus_tokens/500, far smaller than rows.
+    */
+  def p21PackReport(spark: SparkSession, dir: String): DataFrame =
+    p04TokenPack(spark, dir)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / 500.0).as("fill_rate"),
+        when(col("n_tokens") > 500L, 1L).otherwise(0L).as("overflow"))
+      .orderBy("shard_id")
+
+  /** Preference-pair construction (the DPO/RLHF data shape): within
+    * each source, rank documents by the d15 integer lexical-diversity
+    * quality (distinct_tokens * 1e6 div n_tokens, doc_id tiebreak) and
+    * pair quality rank k from the TOP with rank k from the BOTTOM
+    * (k <= 3) — chosen vs rejected with the exact integer quality gap.
+    * Sources too small to pair disjointly emit only the pairs where
+    * the chosen rank strictly beats the rejected rank's quality
+    * position (2k <= group size), so no doc is ever its own rejected
+    * twin and no pair repeats.
+    *
+    * 100 TB posture: two windows over SOURCE partitions (top rank /
+    * bottom rank on the same sort — one shuffle key) and a k-bounded
+    * self-join of the <= 3-rows-per-source extremes; the corpus-sized
+    * frame is scanned once for the quality projection.
+    */
+  def p22PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val quality = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
+      " * 1000000 div size(split(text, ' '))"
+    val q = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr(quality).as("quality")))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val wBot = Window.partitionBy(col("source"))
+      .orderBy(col("quality").asc, col("doc_id").desc)
+    val ranked = q
+      .withColumn("top_rank", row_number().over(wTop))
+      .withColumn("bot_rank", row_number().over(wBot))
+      .withColumn("grp_n", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+    val chosen = ranked.filter(col("top_rank") <= 3 &&
+        col("top_rank") * 2 <= col("grp_n"))
+      .select(col("source"), col("top_rank").as("k"),
+        col("doc_id").as("chosen_doc"), col("quality").as("chosen_q"))
+    val rejected = ranked.filter(col("bot_rank") <= 3 &&
+        col("bot_rank") * 2 <= col("grp_n"))
+      .select(col("source"), col("bot_rank").as("k"),
+        col("doc_id").as("rejected_doc"), col("quality").as("rejected_q"))
+    chosen.join(rejected, Seq("source", "k"))
+      .select(col("source"), col("k").cast("long").as("k"),
+        col("chosen_doc"), col("rejected_doc"),
+        col("chosen_q"), col("rejected_q"),
+        (col("chosen_q") - col("rejected_q")).as("quality_gap"))
+      .orderBy("source", "k")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates
     * (downsample the dominant language — corpus rebalancing), keep
     * decision from a salted md5 of the doc id mapped to [0,1) — stable
@@ -820,6 +888,8 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_preference_pairs" -> (p22PreferencePairs _),
+    "p21_pack_report" -> (p21PackReport _),
     "p20_training_order" -> (p20TrainingOrder _),
     "p19_upsample_assign" -> (p19UpsampleAssign _),
     "p18_quarantine_split" -> (p18QuarantineSplit _),
@@ -843,6 +913,58 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p21: p04's assignment re-grouped by shard
+    "p21_pack_report" ->
+      """WITH pk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |        OVER (ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 500 AS BIGINT) AS shard_id
+        |  FROM documents
+        |)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / 500.0 AS fill_rate,
+        |  CAST(CASE WHEN SUM(n_tokens) > 500 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS overflow
+        |FROM pk GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // p22: two opposite rank windows per source + the k-paired extremes
+    "p22_preference_pairs" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      * 1000000 // len(string_split(text, ' ')) AS quality
+        |  FROM documents
+        |),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC) AS top_rank,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality ASC, doc_id DESC) AS bot_rank,
+        |    count(*) OVER (PARTITION BY source) AS grp_n
+        |  FROM q
+        |),
+        |chosen AS (
+        |  SELECT source, top_rank AS k, doc_id AS chosen_doc,
+        |         quality AS chosen_q
+        |  FROM ranked WHERE top_rank <= 3 AND top_rank * 2 <= grp_n
+        |),
+        |rejected AS (
+        |  SELECT source, bot_rank AS k, doc_id AS rejected_doc,
+        |         quality AS rejected_q
+        |  FROM ranked WHERE bot_rank <= 3 AND bot_rank * 2 <= grp_n
+        |)
+        |SELECT c.source, CAST(c.k AS BIGINT) AS k, c.chosen_doc,
+        |  r.rejected_doc, c.chosen_q, r.rejected_q,
+        |  CAST(c.chosen_q - r.rejected_q AS BIGINT) AS quality_gap
+        |FROM chosen c JOIN rejected r
+        |  ON r.source = c.source AND r.k = c.k
+        |ORDER BY c.source, k""".stripMargin,
+
     // p20: p19's plan + the p15-style global window permutation
     "p20_training_order" ->
       """WITH counts AS (

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines over `documents`
@@ -706,7 +707,48 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** Vocabulary growth curve (the Heaps-law diagnostic, t16's
+    * vocabulary-axis twin): distinct token vocabulary size after each
+    * doc_id decile of the crawl order, plus the per-decile delta — the
+    * curve whose flattening says continued ingestion has stopped
+    * buying lexical diversity. Like t16, the running-set formulation
+    * is inherently sequential; its exact parallel form is ONE
+    * token -> min(doc_id) hash agg, after which each decile's vocab is
+    * a count of first-occurrences at or below the decile's doc_id cut
+    * (cuts are exact integer arithmetic on max doc_id + 1).
+    *
+    * 100 TB posture: one corpus explode + one token-keyed hash agg;
+    * the decile explode multiplies the VOCABULARY-sized firsts frame
+    * by <= 10 (each first occurrence lands in the deciles it precedes
+    * — stated as sequence(its_decile, 10)); the 1-row max-id broadcast
+    * is the d23 scalar pattern.
+    */
+  def t21VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val bound = Tables.documents(spark, dir)
+      .agg((max(col("doc_id")) + 1).as("n_ids"))
+    // decile d covers doc_ids < (n_ids * d) div 10; a token first seen
+    // at doc f belongs to every decile d with cut(d) > f, i.e. the
+    // smallest d with (n_ids * d) div 10 > f onward
+    val leveled = firsts.crossJoin(broadcast(bound))
+      .select(col("first_doc"), col("n_ids"),
+        explode(expr("filter(sequence(1, 10)," +
+          " d -> (n_ids * d) div 10 > first_doc)")).as("decile"))
+    leveled.groupBy("decile", "n_ids")
+      .agg(count(lit(1)).as("vocab_size"))
+      .select(col("decile").cast("long").as("decile"),
+        expr("(n_ids * decile) div 10").as("cut_doc_id"),
+        col("vocab_size"))
+      .withColumn("new_tokens",
+        col("vocab_size") - coalesce(lag(col("vocab_size"), 1)
+          .over(Window.orderBy(col("decile"))), lit(0L)))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_vocab_growth" -> (t21VocabGrowth _),
     "t20_dataset_card" -> (t20DatasetCard _),
     "t18_keyword_extract" -> (t18KeywordExtract _),
     "t17_burstiness" -> (t17Burstiness _),
@@ -847,6 +889,33 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t21: token -> first doc, decile membership by integer cuts,
+    // lag for the per-decile delta
+    "t21_vocab_growth" ->
+      """WITH firsts AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |),
+        |bound AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+        |lv AS (
+        |  SELECT f.first_doc, b.n_ids, t.d AS decile
+        |  FROM firsts f CROSS JOIN bound b,
+        |       unnest(generate_series(1, 10)) AS t(d)
+        |  WHERE (b.n_ids * t.d) // 10 > f.first_doc
+        |),
+        |v AS (
+        |  SELECT CAST(decile AS BIGINT) AS decile,
+        |    CAST((n_ids * decile) // 10 AS BIGINT) AS cut_doc_id,
+        |    CAST(count(*) AS BIGINT) AS vocab_size
+        |  FROM lv GROUP BY decile, n_ids
+        |)
+        |SELECT decile, cut_doc_id, vocab_size,
+        |  vocab_size - CAST(coalesce(lag(vocab_size)
+        |    OVER (ORDER BY decile), 0) AS BIGINT) AS new_tokens
+        |FROM v ORDER BY decile""".stripMargin,
+
     // t20: one (source x lang) agg + per-source total shares
     "t20_dataset_card" ->
       """WITH cells AS (
