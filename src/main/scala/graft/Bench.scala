@@ -147,14 +147,17 @@ object Bench {
     val line = summaryLine(coldTotal,
       if (warmPass) Some(both.map(_._3).sum) else None,
       errors.keys.toSeq.map(shortKey), sfDir)
-    println(line)
     // Runtime plan-guard readout: the synchronous per-query sweep (the
     // gate) and the async listener's aggregate (the wired layer-3 path
     // — it observes every executed plan including warm-up and any
-    // embedded use the sweep can't see).
+    // embedded use the sweep can't see). Printed BEFORE the summary
+    // line: this line grows with the allowlist, and anything after the
+    // summary eats into the driver's ~2000-char stdout tail (the r7
+    // line-length lesson).
     println("# bench-planguard " + runtimeFlags.map { case (n, fs) =>
       s"${jstr(n)}:[${fs.map(jstr).mkString(",")}]"
     }.mkString("{", ",", "}") + s" listener_hits=${planGuard.flagged.size}")
+    println(line)
     spark.stop()
     // After the artifact is printed AND persisted: a broken query fails
     // the run loudly unless explicitly waived — elapsed-time-to-crash
