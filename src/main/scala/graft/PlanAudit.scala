@@ -48,6 +48,8 @@ object PlanAudit {
     "s17_recall_report" -> Set("BroadcastNestedLoopJoin"),
     "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
+    // s26: the same s08 codebook/probe broadcast scans, filtered corpus
+    "s26_filtered_ann" -> Set("BroadcastNestedLoopJoin"),
     // SQ8 coarse stage = corpus x broadcast queries, same family as s01
     "s10_quantized_rescore" -> Set("BroadcastNestedLoopJoin"),
     // truncated-prefix coarse stage = corpus x broadcast queries, the

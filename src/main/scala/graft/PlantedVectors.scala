@@ -59,4 +59,24 @@ object PlantedVectors {
     }
     rs.sum / rs.size
   }
+
+  /** exactTopK restricted to ids satisfying `pred` — the truth set for
+    * metadata-filtered search (s26).
+    */
+  def exactTopKWhere(qv: Map[Long, Array[Long]], q: Long, k: Int,
+      pred: Long => Boolean): Set[Long] =
+    qv.keys.filter(v => v != q && pred(v)).toSeq
+      .sortBy(v => (-cosine(qv(q), qv(v)), v)).take(k).toSet
+
+  /** recallAtK against the predicate-restricted truth. */
+  def recallAtKWhere(qv: Map[Long, Array[Long]],
+      got: Map[Long, Set[Long]], queries: Seq[Long], k: Int,
+      pred: Long => Boolean): Double = {
+    val rs = queries.map { q =>
+      val truth = exactTopKWhere(qv, q, k, pred)
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble /
+        math.max(truth.size, 1)
+    }
+    rs.sum / rs.size
+  }
 }

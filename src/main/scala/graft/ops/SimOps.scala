@@ -454,8 +454,31 @@ object SimOps {
     .agg(expr("graft_topk(ccos, cell, 1)").as("top"))
     .select(col("vec_id"), element_at(col("top"), 1).getField("id").as("cell"))
 
+  /** Metadata-filtered IVF ANN (the vector-DB staple: "nearest docs
+    * WHERE lang = en"): the index is built once on the FULL corpus
+    * (codebook + assignments unchanged — the production reality), and
+    * the predicate applies at search time to the candidate stream
+    * inside the probed cells, with nProbe WIDENED (4 vs s08's 2) to
+    * offset the selectivity — the standard filtered-search recipe
+    * (post-filtering a k-truncated result loses recall; filtering
+    * BEFORE the top-k keeps it). Every emitted neighbor satisfies the
+    * predicate; ranking/tiebreaks are s08's exactly.
+    *
+    * 100 TB posture: identical to s08 plus one predicate on the
+    * cell-join's corpus side — evaluated before the per-query top-k
+    * heap, so the shuffle still carries k rows per query; the filter
+    * composes with partition pruning when the predicate is a
+    * partition column.
+    */
+  def s26FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    ivfTopK(v, col("vec_id") % 50 === 0, nProbe = 4, k = 5,
+      corpusFilter = col("vec_id") % 3 === 1)
+  }
+
   private[graft] def ivfTopK(
-      v: DataFrame, isQuery: Column, nProbe: Int, k: Int): DataFrame = {
+      v: DataFrame, isQuery: Column, nProbe: Int, k: Int,
+      corpusFilter: Column = lit(true)): DataFrame = {
     // One corpus-wide scoring pass feeds the assignment; the probe side
     // re-scores only the tiny query set against the same materialized
     // codebook. Nothing corpus-sized is shared between subtrees, so
@@ -473,7 +496,7 @@ object SimOps {
       col("qv").as("qemb"), col("vnorm").as("qnorm"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    v.join(assigned, Seq("vec_id"))
+    v.filter(corpusFilter).join(assigned, Seq("vec_id"))
       .join(broadcast(probes.join(q, Seq("qid"))), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dot", expr(dotSq("qemb", "qv")))
@@ -1336,7 +1359,8 @@ object SimOps {
     "s10_quantized_rescore" -> (s10QuantizedRescore _),
     "s11_semantic_dedup" -> (s11SemanticDedup _),
     "s17_recall_report" -> (s17RecallReport _),
-    "s24_nprobe_sweep" -> (s24NprobeSweep _)
+    "s24_nprobe_sweep" -> (s24NprobeSweep _),
+    "s26_filtered_ann" -> (s26FilteredAnn _)
   )
 
   /** Shared oracle CTEs: unnest to quantized (vec_id, i, x), integer norms. */
@@ -1945,6 +1969,38 @@ object SimOps {
 
     "s07_banded_ann" -> bandedAnnSql(queryMod = 50),
     "s09_knn_join" -> bandedAnnSql(queryMod = 10),
+
+    // s26: s08's statement with the metadata predicate on the searched
+    // corpus side and the widened 4-cell probe
+    "s26_filtered_ann" ->
+      s"""WITH $unnestSql,
+         |$cellAsgSql,
+         |probe AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r
+         |    FROM sc WHERE vec_id % 50 = 0)
+         |  WHERE r <= 4
+         |),
+         |d AS (
+         |  SELECT p.qid, v.vec_id AS vid, SUM(uq.x * uv.x) AS dot
+         |  FROM probe p
+         |  JOIN asg v ON v.cell = p.cell AND v.vec_id <> p.qid
+         |    AND v.vec_id % 3 = 1
+         |  JOIN u uq ON uq.vec_id = p.qid
+         |  JOIN u uv ON uv.vec_id = v.vec_id AND uv.i = uq.i
+         |  GROUP BY p.qid, v.vec_id
+         |),
+         |c AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) * sqrt(CAST(nv.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vid ASC) AS rank FROM c)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "s08_ivf_ann" ->
       s"""WITH $unnestSql,
