@@ -132,7 +132,10 @@ object PlanAudit {
     // t21: the 1-row max-id scalar broadcast + the 10-row decile lag
     // window next to the 1-row bound agg
     "t21_vocab_growth" ->
-      Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // w41: the d23 1-row trigram-total broadcast over the tiny path
+    // frame; the top-10 is a TakeOrdered, not a window
+    "w41_top_paths" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

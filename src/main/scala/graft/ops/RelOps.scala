@@ -1543,7 +1543,40 @@ object RelOps {
       .orderBy("rank")
   }
 
+  /** Top user-journey paths — w28's transition matrix lifted to order
+    * 3: the 10 most common consecutive 3-event sequences within a
+    * user's stream (two leads over the same (user, (ts, event_id))
+    * total order), with exact counts and the share of all trigrams.
+    * The product-analytics "what do users actually do" query; the
+    * step count extends by one lead per step on the SAME window, so
+    * deeper paths stay one shuffle.
+    *
+    * 100 TB posture: ONE user-keyed window sort (w28's plan) + a
+    * (type^3)-keyed hash agg; top-10 via TakeOrdered on the tiny path
+    * frame; the 1-row trigram total rides the d23 scalar broadcast.
+    */
+  def w41TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tris = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+    val cached = graft.Caches.cache(tris)
+    val tot = cached.agg(sum(col("n")).as("n_total"))
+    cached.crossJoin(broadcast(tot))
+      .select(col("step1"), col("step2"), col("step3"), col("n"),
+        (col("n").cast("double") / col("n_total")).as("share"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w41_top_paths" -> (w41TopPaths _),
     "w40_key_skew" -> (w40KeySkew _),
     "w39_conversion_latency" -> (w39ConversionLatency _),
     "w38_anomaly_runs" -> (w38AnomalyRuns _),
@@ -1669,6 +1702,28 @@ object RelOps {
         |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
         |  FROM agg
         |)""".stripMargin,
+
+    // w41: two leads on the w28 order -> trigram counts -> top 10
+    "w41_top_paths" ->
+      """WITH tri AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step3
+        |  FROM events
+        |),
+        |cnt AS (
+        |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |  FROM tri WHERE step3 IS NOT NULL
+        |  GROUP BY step1, step2, step3
+        |),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt)
+        |SELECT step1, step2, step3, n,
+        |  CAST(n AS DOUBLE) / t.n_total AS share
+        |FROM cnt CROSS JOIN tot t
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 10""".stripMargin,
 
     // w40: key counts -> top-10 by (n DESC, id ASC) -> scalar-total shares
     "w40_key_skew" ->
