@@ -1575,7 +1575,56 @@ object RelOps {
       .limit(10)
   }
 
+  /** Exponentially-weighted hourly rate (EWMA, half-life 1 hour) —
+    * the trend-smoothing twin of w36's seasonal baseline, made
+    * EXACT: classical EWMA is a sequential float recurrence whose
+    * parallelization (weights (1-a)^k) drifts across engines and
+    * summation orders; with a = 1/2 the weights are DYADIC
+    * (2^(23-k) over a 24-hour window), so the smoothed numerator and
+    * the weight denominator are both exact integer sums and the
+    * reported ewma is ONE division. Window truncation at 24 hours
+    * bounds the integers (x * 2^23 per term) and loses < 2^-24 of the
+    * mass — below the emitted double's own precision. Each cell also
+    * reports n/ewma as the surge ratio.
+    *
+    * 100 TB posture: cells come from the w31 zero-filled spine
+    * ((types x hours)-sized, never raw events); the 24x contribution
+    * explode multiplies only that cell frame, and the re-aggregation
+    * is a (type, hour)-keyed hash agg.
+    */
+  def w42Ewma(spark: SparkSession, dir: String): DataFrame =
+    w42EwmaOf(Tables.events(spark, dir).select("event_type", "ts"))
+
+  /** The w42 body over any (event_type, ts) frame — exposed for the
+    * hand-computed spike-decay spec.
+    */
+  private[graft] def w42EwmaOf(raw: DataFrame): DataFrame = {
+    val cells = graft.Caches.cache(hourlyCellsOf(raw))
+    // cell at hour h contributes x * 2^(23-k) to hours h .. h+23
+    val contrib = cells
+      .select(col("event_type"), col("h"), col("x"),
+        explode(expr("sequence(0, 23)")).as("k"))
+      .select(col("event_type"),
+        expr("h + k * interval 1 hour").as("hour"),
+        expr("x * shiftleft(1L, 23 - k)").as("wx"),
+        expr("shiftleft(1L, 23 - k)").as("w"))
+    contrib
+      // clip to the observed spine: hours past each type's last cell
+      // would otherwise appear with partial (tail-only) windows
+      .join(cells.select(col("event_type"), col("h").as("hour"),
+        col("x").as("n")), Seq("event_type", "hour"))
+      .groupBy("event_type", "hour", "n")
+      .agg(sum(col("wx")).as("num"), sum(col("w")).as("den"))
+      .select(col("event_type"), col("hour"), col("n"),
+        (col("num").cast("double") / col("den")).as("ewma"),
+        when(col("num") > 0,
+          col("n").cast("double") * col("den") / col("num"))
+          .as("surge_ratio"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w42_ewma" -> (w42Ewma _),
     "w41_top_paths" -> (w41TopPaths _),
     "w40_key_skew" -> (w40KeySkew _),
     "w39_conversion_latency" -> (w39ConversionLatency _),
@@ -1702,6 +1751,45 @@ object RelOps {
         |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
         |  FROM agg
         |)""".stripMargin,
+
+    // w42: zero-filled cells explode 24 dyadic-weight contributions;
+    // exact integer numerator/denominator, one division each
+    "w42_ewma" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+        |),
+        |counts AS (
+        |  SELECT event_type, h, count(*) AS x FROM e GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY event_type
+        |),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span
+        |),
+        |cells AS (
+        |  SELECT s.event_type, s.h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.event_type = s.event_type AND c.h = s.h
+        |),
+        |contrib AS (
+        |  SELECT c.event_type, c.h + t.k * (INTERVAL 1 HOUR) AS hour,
+        |    c.x * (CAST(1 AS BIGINT) << (23 - t.k)) AS wx,
+        |    CAST(1 AS BIGINT) << (23 - t.k) AS w
+        |  FROM cells c, unnest(generate_series(0, 23)) AS t(k)
+        |)
+        |SELECT cl.event_type, cl.h AS hour, cl.x AS n,
+        |  CAST(SUM(co.wx) AS DOUBLE) / SUM(co.w) AS ewma,
+        |  CASE WHEN SUM(co.wx) > 0
+        |       THEN CAST(cl.x AS DOUBLE) * SUM(co.w) / SUM(co.wx)
+        |  END AS surge_ratio
+        |FROM contrib co JOIN cells cl
+        |  ON cl.event_type = co.event_type AND cl.h = co.hour
+        |GROUP BY cl.event_type, cl.h, cl.x
+        |ORDER BY cl.event_type, hour""".stripMargin,
 
     // w41: two leads on the w28 order -> trigram counts -> top 10
     "w41_top_paths" ->
