@@ -135,7 +135,9 @@ object PlanAudit {
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // w41: the d23 1-row trigram-total broadcast over the tiny path
     // frame; the top-10 is a TakeOrdered, not a window
-    "w41_top_paths" -> Set("BroadcastNestedLoopJoin")
+    "w41_top_paths" -> Set("BroadcastNestedLoopJoin"),
+    // d27: the d23 1-row split-totals broadcast over the 11-bin frame
+    "d27_quality_drift" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

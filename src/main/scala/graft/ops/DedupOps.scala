@@ -1383,7 +1383,53 @@ object DedupOps {
       .orderBy("family_size")
   }
 
+  /** Quality-drift report between crawl snapshots (the PSI-style
+    * dataset-drift monitor, with an EXACTLY computable statistic):
+    * corpus split into reference (doc_id % 10 >= 2) vs incoming
+    * (% 10 < 2 — the deterministic stand-in for two snapshots), both
+    * binned on the d15 integer quality score over FIXED bins
+    * (quality div 100000: 11 bins on the 0..1e6 scale — fixed bins
+    * need no cut training and stay identical across engines), and per
+    * bin the exact counts, the two shares, and the total-variation
+    * contribution |p_ref - p_inc| / 2. Unlike PSI's ln terms (libm vs
+    * JVM last-ulp drift), TVD is one abs-difference of two exact-
+    * integer divisions — the drift number that is reproducible
+    * anywhere. A bin whose contribution dominates IS the shifted
+    * quality regime.
+    *
+    * 100 TB posture: ONE corpus scan into a (2 x 11)-bin hash agg; the
+    * 1-row split totals ride the d23 scalar broadcast; zero-filled
+    * bins come from a static 11-row frame, not a window.
+    */
+  def d27QualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val quality = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
+      " * 1000000 div size(split(text, ' '))"
+    val binned = Tables.documents(spark, dir)
+      .select(expr(s"($quality) div 100000").as("bin"),
+        (col("doc_id") % 10 < 2).cast("long").as("is_inc"))
+      .groupBy("bin")
+      .agg(sum(lit(1L) - col("is_inc")).as("n_ref"),
+        sum(col("is_inc")).as("n_inc"))
+    val spine = Tables.documents(spark, dir).sparkSession
+      .range(0, 11).select(col("id").as("bin"))
+    val cells = graft.Caches.cache(spine
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc")))
+    val tot = cells.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_inc")).as("t_inc"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_inc"),
+        (col("n_ref").cast("double") / col("t_ref")).as("p_ref"),
+        (col("n_inc").cast("double") / col("t_inc")).as("p_inc"))
+      .withColumn("tvd_term",
+        abs(col("p_ref") - col("p_inc")) / 2.0)
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_quality_drift" -> (d27QualityDrift _),
     "d25_family_census" -> (d25FamilyCensus _),
     "d24_source_overlap" -> (d24SourceOverlap _),
     "d23_threshold_sweep" -> (d23ThresholdSweep _),
@@ -1479,6 +1525,38 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // d27: fixed 11-bin quality histogram per split + TVD terms
+    "d27_quality_drift" ->
+      """WITH q AS (
+        |  SELECT CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      * 1000000 // len(string_split(text, ' ')) // 100000 AS bin,
+        |    CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END AS is_inc
+        |  FROM documents
+        |),
+        |binned AS (
+        |  SELECT bin, CAST(SUM(1 - is_inc) AS BIGINT) AS n_ref,
+        |         CAST(SUM(is_inc) AS BIGINT) AS n_inc
+        |  FROM q GROUP BY bin
+        |),
+        |spine AS (SELECT unnest(generate_series(0, 10)) AS bin),
+        |cells AS (
+        |  SELECT s.bin, CAST(coalesce(b.n_ref, 0) AS BIGINT) AS n_ref,
+        |         CAST(coalesce(b.n_inc, 0) AS BIGINT) AS n_inc
+        |  FROM spine s LEFT JOIN binned b ON b.bin = s.bin
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |         CAST(SUM(n_inc) AS BIGINT) AS t_inc
+        |  FROM cells
+        |)
+        |SELECT c.bin, c.n_ref, c.n_inc,
+        |  CAST(c.n_ref AS DOUBLE) / t.t_ref AS p_ref,
+        |  CAST(c.n_inc AS DOUBLE) / t.t_inc AS p_inc,
+        |  abs(CAST(c.n_ref AS DOUBLE) / t.t_ref -
+        |      CAST(c.n_inc AS DOUBLE) / t.t_inc) / 2.0 AS tvd_term
+        |FROM cells c CROSS JOIN tot t
+        |ORDER BY c.bin""".stripMargin,
+
     // d25: d07's labels -> per-family sizes -> size histogram, with the
     // unlabeled corpus remainder folded in as size-1 families
     "d25_family_census" ->
