@@ -1137,11 +1137,24 @@ object RelOps {
   private def hourlyCells(spark: SparkSession, dir: String): DataFrame =
     hourlyCellsOf(Tables.events(spark, dir).select("event_type", "ts"))
 
-  private def hourlyCellsOf(raw: DataFrame): DataFrame = {
-    val e = raw
+  private def hourlyCellsOf(raw: DataFrame): DataFrame =
+    spineFillCells(raw
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-    val counts = e.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
-    val span = e.groupBy("event_type")
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x")))
+
+  /** Zero-fill a sparse (event_type, h, x) hourly count frame onto each
+    * type's [min, max] hour spine — shared by the batch cells builder
+    * and the streaming-accumulated form (a tumbling-window count table
+    * has exactly this shape).
+    */
+  private[graft] def spineFillCells(counts: DataFrame): DataFrame = {
+    // fresh attribute ids for the spine branch: both join sides
+    // descend from `counts`, and some sources (a streaming memory
+    // table) defeat Spark's implicit self-join dedup ("conflicting
+    // references" INTERNAL_ERROR); explicit Aliases break the tie
+    val left = counts.select(col("event_type").as("event_type"),
+      col("h").as("h"))
+    val span = left.groupBy("event_type")
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = span.select(col("event_type"),
       explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
@@ -1598,8 +1611,15 @@ object RelOps {
   /** The w42 body over any (event_type, ts) frame — exposed for the
     * hand-computed spike-decay spec.
     */
-  private[graft] def w42EwmaOf(raw: DataFrame): DataFrame = {
-    val cells = graft.Caches.cache(hourlyCellsOf(raw))
+  private[graft] def w42EwmaOf(raw: DataFrame): DataFrame =
+    ewmaOfCells(graft.Caches.cache(hourlyCellsOf(raw)))
+
+  /** The EWMA body over an already-spined (event_type, h, x) cell
+    * frame — shared with the streaming-accumulated board (the
+    * lakehouse-as-accumulator pattern: a tumbling-count table feeds
+    * [[spineFillCells]] then this).
+    */
+  private[graft] def ewmaOfCells(cells: DataFrame): DataFrame = {
     // cell at hour h contributes x * 2^(23-k) to hours h .. h+23
     val contrib = cells
       .select(col("event_type"), col("h"), col("x"),

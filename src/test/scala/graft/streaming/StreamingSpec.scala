@@ -753,4 +753,36 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming tumbling counts feed the exact w42 EWMA board " +
+      "(lakehouse-as-accumulator)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamJobs.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("ewma_cells")
+      .outputMode("complete").start()
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    // the accumulated tumbling-count table IS the cells frame; spine +
+    // EWMA are the same batch finisher w42 uses
+    val cells = spark.table("ewma_cells")
+      .select(col("event_type"), col("bucket_start").as("h"),
+        col("n").as("x"))
+    val board = graft.ops.RelOps.ewmaOfCells(
+        graft.ops.RelOps.spineFillCells(cells))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.RelOps.w42Ewma(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(board == batch,
+      s"streaming-accumulated EWMA board != batch w42 " +
+        s"(${board.size} vs ${batch.size} rows)")
+    graft.Caches.unpersistAll()
+  }
 }
