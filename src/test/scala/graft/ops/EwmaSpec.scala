@@ -29,4 +29,24 @@ class EwmaSpec extends SparkTestBase {
     assert(out("2025-03-01 03") == ((4L, 8.0 / 3.0, Some(1.5))))
     graft.Caches.unpersistAll()
   }
+
+  test("w42: a constant-rate stream smooths to EXACTLY the rate at " +
+      "every hour (dyadic weights cancel, no float residue)") {
+    // 3 events every hour for 40 hours: num = 3 * den at every cell
+    // (expanding start included), so ewma == 3.0 and surge == 1.0
+    // BIT-EXACTLY — the property float EWMA weights cannot deliver.
+    val raw = (0 until 40).flatMap { h =>
+      (1 to 3).map(i => ("a",
+        Timestamp.valueOf(f"2025-03-01 ${h % 24}%02d:0$i:00")))
+    }.zipWithIndex.map { case ((ty, ts0), i) =>
+      (ty, new Timestamp(ts0.getTime + (i / 72) * 86400000L))
+    }.toDF("event_type", "ts")
+    val rows = RelOps.w42EwmaOf(raw).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ewma") == 3.0, s"residue at $r")
+      assert(r.getAs[Double]("surge_ratio") == 1.0)
+    }
+    graft.Caches.unpersistAll()
+  }
 }
