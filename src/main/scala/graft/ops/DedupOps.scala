@@ -1410,8 +1410,7 @@ object DedupOps {
       .groupBy("bin")
       .agg(sum(lit(1L) - col("is_inc")).as("n_ref"),
         sum(col("is_inc")).as("n_inc"))
-    val spine = Tables.documents(spark, dir).sparkSession
-      .range(0, 11).select(col("id").as("bin"))
+    val spine = spark.range(0, 11).select(col("id").as("bin"))
     val cells = graft.Caches.cache(spine
       .join(binned, Seq("bin"), "left")
       .select(col("bin"),
