@@ -137,7 +137,9 @@ object PlanAudit {
     // frame; the top-10 is a TakeOrdered, not a window
     "w41_top_paths" -> Set("BroadcastNestedLoopJoin"),
     // d27: the d23 1-row split-totals broadcast over the 11-bin frame
-    "d27_quality_drift" -> Set("BroadcastNestedLoopJoin")
+    "d27_quality_drift" -> Set("BroadcastNestedLoopJoin"),
+    // t22: the d23 1-row doc-total broadcast over the 6-term frame
+    "t22_blocklist_report" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

@@ -747,7 +747,46 @@ object TextOps {
       .orderBy("decile")
   }
 
+  private val blocklist =
+    Seq("crash", "dup", "leak", "null", "skew", "spill")
+
+  /** Blocklist incidence report — the calibration table a team reads
+    * BEFORE enforcing a C4-style term filter: for every blocklist
+    * term, total occurrences, documents containing it, and the
+    * corpus-wide document rate. Terms with ZERO hits still appear (a
+    * calibration table must show the zeros — the d23 discipline);
+    * rates are one division of exact integers. Enforcing the list is
+    * then p05-style per-row filtering; this operator is the evidence
+    * the threshold decision cites (a term matching 40% of documents is
+    * a vocabulary word, not a policy signal).
+    *
+    * 100 TB posture: the isin predicate prunes the exploded token
+    * stream BEFORE the (blocklist-sized) hash agg — the corpus never
+    * shuffles; the 1-row doc total rides the d23 scalar broadcast.
+    */
+  def t22BlocklistReport(spark: SparkSession, dir: String): DataFrame = {
+    val terms = spark.range(1).select(
+      explode(array(blocklist.map(lit): _*)).as("term"))
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(blocklist: _*))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val tot = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+    terms.join(hits, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("term"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        (coalesce(col("n_docs"), lit(0L)).cast("double") / col("n_total"))
+          .as("doc_rate"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_blocklist_report" -> (t22BlocklistReport _),
     "t21_vocab_growth" -> (t21VocabGrowth _),
     "t20_dataset_card" -> (t20DatasetCard _),
     "t18_keyword_extract" -> (t18KeywordExtract _),
@@ -889,6 +928,30 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t22: fixed terms left-joined to pruned token hits + scalar total
+    "t22_blocklist_report" ->
+      """WITH terms AS (
+        |  SELECT unnest(['crash', 'dup', 'leak', 'null', 'skew',
+        |                 'spill']) AS term
+        |),
+        |hits AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term IN ('crash', 'dup', 'leak', 'null', 'skew', 'spill')
+        |  GROUP BY term
+        |),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT t.term,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(h.n_docs, 0) AS DOUBLE) / tt.n_total AS doc_rate
+        |FROM terms t LEFT JOIN hits h ON h.term = t.term
+        |CROSS JOIN tot tt
+        |ORDER BY t.term""".stripMargin,
+
     // t21: token -> first doc, decile membership by integer cuts,
     // lag for the per-decile delta
     "t21_vocab_growth" ->
