@@ -139,7 +139,10 @@ object PlanAudit {
     // d27: the d23 1-row split-totals broadcast over the 11-bin frame
     "d27_quality_drift" -> Set("BroadcastNestedLoopJoin"),
     // t22: the d23 1-row doc-total broadcast over the 6-term frame
-    "t22_blocklist_report" -> Set("BroadcastNestedLoopJoin")
+    "t22_blocklist_report" -> Set("BroadcastNestedLoopJoin"),
+    // d28: the d23 1-row corpus-totals broadcast over the 2-row report
+    "d28_dedup_savings" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

@@ -1427,7 +1427,67 @@ object DedupOps {
       .orderBy("bin")
   }
 
+  /** Dedup savings forecast — the headline governance number a team
+    * reads BEFORE running a dedup pass: for each strategy (exact
+    * md5-equal groups; d07 near-dup families), how many documents and
+    * tokens beyond each group's keeper (min doc_id) would be removed,
+    * and what share of the corpus that is. Near-dup families are a
+    * superset of exact groups (identical text collides in every LSH
+    * band), so near_dup savings >= exact savings by construction —
+    * the gap is what MinHash buys over hashing. Counts are exact
+    * integers; each share is one division against the 1-row corpus
+    * totals. Zero rows are real (d23 discipline): a corpus with no
+    * exact twins reports an honest 0-savings exact row.
+    *
+    * 100 TB posture: the exact side is ONE hash agg on md5 keys (text
+    * itself never shuffles beyond the hash); the near-dup side reads
+    * the write-once materialized pair graph and groups label-joined
+    * token counts, never corpus text; totals ride the d23 1-row
+    * scalar broadcast.
+    */
+  def d28DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val tot = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"))
+    // per-family frame -> (n_multi_families, removable docs/tokens);
+    // coalesce guards the no-families case (empty agg sums are NULL)
+    def savings(name: String, fams: DataFrame): DataFrame =
+      fams.agg(
+        coalesce(sum(when(col("n") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_multi_families"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("n_removable_docs"),
+        coalesce(sum(col("tt") - col("kt")), lit(0L))
+          .as("n_removable_tokens"))
+        .select(lit(name).as("strategy"), col("n_multi_families"),
+          col("n_removable_docs"), col("n_removable_tokens"))
+    // exact groups: members share text, so the keeper's token count is
+    // any member's (min is exact and engine-identical)
+    val exact = toks.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("tt"),
+        min(col("n_toks")).as("kt"))
+    // near-dup families: keeper = min doc_id, so its token count is
+    // min_by/arg_min on the unique doc_id (deterministic both engines);
+    // unlabeled docs are size-1 families contributing zero savings
+    val near = neardupLabels(spark, dir)
+      .join(toks, Seq("doc_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("tt"),
+        min_by(col("n_toks"), col("doc_id")).as("kt"))
+    savings("exact", exact).unionByName(savings("near_dup", near))
+      .crossJoin(broadcast(tot))
+      .select(col("strategy"), col("n_multi_families"),
+        col("n_removable_docs"), col("n_removable_tokens"),
+        (col("n_removable_docs").cast("double") / col("n_docs"))
+          .as("doc_share"),
+        (col("n_removable_tokens").cast("double") / col("n_tokens"))
+          .as("token_share"))
+      .orderBy("strategy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_dedup_savings" -> (d28DedupSavings _),
     "d27_quality_drift" -> (d27QualityDrift _),
     "d25_family_census" -> (d25FamilyCensus _),
     "d24_source_overlap" -> (d24SourceOverlap _),
@@ -1525,6 +1585,61 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     // d27: fixed 11-bin quality histogram per split + TVD terms
+    // d28: exact md5 groups + d07 component families -> per-strategy
+    // removable docs/tokens beyond the min-doc_id keeper
+    "d28_dedup_savings" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM toks
+         |),
+         |ex AS (
+         |  SELECT count(*) AS n, sum(n_toks) AS tt, min(n_toks) AS kt
+         |  FROM toks GROUP BY md5(text)
+         |),
+         |exs AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_multi_families,
+         |    CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_removable_docs,
+         |    CAST(coalesce(sum(tt - kt), 0) AS BIGINT)
+         |      AS n_removable_tokens
+         |  FROM ex
+         |),
+         |lab AS (SELECT * FROM ($d07Sql)),
+         |nd AS (
+         |  SELECT count(*) AS n, sum(t.n_toks) AS tt,
+         |    arg_min(t.n_toks, t.doc_id) AS kt
+         |  FROM lab l JOIN toks t ON t.doc_id = l.doc_id
+         |  GROUP BY l.component
+         |),
+         |nds AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_multi_families,
+         |    CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_removable_docs,
+         |    CAST(coalesce(sum(tt - kt), 0) AS BIGINT)
+         |      AS n_removable_tokens
+         |  FROM nd
+         |),
+         |u AS (
+         |  SELECT 'exact' AS strategy, * FROM exs
+         |  UNION ALL
+         |  SELECT 'near_dup' AS strategy, * FROM nds
+         |)
+         |SELECT u.strategy, u.n_multi_families, u.n_removable_docs,
+         |  u.n_removable_tokens,
+         |  CAST(u.n_removable_docs AS DOUBLE) / tot.n_docs AS doc_share,
+         |  CAST(u.n_removable_tokens AS DOUBLE) / tot.n_tokens
+         |    AS token_share
+         |FROM u CROSS JOIN tot
+         |ORDER BY u.strategy""".stripMargin,
+
     "d27_quality_drift" ->
       """WITH q AS (
         |  SELECT CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
