@@ -142,7 +142,10 @@ object PlanAudit {
     "t22_blocklist_report" -> Set("BroadcastNestedLoopJoin"),
     // d28: the d23 1-row corpus-totals broadcast over the 2-row report
     "d28_dedup_savings" ->
-      Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // s27: the s13 broadcast-codebook sub-distance scan + the (8 x L)
+    // spine built as labels x broadcast range(8)
+    "s27_pq_train" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

@@ -1335,7 +1335,80 @@ object SimOps {
     best.orderBy(col("best_cos").asc, col("vec_id").asc).limit(k)
   }
 
+  /** One Lloyd step of PQ CODEBOOK TRAINING, per subspace — the train
+    * move s13/s14 assume already happened (their codebook is the seed
+    * label-mean sliced per subspace; FAISS's `train()` runs k-means per
+    * subspace on the sub-vectors). For every (subspace, code): the seed
+    * population (vectors whose label IS the code), the post-assignment
+    * population under nearest-sub-codeword integer L2 (ties to the
+    * lower code — the s13 encode rule), how many arrivals came from a
+    * different seed label, and the integer L1 shift between old and new
+    * sub-centroid. s22 is this move for the IVF coarse quantizer; PQ
+    * needs it PER SUBSPACE because each 8-dim slice clusters
+    * independently (that independence is where PQ's memory win comes
+    * from). Empty cells keep their old centroid: n_assigned/l1_shift
+    * report honest zeros.
+    *
+    * Determinism: sub-centroids by the s08 rounded-mean rule back to
+    * integer scale; assignment distances are exact integer sums via the
+    * codegen'd graft_pq_dists kernel; every report column an exact
+    * integer.
+    *
+    * 100 TB posture: one broadcast-codebook sub-distance scan (the s13
+    * encode pass), then two hash aggs keyed on (vec, subspace) and
+    * (subspace, code, dim) — corpus touched twice, nothing pairwise;
+    * the (8 x L) spine and the L-row codebook ride broadcasts.
+    */
+  def s27PqTrain(spark: SparkSession, dir: String): DataFrame =
+    pqTrainStep(spark, graft.Caches.cache(vectors(spark, dir)))
+
+  /** s27's body over a prepared (vec_id, qv[64], label) frame. */
+  private[graft] def pqTrainStep(spark: SparkSession, v: DataFrame): DataFrame = {
+    val cb = graft.Caches.checkpoint(pqCodebook(v))
+    // winning code per (vector, subspace): min (distance, code) struct
+    val asg = graft.Caches.cache(pqSubDists(v, cb)
+      .select(col("vec_id"), col("code"),
+        posexplode(col("ds")).as(Seq("m", "d")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+      .select(col("vec_id"), col("m").cast("long").as("subspace"),
+        col("code")))
+    val lab = v.select(col("vec_id"), col("label").cast("long").as("label"))
+    val counts = asg.join(lab, Seq("vec_id"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("label") =!= col("code"), 1L).otherwise(0L))
+          .as("n_moved"))
+    // recomputed sub-centroid per absolute dim, then L1 vs the seed
+    val dims = v.select(col("vec_id"),
+      posexplode(col("qv")).as(Seq("dim", "x")))
+      .select(col("vec_id"), (col("dim") / PqSub).cast("long").as("subspace"),
+        col("dim"), col("x"))
+    val newc = asg.join(dims, Seq("vec_id", "subspace"))
+      .groupBy("subspace", "code", "dim")
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)")
+        .as("nx"))
+    val oldc = cb.select(col("code"),
+      posexplode(col("cvec")).as(Seq("dim", "cx")))
+    val shift = newc.join(oldc, Seq("code", "dim"))
+      .groupBy("subspace", "code")
+      .agg(sum(abs(col("nx") - col("cx"))).as("l1_shift"))
+    val seed = v.groupBy(col("label").cast("long").as("code"))
+      .agg(count(lit(1)).as("n_seed"))
+    val spine = seed.select("code")
+      .crossJoin(broadcast(spark.range(PqM).select(col("id").as("subspace"))))
+    spine.join(seed, Seq("code"))
+      .join(counts, Seq("subspace", "code"), "left")
+      .join(shift, Seq("subspace", "code"), "left")
+      .select(col("subspace"), col("code"), col("n_seed"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+        coalesce(col("l1_shift"), lit(0L)).as("l1_shift"))
+      .orderBy("subspace", "code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_pq_train" -> (s27PqTrain _),
     "s23_coverage_gaps" -> (s23CoverageGaps _),
     "s22_kmeans_refine" -> (s22KmeansRefine _),
     "s21_centroid_drift" -> (s21CentroidDrift _),
@@ -1876,6 +1949,71 @@ object SimOps {
          |    PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // s27: s13's cb/sd/codes CTEs -> per-(subspace, code) assignment
+    // census + rounded-mean recompute + integer L1 shift vs the seed
+    "s27_pq_train" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+        |  FROM embeddings
+        |),
+        |cb AS (
+        |  SELECT label AS code, i,
+        |         CAST(round(CAST(SUM(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM u GROUP BY label, i
+        |),
+        |sd AS (
+        |  SELECT u.vec_id, cb.code, (u.i - 1) // 8 AS m,
+        |         CAST(SUM((u.x - cb.cx) * (u.x - cb.cx)) AS BIGINT) AS d
+        |  FROM u JOIN cb USING (i)
+        |  GROUP BY u.vec_id, cb.code, (u.i - 1) // 8
+        |),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        |    FROM sd) WHERE rn = 1
+        |),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |counts AS (
+        |  SELECT c.m, c.code, CAST(count(*) AS BIGINT) AS n_assigned,
+        |    CAST(sum(CASE WHEN l.label <> c.code THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_moved
+        |  FROM codes c JOIN lab l USING (vec_id)
+        |  GROUP BY c.m, c.code
+        |),
+        |newc AS (
+        |  SELECT c.m, c.code, u.i,
+        |    CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS nx
+        |  FROM codes c
+        |  JOIN u ON u.vec_id = c.vec_id AND (u.i - 1) // 8 = c.m
+        |  GROUP BY c.m, c.code, u.i
+        |),
+        |shift AS (
+        |  SELECT n.m, n.code, CAST(SUM(abs(n.nx - cb.cx)) AS BIGINT)
+        |    AS l1_shift
+        |  FROM newc n JOIN cb ON cb.code = n.code AND cb.i = n.i
+        |  GROUP BY n.m, n.code
+        |),
+        |seed AS (
+        |  SELECT CAST(label AS BIGINT) AS code, CAST(count(*) AS BIGINT)
+        |    AS n_seed
+        |  FROM embeddings GROUP BY label
+        |),
+        |spine AS (
+        |  SELECT ms.m AS subspace, seed.code, seed.n_seed
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |  CROSS JOIN seed
+        |)
+        |SELECT CAST(sp.subspace AS BIGINT) AS subspace, sp.code, sp.n_seed,
+        |  CAST(coalesce(c.n_assigned, 0) AS BIGINT) AS n_assigned,
+        |  CAST(coalesce(c.n_moved, 0) AS BIGINT) AS n_moved,
+        |  CAST(coalesce(s.l1_shift, 0) AS BIGINT) AS l1_shift
+        |FROM spine sp
+        |LEFT JOIN counts c ON c.m = sp.subspace AND c.code = sp.code
+        |LEFT JOIN shift s ON s.m = sp.subspace AND s.code = sp.code
+        |ORDER BY subspace, sp.code""".stripMargin,
 
     "s13_pq_adc" ->
       """WITH u AS (
