@@ -172,6 +172,25 @@ object ScalingProbe {
     }
   }
 
+  /** s27 shape: one per-subspace Lloyd step on n synthetic 64-dim
+    * integer vectors with 10 labels (values md5-derived around a
+    * label-offset mean, so the codebook is non-degenerate). Claimed
+    * posture: work = the n x 10 broadcast-codebook sub-distance scan +
+    * two keyed hash aggs — 10x vectors should be ~linear runtime.
+    */
+  private def pqTrainProbe(spark: SparkSession, n: Int): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> (id % 10) * 1000 + " +
+        "CAST(conv(substring(md5(concat(CAST(id AS STRING), '-', " +
+        "CAST(j AS STRING))), 1, 5), 16, 10) AS BIGINT) % 500)").as("qv"),
+      (col("id") % 10).cast("int").as("label"))
+    time("s27_pq_train", n) {
+      graft.ops.SimOps.pqTrainStep(spark, graft.Caches.cache(v)).count()
+    }
+  }
+
   /** w34 shape: in-session funnel on n users, each with 24 events in 4
     * sessions of 6 (view/click/purchase/noise mix, 10-minute gaps
     * in-session, 2-day gaps between). Claimed posture: ONE user-keyed
@@ -402,6 +421,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("kcore")) {
       kcoreProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pqtrain")) {
+      pqTrainProbe(spark, if (args.length > 1) args(1).toInt else 50000)
       spark.stop()
       return
     }
