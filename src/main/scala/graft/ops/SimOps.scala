@@ -1407,7 +1407,75 @@ object SimOps {
       .orderBy("subspace", "code")
   }
 
+  /** Reciprocal k-NN graph (k = 3) over the banded candidate pairs —
+    * the kNN-graph symmetrization step (keep edge (a,b) iff b is in a's
+    * top-k AND a is in b's top-k) that RNN-style clustering and
+    * graph-ANN construction start from: mutual edges are the
+    * high-precision subset of the directed kNN graph (hubs collect
+    * inbound edges they never reciprocate and drop out). Distinct from
+    * s18: s18 keeps only mutual-BEST pairs with a margin gate (a
+    * matching — each vector appears once); this keeps every mutually-
+    * top-k edge with both directed ranks, so a vector can carry up to k
+    * edges. Candidates come from the same 8-band x 8-bit sign-LSH
+    * banding as s03/s07 (never all-pairs); cosines are computed once
+    * per unordered pair (exact integer dot / sqrt-norm product) and
+    * mirrored, so rank ties break identically in both directions.
+    *
+    * 100 TB posture: band self-join is the only corpus-sized shuffle
+    * (O(n) candidates at calibrated banding); per-vector ranking is a
+    * map-side `graft_topk` heap bounding its shuffle to k rows per
+    * vector per partition; the reciprocity check is a self-join of the
+    * (n x k)-row directed edge list on swapped keys.
+    */
+  def s28MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val v = graft.Caches.cache(vectors(spark, dir))
+    val bandArr = (0 until Bands)
+      .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
+      .mkString("array(", ", ", ")")
+    val bands = graft.Caches.cache(
+      v.select(col("vec_id"), posexplode(expr(bandArr)).as(Seq("band", "key"))))
+    val cand = bands.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(bands.select(col("band"), col("key"), col("vec_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // one cosine per unordered pair, cached: the directed union reads it
+    // twice (once per direction)
+    val scored = graft.Caches.cache(cand
+      .join(v.select(col("vec_id").as("id_a"), col("qv").as("emb_a"),
+        col("vnorm").as("qnorm")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("qv").as("emb_b"),
+        col("vnorm").as("vnorm")), Seq("id_b"))
+      .withColumn("dot", expr(dotSq("emb_a", "emb_b")))
+      .withColumn("cosine", cosine)
+      .select(col("id_a"), col("id_b"), col("cosine")))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cosine"))
+      .unionAll(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cosine")))
+    // per-source top-k via the bounded map-side heap (ties: higher
+    // cosine first, then lower dst — graft_topk's order, = the oracle's
+    // row_number ORDER BY cosine DESC, dst ASC)
+    val ranked = graft.Caches.cache(directed
+      .groupBy(col("src"))
+      .agg(expr(s"graft_topk(cosine, dst, $k)").as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("src"), col("t.id").as("dst"),
+        (col("pos") + 1).cast("long").as("rank"), col("t.score").as("cosine")))
+    ranked.as("ab")
+      .join(ranked.as("ba"),
+        col("ab.src") === col("ba.dst") && col("ab.dst") === col("ba.src"))
+      .filter(col("ab.src") < col("ab.dst"))
+      .select(col("ab.src").as("id_a"), col("ab.dst").as("id_b"),
+        col("ab.rank").as("rank_ab"), col("ba.rank").as("rank_ba"),
+        col("ab.cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_mutual_knn" -> (s28MutualKnn _),
     "s27_pq_train" -> (s27PqTrain _),
     "s23_coverage_gaps" -> (s23CoverageGaps _),
     "s22_kmeans_refine" -> (s22KmeansRefine _),
@@ -2419,6 +2487,52 @@ object SimOps {
          |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
          |)
          |SELECT id_a, id_b, cosine FROM c
-         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    // s28: same banded candidates + pair cosines as s03 (no threshold),
+    // mirrored into a directed edge list, top-3 per source, reciprocal join
+    "s28_mutual_knn" ->
+      s"""WITH $unnestSql,
+         |bl AS (
+         |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+         |),
+         |eb AS (
+         |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
+         |         unnest(keys) AS key
+         |  FROM bl
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM eb a JOIN eb b ON b.band = a.band AND b.key = a.key
+         |  WHERE a.vec_id < b.vec_id
+         |),
+         |d AS (
+         |  SELECT c.id_a, c.id_b, SUM(ua.x * ub.x) AS dot
+         |  FROM cand c
+         |  JOIN u ua ON ua.vec_id = c.id_a
+         |  JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+         |  GROUP BY c.id_a, c.id_b
+         |),
+         |c AS (
+         |  SELECT id_a, id_b, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.normsq AS DOUBLE)) * sqrt(CAST(nb.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |),
+         |dir AS (
+         |  SELECT id_a AS src, id_b AS dst, cosine FROM c
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, cosine FROM c
+         |),
+         |r AS (
+         |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src
+         |    ORDER BY cosine DESC, dst ASC) AS rank
+         |  FROM dir
+         |),
+         |k AS (SELECT * FROM r WHERE rank <= 3)
+         |SELECT ab.src AS id_a, ab.dst AS id_b, ab.rank AS rank_ab,
+         |       ba.rank AS rank_ba, ab.cosine
+         |FROM k ab JOIN k ba ON ba.src = ab.dst AND ba.dst = ab.src
+         |WHERE ab.src < ab.dst ORDER BY id_a, id_b""".stripMargin
   )
 }
