@@ -56,11 +56,13 @@ object GraphOps {
     triangleStats(pairs)
   }
 
-  /** g01's body over any canonical (doc_a < doc_b) distinct edge frame —
-    * shared with the planted-graph spec.
+  /** Degree-oriented triangle enumeration shared by g01 and g06: one row
+    * (src, x, y) per triangle, where src is the (degree, id)-minimum
+    * corner and (x, y) is canonical x < y. The O(m^1.5) wedge bound is
+    * g01's (scaladoc there).
     */
-  private[graft] def triangleStats(pairs: DataFrame): DataFrame = {
-    val deg = graft.Caches.cache(degrees(pairs))
+  private def orientedTriangles(pairs: DataFrame, deg: DataFrame)
+      : DataFrame = {
     // Orient each edge toward the (degree, id)-larger endpoint. The
     // degree frame is near-dup-node-population-sized (same reasoning as
     // d15's family join) but NOT forced broadcast: at corpus scale both
@@ -80,8 +82,16 @@ object GraphOps {
     val wedges = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
-    val triangles = wedges.join(
+    wedges.join(
       pairs.select(col("doc_a").as("x"), col("doc_b").as("y")), Seq("x", "y"))
+  }
+
+  /** g01's body over any canonical (doc_a < doc_b) distinct edge frame —
+    * shared with the planted-graph spec.
+    */
+  private[graft] def triangleStats(pairs: DataFrame): DataFrame = {
+    val deg = graft.Caches.cache(degrees(pairs))
+    val triangles = orientedTriangles(pairs, deg)
     val perNode = triangles
       .select(col("src").as("doc_id"))
       .union(triangles.select(col("x").as("doc_id")))
@@ -96,6 +106,53 @@ object GraphOps {
             (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
+  }
+
+  /** Per-edge triangle support over the near-dup pair graph — the
+    * k-truss primitive, run as the CHAIN-LINK audit for LSH dedup:
+    * support(u, v) = |N(u) ∩ N(v)| counts the triangles through the
+    * edge, and a support-0 edge is a transitive link with no
+    * corroborating neighbor — exactly the shape that over-merges two
+    * unrelated families into one component when near-dup clustering
+    * closes over it (d07/d17 treat every edge as equally trustworthy;
+    * this is the evidence for pruning before the closure). Keeping only
+    * support >= k-2 edges IS the k-truss; the flag column is the 3-truss
+    * cut.
+    *
+    * 100 TB posture: identical wedge machinery to g01 (degree-oriented,
+    * O(m^1.5) wedge volume, hub-skew-proof); the support agg and the
+    * three joins back to edges/degrees all hash on node/edge ids.
+    */
+  def g06EdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.cache(
+      DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b"))
+    edgeSupport(pairs)
+  }
+
+  /** g06's body over any canonical distinct edge frame (spec-shared). */
+  private[graft] def edgeSupport(pairs: DataFrame): DataFrame = {
+    val deg = graft.Caches.cache(degrees(pairs))
+    val triangles = orientedTriangles(pairs, deg)
+    // each triangle supports its 3 edges; (x, y) is canonical already,
+    // the two pivot edges canonicalize via least/greatest
+    val support = triangles
+      .select(least(col("src"), col("x")).as("doc_a"),
+        greatest(col("src"), col("x")).as("doc_b"))
+      .union(triangles.select(least(col("src"), col("y")).as("doc_a"),
+        greatest(col("src"), col("y")).as("doc_b")))
+      .union(triangles.select(col("x").as("doc_a"), col("y").as("doc_b")))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("support"))
+    pairs
+      .join(support, Seq("doc_a", "doc_b"), "left")
+      .join(deg.select(col("doc_id").as("doc_a"), col("degree").as("deg_a")),
+        "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("degree").as("deg_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("deg_a"), col("deg_b"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        when(coalesce(col("support"), lit(0L)) === 0, lit(1L))
+          .otherwise(lit(0L)).as("chain_link"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Integer-exact PageRank (3 iterations, damping 0.85) over the
@@ -346,6 +403,7 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g06_edge_support" -> (g06EdgeSupport _),
     "g05_link_prediction" -> (g05LinkPrediction _),
     "g04_assortativity" -> (g04Assortativity _),
     "g03_kcore" -> (g03Kcore _),
@@ -498,6 +556,35 @@ object GraphOps {
          |            ELSE CAST(0 AS DOUBLE) END AS local_cc
          |FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // g06: g01's tri CTE (a < b < c, so (a,b)/(b,c)/(a,c) are already
+    // canonical), re-keyed per edge instead of per corner
+    "g06_edge_support" -> materializedCtes(
+      s"""$graphSqlPrefix,
+         |tri AS (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |),
+         |es AS (
+         |  SELECT doc_a, doc_b, count(*) AS support FROM (
+         |    SELECT a AS doc_a, b AS doc_b FROM tri
+         |    UNION ALL SELECT b, c FROM tri
+         |    UNION ALL SELECT a, c FROM tri)
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(da.degree AS BIGINT) AS deg_a,
+         |  CAST(db.degree AS BIGINT) AS deg_b,
+         |  coalesce(es.support, 0) AS support,
+         |  CAST(CASE WHEN coalesce(es.support, 0) = 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS chain_link
+         |FROM pairs p
+         |LEFT JOIN es ON es.doc_a = p.doc_a AND es.doc_b = p.doc_b
+         |JOIN deg da ON da.doc_id = p.doc_a
+         |JOIN deg db ON db.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin),
 
     "g02_pagerank" -> {
       def round(k: Int): String =

@@ -60,6 +60,43 @@ class GraphOpsSpec extends SparkTestBase {
     assert(hub.getAs[Double]("local_cc") == 0.0)
   }
 
+  test("g06: hand-computed edge supports; path edges flag as chain links") {
+    val rows = GraphOps.edgeSupport(planted).collect()
+    val m = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("support"), r.getAs[Long]("chain_link")))).toMap
+    assert(m.size == 11) // one row per planted edge
+    // 4-clique: every edge sits in exactly 2 triangles
+    Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+      .foreach { e => assert(m(e) == ((2L, 0L))) }
+    // path edges have no common neighbor — the chain-link shape
+    assert(m(5L -> 6L) == ((0L, 1L)))
+    assert(m(6L -> 7L) == ((0L, 1L)))
+    // plain triangle: support 1 each
+    Seq(8L -> 9L, 8L -> 10L, 9L -> 10L).foreach { e =>
+      assert(m(e) == ((1L, 0L)))
+    }
+    // degrees ride along: edge (1,2) joins two degree-3 corners
+    val e12 = rows.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L).get
+    assert(e12.getAs[Long]("deg_a") == 3L && e12.getAs[Long]("deg_b") == 3L)
+  }
+
+  test("g06: edge-support total reconciles with g01's corner total (both 3T)") {
+    val bySupport = GraphOps.edgeSupport(planted)
+      .agg(sum(col("support"))).head().getLong(0)
+    val byCorner = GraphOps.triangleStats(planted)
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    assert(bySupport == byCorner && bySupport == 15L)
+  }
+
+  test("g06: star hub edges all chain-link (orientation survives skew)") {
+    val star = edges((1L to 20L).map(i => 0L -> (i + 100)): _*)
+    val rows = GraphOps.edgeSupport(star).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Long]("chain_link") == 1L))
+  }
+
   test("g02: hand-unrolled 3 iterations on a 3-node path") {
     // a-b-c: deg(a)=deg(c)=1, deg(b)=2; all integer arithmetic:
     // r1: a=c=150000+85*500000/100=575000, b=150000+85*2000000/100=1850000
