@@ -228,6 +228,50 @@ object PipelineOps {
       .orderBy("source", "k")
   }
 
+  /** Temperature-smoothed source-mixture plan (alpha = 1/2) — the
+    * mixing computation behind Pile/ROOTS-style corpus weighting:
+    * sampling weight w_s proportional to src_tokens^alpha flattens the
+    * natural distribution (small curated sources up, the web crawl
+    * down) without equalizing it. Per source: natural share, smoothed
+    * target share, the upsample factor a loader applies (>1 = repeat
+    * epochs, <1 = subsample), and the planned token draw for a budget
+    * of one full corpus pass.
+    *
+    * Cross-engine exactness: w_s = floor(sqrt(src_tokens)) — IEEE sqrt
+    * is correctly rounded, so BOTH engines compute the identical double
+    * and the identical floor (even where that floor differs from the
+    * mathematical isqrt near k^2 - 1 boundaries, it differs the same
+    * way); every share/factor is one division of exact integer
+    * products; planned_tokens is truncating integer division (values
+    * positive, so Spark DIV == DuckDB //).
+    *
+    * 100 TB posture: ONE source-keyed hash agg over the corpus (tokens
+    * counted map-side); the plan itself is a sources-sized frame with a
+    * 1-row totals broadcast (the d23 scalar pattern).
+    */
+  def p23MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT)"))
+    val totals = per.agg(sum(col("src_tokens")).as("total_tokens"),
+      sum(col("w")).as("total_w"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        (col("src_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("natural_share"),
+        (col("w").cast("double") / col("total_w").cast("double"))
+          .as("target_share"),
+        ((col("w") * col("total_tokens")).cast("double") /
+          (col("total_w") * col("src_tokens")).cast("double"))
+          .as("upsample_factor"),
+        expr("(w * total_tokens) DIV total_w").as("planned_tokens"))
+      .orderBy("source")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates
     * (downsample the dominant language — corpus rebalancing), keep
     * decision from a salted md5 of the doc id mapped to [0,1) — stable
@@ -888,6 +932,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_mixture_plan" -> (p23MixturePlan _),
     "p22_preference_pairs" -> (p22PreferencePairs _),
     "p21_pack_report" -> (p21PackReport _),
     "p20_training_order" -> (p20TrainingOrder _),
@@ -913,6 +958,33 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p23: one source agg, isqrt weights, integer-product divisions
+    "p23_mixture_plan" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |w AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT)
+        |    AS w
+        |  FROM per
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(w) AS BIGINT) AS total_w
+        |  FROM w
+        |)
+        |SELECT source, n_docs, src_tokens,
+        |  CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |    AS natural_share,
+        |  CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE) AS target_share,
+        |  CAST(w * total_tokens AS DOUBLE) /
+        |    CAST(total_w * src_tokens AS DOUBLE) AS upsample_factor,
+        |  (w * total_tokens) // total_w AS planned_tokens
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
+
     // p21: p04's assignment re-grouped by shard
     "p21_pack_report" ->
       """WITH pk AS (
