@@ -31,6 +31,8 @@ object PlanAudit {
     // 1-row scalar broadcasts
     "p07_domain_mix" -> Set("BroadcastNestedLoopJoin"),
     "p10_epoch_plan" -> Set("BroadcastNestedLoopJoin"),
+    // p23: the 1-row corpus-totals broadcast scaling the per-source plan
+    "p23_mixture_plan" -> Set("BroadcastNestedLoopJoin"),
     "q05_gold_alerts" -> Set("BroadcastNestedLoopJoin"),
     "q20_global_filter_anti" -> Set("BroadcastNestedLoopJoin"),
     "t05_tfidf" -> Set("BroadcastNestedLoopJoin"),
@@ -67,6 +69,10 @@ object PlanAudit {
     "s24_nprobe_sweep" -> Set("BroadcastNestedLoopJoin"),
     // t18: the t05/t08 1-row n_docs scalar broadcast
     "t18_keyword_extract" -> Set("BroadcastNestedLoopJoin"),
+    // t23: sources x sources zero-kept spine — a source-count-bounded
+    // broadcast theta join (src_a < src_b); the overlap join itself is
+    // token-keyed equality
+    "t23_vocab_overlap" -> Set("BroadcastNestedLoopJoin"),
     // (t14/t19 need no entry: their vocab broadcast is an equality
     // join on word — a BroadcastHashJoin, not a BNLJ)
     // p19: the 1-row majority-target scalar broadcast over the

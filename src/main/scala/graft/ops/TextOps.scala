@@ -785,7 +785,46 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** Pairwise source-vocabulary overlap (Jaccard over distinct token
+    * sets) — the corpus-diversity audit behind source selection: two
+    * sources with near-identical vocabularies add redundant coverage
+    * (candidates for capping), a low-overlap source is buying lexical
+    * diversity no other source provides. The source×source matrix keeps
+    * ZERO-overlap pairs as real rows (the t22 calibration discipline).
+    * n_common <= min(vocab_a, vocab_b) and jaccard is one division of
+    * exact integers.
+    *
+    * 100 TB posture: the corpus collapses to the distinct
+    * (source, token) frame FIRST (one hash shuffle, vocabulary-sized);
+    * the pair join is token-keyed over that frame and each token emits
+    * at most C(n_sources, 2) pairs — bounded by the source count, never
+    * by corpus size. The zero-kept spine is a sources×sources broadcast
+    * (BNLJ allowlisted, source-count-bounded).
+    */
+  def t23VocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sv = graft.Caches.cache(Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .distinct())
+    val sizes = graft.Caches.cache(
+      sv.groupBy("source").agg(count(lit(1)).as("v")))
+    val common = sv.select(col("source").as("src_a"), col("token"))
+      .join(sv.select(col("source").as("src_b"), col("token")), Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    val spine = sizes.select(col("source").as("src_a"), col("v").as("vocab_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("v").as("vocab_b"))), col("src_a") < col("src_b"))
+    spine.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("vocab_a") + col("vocab_b") -
+            coalesce(col("n_common"), lit(0L)))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_vocab_overlap" -> (t23VocabOverlap _),
     "t22_blocklist_report" -> (t22BlocklistReport _),
     "t21_vocab_growth" -> (t21VocabGrowth _),
     "t20_dataset_card" -> (t20DatasetCard _),
@@ -928,6 +967,32 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t23: distinct (source, token) frame, token-keyed pair counts,
+    // zero-kept source-pair spine
+    "t23_vocab_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |),
+        |sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS v FROM sv GROUP BY source
+        |),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sv a JOIN sv b ON b.token = a.token AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT x.source AS src_a, y.source AS src_b,
+        |  x.v AS vocab_a, y.v AS vocab_b,
+        |  coalesce(p.n_common, 0) AS n_common,
+        |  CAST(coalesce(p.n_common, 0) AS DOUBLE) /
+        |    (x.v + y.v - coalesce(p.n_common, 0)) AS jaccard
+        |FROM sz x JOIN sz y ON x.source < y.source
+        |LEFT JOIN pr p ON p.src_a = x.source AND p.src_b = y.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // t22: fixed terms left-joined to pruned token hits + scalar total
     "t22_blocklist_report" ->
       """WITH terms AS (
