@@ -1643,7 +1643,61 @@ object RelOps {
       .orderBy("event_type", "hour")
   }
 
+  /** Lag autocorrelation of the hourly count series (lags 1 and 24) —
+    * the seasonality-STRENGTH statistic next to w36's seasonal
+    * baselines: a high lag-24 Pearson r says the daily cycle dominates
+    * (w36's hour-of-day baseline is trustworthy), a high lag-1 with a
+    * flat lag-24 says drift/bursts, not seasonality. Cells come from
+    * the w31 zero-filled spine (gap hours are REAL zero observations —
+    * skipping them would splice non-adjacent hours into fake pairs).
+    *
+    * Cross-engine exactness: g04's moment form — n, Σx, Σy, Σxy, Σxx,
+    * Σyy are exact integer sums over the paired series; r is one
+    * division whose numerator is an exact integer cast and whose
+    * denominator is the product of two correctly-rounded IEEE sqrts of
+    * exact integers — the identical double in both engines. A
+    * zero-variance side yields NULL (constant series have no
+    * correlation), never a 0/0 NaN.
+    *
+    * 100 TB posture: raw events collapse to the (types x hours) cell
+    * frame first; ONE type-keyed window sort produces both lead
+    * columns; `stack` unpivots in-place (no second window); the moment
+    * agg is a (type, lag)-keyed hash agg over cell-sized rows.
+    */
+  def w43Autocorr(spark: SparkSession, dir: String): DataFrame =
+    w43AutocorrOf(Tables.events(spark, dir).select("event_type", "ts"))
+
+  /** The w43 body over any (event_type, ts) frame — exposed for the
+    * hand-computed periodic-fixture spec.
+    */
+  private[graft] def w43AutocorrOf(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = hourlyCellsOf(raw)
+      .withColumn("y1", lead(col("x"), 1).over(w))
+      .withColumn("y24", lead(col("x"), 24).over(w))
+    val pairs = lagged
+      .select(col("event_type"), col("x"), expr(
+        "stack(2, CAST(1 AS BIGINT), y1, CAST(24 AS BIGINT), y24)")
+        .as(Seq("lag", "y")))
+      .filter(col("y").isNotNull)
+    val m = pairs.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val varX = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"), col("lag"), col("n_pairs"), col("sxy"),
+      when(varX > 0 && varY > 0,
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+        .as("autocorr"))
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w43_autocorr" -> (w43Autocorr _),
     "w42_ewma" -> (w42Ewma _),
     "w41_top_paths" -> (w41TopPaths _),
     "w40_key_skew" -> (w40KeySkew _),
@@ -1771,6 +1825,59 @@ object RelOps {
         |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
         |  FROM agg
         |)""".stripMargin,
+
+    // w43: zero-filled cells, two leads on one type-keyed window,
+    // g04's exact-moment Pearson per (type, lag)
+    "w43_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+        |),
+        |counts AS (
+        |  SELECT event_type, h, count(*) AS x FROM e GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY event_type
+        |),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span
+        |),
+        |cells AS (
+        |  SELECT s.event_type, s.h, coalesce(c.x, 0) AS x
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.event_type = s.event_type AND c.h = s.h
+        |),
+        |lagged AS (
+        |  SELECT event_type, x,
+        |    lead(x, 1) OVER (PARTITION BY event_type ORDER BY h) AS y1,
+        |    lead(x, 24) OVER (PARTITION BY event_type ORDER BY h) AS y24
+        |  FROM cells
+        |),
+        |lf AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y
+        |  FROM lagged WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, CAST(24 AS BIGINT), x, y24
+        |  FROM lagged WHERE y24 IS NOT NULL
+        |),
+        |m AS (
+        |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM lf GROUP BY 1, 2
+        |)
+        |SELECT event_type, lag, n_pairs, sxy,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0
+        |        AND n_pairs * syy - sy * sy > 0
+        |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+        |  END AS autocorr
+        |FROM m ORDER BY event_type, lag""".stripMargin,
 
     // w42: zero-filled cells explode 24 dyadic-weight contributions;
     // exact integer numerator/denominator, one division each
