@@ -151,7 +151,9 @@ object PlanAudit {
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // s27: the s13 broadcast-codebook sub-distance scan + the (8 x L)
     // spine built as labels x broadcast range(8)
-    "s27_pq_train" -> Set("BroadcastNestedLoopJoin")
+    "s27_pq_train" -> Set("BroadcastNestedLoopJoin"),
+    // s29: the same s13/s27 broadcast-codebook scan + (8 x L) spine
+    "s29_pq_distortion" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

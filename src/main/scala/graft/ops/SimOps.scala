@@ -1427,9 +1427,12 @@ object SimOps {
     * vector per partition; the reciprocity check is a self-join of the
     * (n x k)-row directed edge list on swapped keys.
     */
-  def s28MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+  def s28MutualKnn(spark: SparkSession, dir: String): DataFrame =
+    mutualKnnOf(graft.Caches.cache(vectors(spark, dir)))
+
+  /** s28's body over any quantized vectors frame (probe-shared). */
+  private[graft] def mutualKnnOf(v: DataFrame): DataFrame = {
     val k = 3
-    val v = graft.Caches.cache(vectors(spark, dir))
     val bandArr = (0 until Bands)
       .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
       .mkString("array(", ", ", ")")
@@ -1474,7 +1477,46 @@ object SimOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** PQ distortion report — the quantization-error readout (FAISS's
+    * reconstruction-error diagnostic) per (subspace, codeword): how
+    * much the 8-byte code loses versus the real vector, cell by cell.
+    * sse per assigned vector is the SAME integer min-distance the s13
+    * encode rule picks (ties to the lower code), so the report measures
+    * exactly what the index stores; a fat-mean cell is the codeword to
+    * re-train (s27's step), and empty cells stay visible as zero rows.
+    * mean_sse is one division of exact integers, NULL for empty cells.
+    *
+    * 100 TB posture: one broadcast-codebook sub-distance scan (the s13
+    * encode pass — the corpus is touched once), one (vec, subspace)
+    * argmin folded map-side into the per-vector array agg, one
+    * (subspace, code) hash agg; the (8 x L) spine rides broadcasts.
+    */
+  def s29PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    val cb = pqTrainedCodebook(v)
+    val best = pqSubDists(v, cb)
+      .groupBy("vec_id")
+      .agg(array((0 until PqM).map(m =>
+        min(struct(element_at(col("ds"), m + 1).as("d"),
+          col("code").as("code")))): _*).as("bs"))
+      .select(col("vec_id"), posexplode(col("bs")).as(Seq("subspace", "b")))
+    val per = best
+      .groupBy(col("subspace").cast("long").as("subspace"),
+        col("b.code").as("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("b.d")).as("sse"))
+    val spine = cb.select("code")
+      .crossJoin(broadcast(spark.range(PqM).select(col("id").as("subspace"))))
+    spine.join(per, Seq("subspace", "code"), "left")
+      .select(col("subspace"), col("code"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        coalesce(col("sse"), lit(0L)).as("sse"),
+        when(coalesce(col("n_assigned"), lit(0L)) > 0,
+          col("sse").cast("double") / col("n_assigned")).as("mean_sse"))
+      .orderBy("subspace", "code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_pq_distortion" -> (s29PqDistortion _),
     "s28_mutual_knn" -> (s28MutualKnn _),
     "s27_pq_train" -> (s27PqTrain _),
     "s23_coverage_gaps" -> (s23CoverageGaps _),
@@ -2020,6 +2062,53 @@ object SimOps {
 
     // s27: s13's cb/sd/codes CTEs -> per-(subspace, code) assignment
     // census + rounded-mean recompute + integer L1 shift vs the seed
+    // s29: s27's sd CTE + the s13 argmin rule keeping its distance,
+    // re-keyed (subspace, code) onto the zero-kept codebook spine
+    "s29_pq_distortion" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+        |  FROM embeddings
+        |),
+        |cb AS (
+        |  SELECT label AS code, i,
+        |         CAST(round(CAST(SUM(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+        |  FROM u GROUP BY label, i
+        |),
+        |sd AS (
+        |  SELECT u.vec_id, cb.code, (u.i - 1) // 8 AS m,
+        |         CAST(SUM((u.x - cb.cx) * (u.x - cb.cx)) AS BIGINT) AS d
+        |  FROM u JOIN cb USING (i)
+        |  GROUP BY u.vec_id, cb.code, (u.i - 1) // 8
+        |),
+        |best AS (
+        |  SELECT vec_id, m, code, d FROM (
+        |    SELECT vec_id, m, code, d, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        |    FROM sd) WHERE rn = 1
+        |),
+        |per AS (
+        |  SELECT m, code, CAST(count(*) AS BIGINT) AS n_assigned,
+        |         CAST(SUM(d) AS BIGINT) AS sse
+        |  FROM best GROUP BY m, code
+        |),
+        |codesall AS (
+        |  SELECT DISTINCT CAST(label AS BIGINT) AS code FROM embeddings
+        |),
+        |spine AS (
+        |  SELECT ms.m AS subspace, c.code
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |  CROSS JOIN codesall c
+        |)
+        |SELECT CAST(sp.subspace AS BIGINT) AS subspace, sp.code,
+        |  CAST(coalesce(p.n_assigned, 0) AS BIGINT) AS n_assigned,
+        |  CAST(coalesce(p.sse, 0) AS BIGINT) AS sse,
+        |  CASE WHEN coalesce(p.n_assigned, 0) > 0
+        |    THEN CAST(p.sse AS DOUBLE) / p.n_assigned END AS mean_sse
+        |FROM spine sp
+        |LEFT JOIN per p ON p.m = sp.subspace AND p.code = sp.code
+        |ORDER BY subspace, sp.code""".stripMargin,
+
     "s27_pq_train" ->
       """WITH u AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
