@@ -272,6 +272,46 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Source-concentration card (1 row) — the governance readout next
+    * to p23's plan: HOW dominated is the corpus before any mixing?
+    * HHI = Σ share² (the antitrust statistic: 1/n_sources when
+    * balanced, →1 when one crawl owns everything) and the Gini
+    * coefficient over per-source token mass, plus the top source's
+    * share. All three are single divisions of exact integer
+    * aggregates: HHI = Σn_s² / N², Gini = (2·Σ i·x_(i) − (n+1)·N) /
+    * (n·N) over the ascending-sorted source masses (ties broken by
+    * source name so the rank sum is deterministic — Gini's value is
+    * tie-order-invariant, the determinism is for the audit trail).
+    *
+    * 100 TB posture: ONE source-keyed hash agg collapses the corpus;
+    * the rank window and every later step run on the sources-sized
+    * frame (the single-partition window spans n_sources rows, not
+    * corpus rows).
+    */
+  def p24SourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source").agg(sum("n_tokens").as("x"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("x").asc, col("source").asc))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+      sum(col("x") * col("x")).as("sum_sq"),
+      sum(col("i") * col("x")).as("rank_mass"),
+      max(col("x")).as("top_tokens"))
+      .select(col("n_sources"), col("total_tokens"),
+        (col("sum_sq").cast("double") /
+          (col("total_tokens") * col("total_tokens")).cast("double"))
+          .as("hhi"),
+        ((lit(2L) * col("rank_mass") -
+          (col("n_sources") + 1L) * col("total_tokens")).cast("double") /
+          (col("n_sources") * col("total_tokens")).cast("double"))
+          .as("gini"),
+        (col("top_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("top_share"))
+  }
+
   /** Deterministic stratified sampling: per-language keep rates
     * (downsample the dominant language — corpus rebalancing), keep
     * decision from a salted md5 of the doc id mapped to [0,1) — stable
@@ -932,6 +972,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_source_concentration" -> (p24SourceConcentration _),
     "p23_mixture_plan" -> (p23MixturePlan _),
     "p22_preference_pairs" -> (p22PreferencePairs _),
     "p21_pack_report" -> (p21PackReport _),
@@ -958,6 +999,36 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p24: one source agg; HHI/Gini/top as divisions of exact integers
+    "p24_source_concentration" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM documents GROUP BY source
+        |),
+        |rk AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, source ASC)
+        |    AS BIGINT) AS i
+        |  FROM per
+        |),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+        |    CAST(SUM(i * x) AS BIGINT) AS rank_mass,
+        |    CAST(MAX(x) AS BIGINT) AS top_tokens
+        |  FROM rk
+        |)
+        |SELECT n_sources, total_tokens,
+        |  CAST(sum_sq AS DOUBLE) /
+        |    CAST(total_tokens * total_tokens AS DOUBLE) AS hhi,
+        |  CAST(2 * rank_mass - (n_sources + 1) * total_tokens AS DOUBLE) /
+        |    CAST(n_sources * total_tokens AS DOUBLE) AS gini,
+        |  CAST(top_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |    AS top_share
+        |FROM agg""".stripMargin,
+
     // p23: one source agg, isqrt weights, integer-product divisions
     "p23_mixture_plan" ->
       """WITH per AS (
