@@ -43,6 +43,8 @@ object PlanAudit {
     "w19_interval_overlap" -> Set("BroadcastNestedLoopJoin"),
     // 1-row dim-bounds broadcast feeding the min-max scaling
     "w20_zorder_stats" -> Set("BroadcastNestedLoopJoin"),
+    // w44: the 1-row purchase-total broadcast scaling the 6-row report
+    "w44_attribution" -> Set("BroadcastNestedLoopJoin"),
     // broadcast query-set / codebook top-k scans
     "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
     // recall audit: contains s01's exact side (the same broadcast

@@ -1696,7 +1696,67 @@ object RelOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Conversion attribution, first-touch vs last-touch (7-day
+    * lookback) — the marketing-analytics staple w26/w39 stop short of:
+    * WHICH channel (view or click) gets credit for each purchase, under
+    * both models, with unattributed purchases kept as an honest 'none'
+    * row. Both models come from ONE user-keyed range window
+    * (micros-exact bounds [-7d, -1µs] — a same-microsecond touch never
+    * attributes): min/max of the null-gated (um, event_id, type) struct
+    * pick the first/last touch with the event-id tiebreak, exactly the
+    * oracle's row_number order since (um, event_id) is unique.
+    *
+    * 100 TB posture: one user-keyed window sort over events; everything
+    * after runs on the purchases-sized frame (cached — both the count
+    * and the channel agg read it); the 6-row model×channel spine and
+    * the 1-row purchase total ride broadcasts (BNLJ allowlisted).
+    */
+  def w44Attribution(spark: SparkSession, dir: String): DataFrame =
+    w44AttributionOf(spark, Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type"))
+
+  /** The w44 body over any (event_id, ts, user_id, event_type) frame —
+    * exposed for the hand-computed lookback/tiebreak spec.
+    */
+  private[graft] def w44AttributionOf(spark: SparkSession, raw: DataFrame)
+      : DataFrame = {
+    val lookback = 7L * 86400L * 1000000L
+    val ev = raw.select(col("event_id"), unix_micros(col("ts")).as("um"),
+      col("user_id"), col("event_type"))
+    val isTouch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy("user_id").orderBy("um")
+      .rangeBetween(-lookback, -1L)
+    val touch = when(isTouch,
+      struct(col("um"), col("event_id"), col("event_type")))
+    val attributed = graft.Caches.cache(ev
+      .withColumn("first_t", min(touch).over(w))
+      .withColumn("last_t", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_t.event_type"), lit("none")).as("first_ch"),
+        coalesce(col("last_t.event_type"), lit("none")).as("last_ch")))
+    val counts = attributed
+      .select(expr(
+        "stack(2, 'first_touch', first_ch, 'last_touch', last_ch)")
+        .as(Seq("model", "channel")))
+      .groupBy("model", "channel").agg(count(lit(1)).as("n_conversions"))
+    val tot = attributed.agg(count(lit(1)).as("n_purchases"))
+    val spine = spark.createDataFrame(Seq(
+      ("first_touch", "view"), ("first_touch", "click"),
+      ("first_touch", "none"), ("last_touch", "view"),
+      ("last_touch", "click"), ("last_touch", "none")))
+      .toDF("model", "channel")
+    spine.join(counts, Seq("model", "channel"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("model"), col("channel"),
+        coalesce(col("n_conversions"), lit(0L)).as("n_conversions"),
+        (coalesce(col("n_conversions"), lit(0L)).cast("double") /
+          col("n_purchases")).as("share"))
+      .orderBy("model", "channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w44_attribution" -> (w44Attribution _),
     "w43_autocorr" -> (w43Autocorr _),
     "w42_ewma" -> (w42Ewma _),
     "w41_top_paths" -> (w41TopPaths _),
@@ -1825,6 +1885,64 @@ object RelOps {
         |         THEN CAST(converted_b AS DOUBLE) / exposed_b END AS cvr_b
         |  FROM agg
         |)""".stripMargin,
+
+    // w44: the oracle states the semantics declaratively (purchase x
+    // touch range join + row_number picks); the engine's single-window
+    // struct-min/max form is plan-equivalent because (um, event_id) is
+    // unique per touch
+    "w44_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS um, user_id, event_type
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT event_id AS pid, um, user_id FROM e
+        |  WHERE event_type = 'purchase'
+        |),
+        |t AS (
+        |  SELECT event_id AS tid, um, user_id, event_type AS ch FROM e
+        |  WHERE event_type IN ('view', 'click')
+        |),
+        |tp AS (
+        |  SELECT p.pid, t.ch, t.um, t.tid FROM p
+        |  JOIN t ON t.user_id = p.user_id
+        |   AND t.um >= p.um - 604800000000 AND t.um < p.um
+        |),
+        |fst AS (
+        |  SELECT pid, ch FROM (
+        |    SELECT pid, ch, row_number() OVER (PARTITION BY pid
+        |      ORDER BY um ASC, tid ASC) AS rn FROM tp) WHERE rn = 1
+        |),
+        |lst AS (
+        |  SELECT pid, ch FROM (
+        |    SELECT pid, ch, row_number() OVER (PARTITION BY pid
+        |      ORDER BY um DESC, tid DESC) AS rn FROM tp) WHERE rn = 1
+        |),
+        |att AS (
+        |  SELECT 'first_touch' AS model, coalesce(f.ch, 'none') AS channel
+        |  FROM p LEFT JOIN fst f ON f.pid = p.pid
+        |  UNION ALL
+        |  SELECT 'last_touch', coalesce(l.ch, 'none')
+        |  FROM p LEFT JOIN lst l ON l.pid = p.pid
+        |),
+        |cnt AS (
+        |  SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions
+        |  FROM att GROUP BY 1, 2
+        |),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |spine AS (
+        |  SELECT m.model, c.channel FROM
+        |    (SELECT unnest(['first_touch', 'last_touch']) AS model) m
+        |  CROSS JOIN
+        |    (SELECT unnest(['view', 'click', 'none']) AS channel) c
+        |)
+        |SELECT s.model, s.channel,
+        |  coalesce(cn.n_conversions, 0) AS n_conversions,
+        |  CAST(coalesce(cn.n_conversions, 0) AS DOUBLE) / tot.n AS share
+        |FROM spine s
+        |LEFT JOIN cnt cn ON cn.model = s.model AND cn.channel = s.channel
+        |CROSS JOIN tot
+        |ORDER BY s.model, s.channel""".stripMargin,
 
     // w43: zero-filled cells, two leads on one type-keyed window,
     // g04's exact-moment Pearson per (type, lag)
