@@ -1735,12 +1735,21 @@ object RelOps {
       .select(
         coalesce(col("first_t.event_type"), lit("none")).as("first_ch"),
         coalesce(col("last_t.event_type"), lit("none")).as("last_ch")))
-    val counts = attributed
+    w44Report(spark, attributed)
+  }
+
+  /** w44's report finisher over a per-purchase (first_ch, last_ch)
+    * frame — shared with the streaming twin's accumulated-results fold
+    * (the lakehouse-as-accumulator pattern).
+    */
+  private[graft] def w44Report(spark: SparkSession, perPurchase: DataFrame)
+      : DataFrame = {
+    val counts = perPurchase
       .select(expr(
         "stack(2, 'first_touch', first_ch, 'last_touch', last_ch)")
         .as(Seq("model", "channel")))
       .groupBy("model", "channel").agg(count(lit(1)).as("n_conversions"))
-    val tot = attributed.agg(count(lit(1)).as("n_purchases"))
+    val tot = perPurchase.agg(count(lit(1)).as("n_purchases"))
     val spine = spark.createDataFrame(Seq(
       ("first_touch", "view"), ("first_touch", "click"),
       ("first_touch", "none"), ("last_touch", "view"),

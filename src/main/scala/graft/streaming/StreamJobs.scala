@@ -869,3 +869,89 @@ object RollingJobs {
       .orderBy("day")
   }
 }
+
+/** Typed rows for the streaming attribution twin (w44). */
+case class AttrEvent(
+    event_id: Long, um: Long, user_id: Long, event_type: String)
+case class AttrResult(
+    purchase_id: Long, user_id: Long, first_ch: String, last_ch: String)
+
+/** StatefulProcessor for [[AttributionJobs.attributionTws]]: per-user
+  * ListState over the touches still inside any future purchase's
+  * 7-day lookback. On a purchase it scans the (tiny, pruned) touch
+  * list for the [p-7d, p) window and emits first/last credit with the
+  * same (um, event_id) tiebreak as batch w44; on a touch it appends.
+  * After each micro-batch the list is pruned below newest-7d — under
+  * the in-order contract those touches can never attribute again, so
+  * state is O(touches per user per week), never O(history).
+  *
+  * ORDERING CONTRACT (the standard streaming-attribution caveat): rows
+  * are sorted (um, event_id) within each micro-batch, and batches must
+  * arrive in event-time order per user — a purchase processed before
+  * an earlier-timestamp touch arrives would under-attribute. A
+  * watermark-buffered reorder stage could lift this; out of scope and
+  * documented.
+  */
+class AttributionProcessor
+    extends StatefulProcessor[Long, AttrEvent, AttrResult] {
+  private val Lookback = 7L * 86400L * 1000000L
+  @transient private var touches: ListState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    touches = getHandle.getListState[(Long, Long, String)]("touches",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING), TTLConfig.NONE)
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[AttrEvent],
+      timerValues: TimerValues): Iterator[AttrResult] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttrResult]
+    var maxUm = Long.MinValue
+    rows.toSeq.sortBy(e => (e.um, e.event_id)).foreach { e =>
+      maxUm = math.max(maxUm, e.um)
+      e.event_type match {
+        case "purchase" =>
+          val lo = e.um - Lookback
+          val win = touches.get()
+            .filter(t => t._1 >= lo && t._1 < e.um).toSeq
+          // (um, event_id) is unique, so tuple min/max never reaches
+          // the channel component — exactly batch w44's struct order
+          val first = if (win.isEmpty) "none" else win.min._3
+          val last = if (win.isEmpty) "none" else win.max._3
+          out += AttrResult(e.event_id, uid, first, last)
+        case "view" | "click" =>
+          touches.appendValue((e.um, e.event_id, e.event_type))
+        case _ => ()
+      }
+    }
+    if (maxUm != Long.MinValue) {
+      val kept = touches.get().filter(_._1 >= maxUm - Lookback).toArray
+      if (kept.isEmpty) touches.clear() else touches.put(kept)
+    }
+    out.iterator
+  }
+}
+
+/** Streaming attribution entrypoint (w44's continual-ingest twin). */
+object AttributionJobs {
+  /** Per-purchase first/last-touch credit as an append-only result
+    * stream — Update mode; the accumulated table folds to the exact
+    * batch w44 report via [[attributionBoard]].
+    */
+  def attributionTws(events: Dataset[AttrEvent]): Dataset[AttrResult] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold accumulated per-purchase results into w44's 6-row report —
+    * column- and value-identical to `RelOps.w44Attribution` (the spec
+    * pins it); one result row per purchase by the processor contract.
+    */
+  def attributionBoard(results: DataFrame): DataFrame =
+    graft.ops.RelOps.w44Report(results.sparkSession, results)
+}

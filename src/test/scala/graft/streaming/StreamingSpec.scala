@@ -785,4 +785,50 @@ class StreamingSpec extends SparkTestBase {
         s"(${board.size} vs ${batch.size} rows)")
     graft.Caches.unpersistAll()
   }
+
+  test("attributionTws: accumulated per-purchase credits fold to EXACTLY " +
+      "the batch w44 report") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // event-time order across batches: the processor's documented
+      // in-order contract (within a batch it sorts for itself)
+      val evs = Tables.events(spark, sf0001)
+        .select(col("event_id"), unix_micros(col("ts")).as("um"),
+          col("user_id"), col("event_type"))
+        .as[AttrEvent].collect().sortBy(e => (e.um, e.event_id))
+      // split mid-stream: purchases in batch 2 must still see batch-1
+      // touches through the carried ListState
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      val mem = MemoryStream[AttrEvent]
+      val q = AttributionJobs.attributionTws(mem.toDS())
+        .writeStream.format("memory").queryName("attr_results")
+        .outputMode("update").start()
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable(); q.stop()
+      val results = spark.table("attr_results")
+      // one credit row per purchase, ever
+      val nPurchases = evs.count(_.event_type == "purchase").toLong
+      assert(results.count() == nPurchases)
+      assert(results.select("purchase_id").distinct().count() == nPurchases)
+      val board = AttributionJobs.attributionBoard(results)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.RelOps.w44Attribution(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(board == batch,
+        s"streaming attribution board != batch w44 " +
+          s"(${board.size} vs ${batch.size} rows)")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      graft.Caches.unpersistAll()
+    }
+  }
 }
