@@ -45,6 +45,8 @@ object PlanAudit {
     "w20_zorder_stats" -> Set("BroadcastNestedLoopJoin"),
     // w44: the 1-row purchase-total broadcast scaling the 6-row report
     "w44_attribution" -> Set("BroadcastNestedLoopJoin"),
+    // g07: the 1-row edge-total broadcast scaling per-component shares
+    "g07_modularity" -> Set("BroadcastNestedLoopJoin"),
     // broadcast query-set / codebook top-k scans
     "s01_knn_bruteforce" -> Set("BroadcastNestedLoopJoin"),
     // recall audit: contains s01's exact side (the same broadcast

@@ -191,6 +191,24 @@ object ScalingProbe {
     }
   }
 
+  /** t23 shape: n synthetic ~30-token docs over 20 sources and a 5000-
+    * word md5-derived vocabulary. Claimed posture: the corpus-sized
+    * work is the explode + distinct collapse to the (source, token)
+    * frame (vocabulary-bounded at 20 x 5000 rows regardless of n), so
+    * the pair join is CONSTANT in n and 10x docs should be ~linear.
+    */
+  private def vocabProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n.toLong).select(
+      concat(lit("src_"), col("id") % 20).as("source"),
+      expr("array_join(transform(sequence(0, 29), j -> concat('w', " +
+        "CAST(conv(substring(md5(concat(CAST(id AS STRING), '-', " +
+        "CAST(j AS STRING))), 1, 4), 16, 10) AS BIGINT) % 5000)), ' ')")
+        .as("text"))
+    time("t23_vocab_overlap", n) {
+      graft.ops.TextOps.vocabOverlapOf(docs).count()
+    }
+  }
+
   /** w34 shape: in-session funnel on n users, each with 24 events in 4
     * sessions of 6 (view/click/purchase/noise mix, 10-minute gaps
     * in-session, 2-day gaps between). Claimed posture: ONE user-keyed
@@ -421,6 +439,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("kcore")) {
       kcoreProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("vocab")) {
+      vocabProbe(spark, if (args.length > 1) args(1).toInt else 50000)
       spark.stop()
       return
     }

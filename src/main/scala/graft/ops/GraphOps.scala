@@ -402,7 +402,62 @@ object GraphOps {
       .orderBy("doc_x", "doc_y")
   }
 
+  /** Modularity decomposition of the near-dup family partition — the
+    * partition-quality statistic (Newman's Q) over the pair graph: per
+    * component, its edge share e_c/m and expected share (deg_c/2m)²,
+    * whose difference sums to Q across rows. For a components
+    * partition every edge is internal, so Q = 1 − Σ(deg_c/2m)² — the
+    * GRANULARITY readout: Q near 0 says one family owns the graph (the
+    * d17/g03 chaining pathology, cross-checked by g06's chain-link
+    * flags), Q near 1 says many balanced families. Both shares are
+    * single divisions of exact integers; their difference is one IEEE
+    * subtraction of those exact doubles — bit-identical cross-engine.
+    *
+    * 100 TB posture: labels come from the converged propagation over
+    * the write-once pair graph (the p13 form); the report is two
+    * component-keyed hash aggs + a node-keyed degree agg; the 1-row
+    * edge total rides the d23 scalar broadcast (BNLJ allowlisted).
+    */
+  def g07Modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(
+      graft.Caches.cache(
+        DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b")),
+      graft.Caches.cache(
+        DedupOps.convergedComponents(spark, dir)
+          .select(col("doc_id"), col("component"))))
+
+  /** g07's body over canonical edges + a (doc_id, component) labeling
+    * (spec-shared).
+    */
+  private[graft] def modularityOf(pairs: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val deg = degrees(pairs)
+    // every pair-graph edge is intra-component by construction, so one
+    // endpoint's label is the edge's label
+    val eC = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .groupBy("component").agg(count(lit(1)).as("n_internal"))
+    val dC = labels.join(deg, Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("deg_sum"))
+    val tot = pairs.agg(count(lit(1)).as("m"))
+    val edgeShare =
+      coalesce(col("n_internal"), lit(0L)).cast("double") / col("m")
+    val degShareSq = (col("deg_sum") * col("deg_sum")).cast("double") /
+      (lit(4L) * col("m") * col("m")).cast("double")
+    dC.join(eC, Seq("component"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        col("deg_sum"),
+        edgeShare.as("edge_share"),
+        degShareSq.as("deg_share_sq"),
+        (edgeShare - degShareSq).as("modularity_contrib"))
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_modularity" -> (g07Modularity _),
     "g06_edge_support" -> (g06EdgeSupport _),
     "g05_link_prediction" -> (g05LinkPrediction _),
     "g04_assortativity" -> (g04Assortativity _),
@@ -556,6 +611,39 @@ object GraphOps {
          |            ELSE CAST(0 AS DOUBLE) END AS local_cc
          |FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // g07: d07's 4-round labels (== the converged labels on this
+    // corpus, diameter <= 4), exact-integer shares, one subtraction
+    "g07_modularity" -> materializedCtes(
+      s"""WITH pg AS (SELECT doc_a, doc_b FROM (${DedupOps.d03Sql})),
+         |lab AS (SELECT doc_id, component FROM (${DedupOps.d07Sql})),
+         |deg AS (
+         |  SELECT u AS doc_id, count(*) AS degree FROM (
+         |    SELECT doc_a AS u FROM pg
+         |    UNION ALL SELECT doc_b FROM pg)
+         |  GROUP BY u
+         |),
+         |ec AS (
+         |  SELECT l.component, CAST(count(*) AS BIGINT) AS n_internal
+         |  FROM pg p JOIN lab l ON l.doc_id = p.doc_a GROUP BY 1
+         |),
+         |dc AS (
+         |  SELECT l.component, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(d.degree) AS BIGINT) AS deg_sum
+         |  FROM lab l JOIN deg d ON d.doc_id = l.doc_id GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pg)
+         |SELECT dc.component, dc.n_nodes,
+         |  coalesce(ec.n_internal, 0) AS n_internal, dc.deg_sum,
+         |  CAST(coalesce(ec.n_internal, 0) AS DOUBLE) / tot.m AS edge_share,
+         |  CAST(dc.deg_sum * dc.deg_sum AS DOUBLE) /
+         |    CAST(4 * tot.m * tot.m AS DOUBLE) AS deg_share_sq,
+         |  CAST(coalesce(ec.n_internal, 0) AS DOUBLE) / tot.m -
+         |    CAST(dc.deg_sum * dc.deg_sum AS DOUBLE) /
+         |      CAST(4 * tot.m * tot.m AS DOUBLE) AS modularity_contrib
+         |FROM dc LEFT JOIN ec ON ec.component = dc.component
+         |CROSS JOIN tot
+         |ORDER BY dc.component""".stripMargin),
 
     // g06: g01's tri CTE (a < b < c, so (a,b)/(b,c)/(a,c) are already
     // canonical), re-keyed per edge instead of per corner

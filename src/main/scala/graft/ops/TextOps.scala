@@ -801,8 +801,12 @@ object TextOps {
     * by corpus size. The zero-kept spine is a sources×sources broadcast
     * (BNLJ allowlisted, source-count-bounded).
     */
-  def t23VocabOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sv = graft.Caches.cache(Tables.documents(spark, dir)
+  def t23VocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    vocabOverlapOf(Tables.documents(spark, dir))
+
+  /** t23's body over any (source, text) frame (probe-shared). */
+  private[graft] def vocabOverlapOf(docs: DataFrame): DataFrame = {
+    val sv = graft.Caches.cache(docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .distinct())
     val sizes = graft.Caches.cache(

@@ -97,6 +97,55 @@ class GraphOpsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("chain_link") == 1L))
   }
 
+  private def labelsOf(pairs: (Long, Long)*): DataFrame = {
+    // min-label components of the planted edges, computed by hand in
+    // the fixtures below — here just (node -> given component) rows
+    pairs.toDF("doc_id", "component")
+  }
+
+  test("g07: two equal triangles split modularity 0.25 + 0.25") {
+    // m = 6; each triangle: e_c = 3, deg_sum = 6
+    // edge_share = 1/2, deg_share_sq = 36/144 = 1/4, contrib = 1/4
+    val pairs = edges(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      8L -> 9L, 9L -> 10L, 8L -> 10L)
+    val labels = labelsOf(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L)
+    val rows = GraphOps.modularityOf(pairs, labels).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 3L)
+      assert(r.getAs[Long]("n_internal") == 3L)
+      assert(r.getAs[Long]("deg_sum") == 6L)
+      assert(r.getAs[Double]("edge_share") == 0.5)
+      assert(r.getAs[Double]("deg_share_sq") == 0.25)
+      assert(r.getAs[Double]("modularity_contrib") == 0.25)
+    }
+  }
+
+  test("g07: a single component scores exactly zero (the chaining readout)") {
+    val pairs = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    val labels = labelsOf(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    val rows = GraphOps.modularityOf(pairs, labels).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("edge_share") == 1.0)
+    assert(rows.head.getAs[Double]("deg_share_sq") == 1.0)
+    assert(rows.head.getAs[Double]("modularity_contrib") == 0.0)
+  }
+
+  test("g07: sf fixture — shares normalize, Q bounded") {
+    val rows = GraphOps.g07Modularity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val edgeShares = rows.map(_.getAs[Double]("edge_share"))
+    assert(math.abs(edgeShares.sum - 1.0) < 1e-9) // every edge internal
+    val q = rows.map(_.getAs[Double]("modularity_contrib")).sum
+    assert(q >= 0.0 && q < 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("modularity_contrib") ==
+        r.getAs[Double]("edge_share") - r.getAs[Double]("deg_share_sq"))
+    }
+    graft.Caches.unpersistAll()
+  }
+
   test("g02: hand-unrolled 3 iterations on a 3-node path") {
     // a-b-c: deg(a)=deg(c)=1, deg(b)=2; all integer arithmetic:
     // r1: a=c=150000+85*500000/100=575000, b=150000+85*2000000/100=1850000
