@@ -191,6 +191,21 @@ object ScalingProbe {
     }
   }
 
+  /** p25 shape: family-safe ring negatives over n synthetic doc ids
+    * with an empty family frame. Claimed posture: bucket-keyed ring
+    * windows (64 buckets of ~n/64 rows — no global sort) + a
+    * (bucket, position)-keyed candidate join at 5 rows per doc, so 10x
+    * docs should be ~linear (n log n within buckets).
+    */
+  private def negProbe(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"))
+    val noFam = Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    time("p25_negative_pairs", n) {
+      graft.ops.PipelineOps.negativePairsOf(docs, noFam).count()
+    }
+  }
+
   /** t23 shape: n synthetic ~30-token docs over 20 sources and a 5000-
     * word md5-derived vocabulary. Claimed posture: the corpus-sized
     * work is the explode + distinct collapse to the (source, token)
@@ -439,6 +454,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("kcore")) {
       kcoreProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("negatives")) {
+      negProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

@@ -272,6 +272,70 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Family-safe negative sampling (contrastive/embedding training
+    * data): per anchor document, k = 2 deterministic pseudo-random
+    * negatives that are guaranteed NOT near-duplicates of the anchor —
+    * a near-dup drawn as a "negative" is a false negative that poisons
+    * a contrastive objective (the SemDeDup-era failure mode), so
+    * candidates sharing the anchor's converged d07 family are excluded
+    * before ranking. Randomness is the p02 salted-md5 hash, never
+    * `rand()`: docs are ordered into 64 hash-bucketed RINGS (bucket =
+    * h % 64, ring position by (h, doc_id) within the bucket), and each
+    * anchor's candidates are the next J = 5 ring neighbors (wrapping,
+    * never reaching itself); the first k survivors by ring distance
+    * ship. Buckets smaller than j+1 or heavy family exclusion yield
+    * honestly SHORT rows (rank stays contiguous from 1), never a
+    * silent same-family fill-in.
+    *
+    * 100 TB posture: no global sort — ring positions are bucket-keyed
+    * windows (the p15 lesson); the candidate join hashes on
+    * (bucket, position); the ×5 explode is bounded; the family frame
+    * is near-dup-node-sized and joins on doc ids.
+    */
+  def p25NegativePairs(spark: SparkSession, dir: String): DataFrame = {
+    val fam = DedupOps.convergedComponents(spark, dir)
+      .select(col("doc_id"), col("component"))
+    negativePairsOf(Tables.documents(spark, dir).select("doc_id"), fam)
+  }
+
+  /** p25's body over (doc_id) + (doc_id, component) frames —
+    * spec-shared (the spec recomputes the rings independently).
+    */
+  private[graft] def negativePairsOf(docs: DataFrame, fam: DataFrame)
+      : DataFrame = {
+    val k = 2; val j = 5; val b = 64
+    val ring = docs.select(col("doc_id"))
+      .withColumn("h", expr(saltedHashExpr("neg")))
+      .withColumn("bucket", pmod(col("h"), lit(b.toLong)))
+    val pos = ring.withColumn("pos",
+      (row_number().over(Window.partitionBy("bucket")
+        .orderBy(col("h"), col("doc_id"))) - 1).cast("long"))
+    val sizes = pos.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val ringS = graft.Caches.cache(pos.join(sizes, "bucket"))
+    val cand = ringS
+      .select(col("bucket"), col("doc_id"), col("pos"), col("bn"),
+        explode(expr(s"sequence(1, $j)")).as("dist"))
+      .filter(col("dist") < col("bn")) // a full wrap would reach itself
+      .withColumn("npos", pmod(col("pos") + col("dist"), col("bn")))
+    val joined = cand.join(
+      ringS.select(col("bucket"), col("pos").as("npos"),
+        col("doc_id").as("neg_doc_id")),
+      Seq("bucket", "npos"))
+    val filtered = joined
+      .join(fam.select(col("doc_id"), col("component").as("fam_a")),
+        Seq("doc_id"), "left")
+      .join(fam.select(col("doc_id").as("neg_doc_id"),
+        col("component").as("fam_b")), Seq("neg_doc_id"), "left")
+      .filter(col("fam_a").isNull || col("fam_b").isNull ||
+        col("fam_a") =!= col("fam_b"))
+    val w = Window.partitionBy("doc_id").orderBy("dist")
+    filtered.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("neg_doc_id"),
+        col("dist").cast("long").as("ring_distance"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Source-concentration card (1 row) — the governance readout next
     * to p23's plan: HOW dominated is the corpus before any mixing?
     * HHI = Σ share² (the antitrust statistic: 1/n_sources when
@@ -972,6 +1036,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_negative_pairs" -> (p25NegativePairs _),
     "p24_source_concentration" -> (p24SourceConcentration _),
     "p23_mixture_plan" -> (p23MixturePlan _),
     "p22_preference_pairs" -> (p22PreferencePairs _),
@@ -999,6 +1064,55 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p25: bucketed hash rings + next-J neighbors, d07-family anti
+    // filter, rank by ring distance
+    "p25_negative_pairs" ->
+      s"""WITH ring AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substring(md5('neg:' || CAST(doc_id AS VARCHAR)),
+         |      1, 8) AS BIGINT) AS h
+         |  FROM documents
+         |),
+         |pos AS (
+         |  SELECT doc_id, h % 64 AS bucket,
+         |    CAST(row_number() OVER (PARTITION BY h % 64
+         |      ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM ring
+         |),
+         |sz AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS bn
+         |  FROM pos GROUP BY bucket
+         |),
+         |cnd AS (
+         |  SELECT p.doc_id, p.bucket, p.pos, s.bn,
+         |         CAST(d.dist AS BIGINT) AS dist
+         |  FROM pos p JOIN sz s USING (bucket)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS dist) d
+         |  WHERE d.dist < s.bn
+         |),
+         |jn AS (
+         |  SELECT c.doc_id, n.doc_id AS neg_doc_id, c.dist
+         |  FROM cnd c JOIN pos n ON n.bucket = c.bucket
+         |   AND n.pos = (c.pos + c.dist) % c.bn
+         |),
+         |lab AS (SELECT doc_id, component FROM (${DedupOps.d07Sql})),
+         |flt AS (
+         |  SELECT j.doc_id, j.neg_doc_id, j.dist
+         |  FROM jn j
+         |  LEFT JOIN lab a ON a.doc_id = j.doc_id
+         |  LEFT JOIN lab b ON b.doc_id = j.neg_doc_id
+         |  WHERE a.component IS NULL OR b.component IS NULL
+         |     OR a.component <> b.component
+         |),
+         |rk AS (
+         |  SELECT doc_id, neg_doc_id, dist AS ring_distance,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist)
+         |      AS BIGINT) AS rank
+         |  FROM flt
+         |)
+         |SELECT doc_id, neg_doc_id, ring_distance, rank FROM rk
+         |WHERE rank <= 2 ORDER BY doc_id, rank""".stripMargin,
+
     // p24: one source agg; HHI/Gini/top as divisions of exact integers
     "p24_source_concentration" ->
       """WITH per AS (
