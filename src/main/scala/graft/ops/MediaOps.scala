@@ -337,7 +337,73 @@ object MediaOps {
       .orderBy("kind")
   }
 
+  /** Manifest reconciliation between the incremental append (m09) and
+    * a from-scratch repack (m08 over the full table) — the audit a
+    * shard maintainer reads before deciding whether to re-stream
+    * archives: per shard, item/byte totals under each manifest and a
+    * content fingerprint (md5 of the offset-ordered doc:offset:bytes
+    * list), folded to a status — `match` (byte-identical shard, no
+    * rewrite needed), `changed` (repack would rewrite it),
+    * `repack_only`/`append_only` (tail growth). The changed+repack_only
+    * byte total IS the I/O bill a full repack pays that the append
+    * avoided. Fingerprints are md5 over canonical decimal strings —
+    * bit-identical across engines.
+    *
+    * 100 TB posture: both manifests are the two-phase pack (no global
+    * sort); the per-shard fold is shard-keyed with map-side combine
+    * (collect_list bounded by items-per-shard ≈ capacity/avg_bytes);
+    * the diff join is shard-count-sized — thousands of rows per PB.
+    */
+  def m10ManifestDiff(spark: SparkSession, dir: String): DataFrame =
+    manifestDiffOf(mediaTable(spark, dir).select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("is_batch", (col("doc_id") % 10 === 7).cast("long")),
+      8192L)
+
+  /** The m10 body over any (doc_id, n_bytes, is_batch) frame — exposed
+    * so the spec can pin hand-computed statuses at a small capacity.
+    */
+  private[graft] def manifestDiffOf(m: DataFrame, cap: Long): DataFrame = {
+    def manifest(sized: DataFrame): DataFrame =
+      packStarts(sized)
+        .select(col("doc_id"), col("n_bytes"),
+          expr(s"start div $cap").as("shard_id"),
+          (col("start") - expr(s"start div $cap") * cap)
+            .as("shard_offset"))
+    def summary(mf: DataFrame, side: String): DataFrame =
+      mf.groupBy("shard_id").agg(
+        count(lit(1)).as(s"${side}_items"),
+        sum(col("n_bytes")).as(s"${side}_bytes"),
+        md5(concat_ws("|", transform(
+          sort_array(collect_list(struct(col("shard_offset"),
+            col("doc_id"), col("n_bytes")))),
+          s => concat_ws(":",
+            s.getField("doc_id").cast("string"),
+            s.getField("shard_offset").cast("string"),
+            s.getField("n_bytes").cast("string")))))
+          .as(s"${side}_sig"))
+    // shardAppendOf's contract includes a kind column; a constant rides
+    // through and is dropped from the summaries
+    val sized = m.select("doc_id", "n_bytes", "is_batch")
+      .withColumn("kind", lit("media"))
+    val repack = summary(manifest(sized.drop("is_batch", "kind")), "repack")
+    val append = summary(
+      shardAppendOf(sized, cap).drop("is_batch", "kind"), "append")
+    repack.join(append, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("repack_items"), lit(0L)).as("repack_items"),
+        coalesce(col("repack_bytes"), lit(0L)).as("repack_bytes"),
+        coalesce(col("append_items"), lit(0L)).as("append_items"),
+        coalesce(col("append_bytes"), lit(0L)).as("append_bytes"),
+        when(col("repack_sig").isNull, "append_only")
+          .when(col("append_sig").isNull, "repack_only")
+          .when(col("repack_sig") === col("append_sig"), "match")
+          .otherwise("changed").as("status"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_manifest_diff" -> (m10ManifestDiff _),
     "m07_media_dedup_report" -> (m07MediaDedupReport _),
     "m06_phash_neardup" -> (m06PhashNeardup _),
     "m01_media_meta" -> (m01MediaMeta _),
@@ -468,6 +534,63 @@ object MediaOps {
     * would shift instead.
     */
   val oracle: Map[String, String] = Map(
+    // m10: m08-vs-m09 manifests folded to per-shard fingerprints and
+    // full-outer diffed on shard_id
+    "m10_manifest_diff" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         CAST(doc_id % 10 = 7 AS BIGINT) AS is_batch
+        |  FROM documents
+        |),
+        |rp AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM m
+        |),
+        |ap AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY is_batch, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM m
+        |),
+        |rs AS (
+        |  SELECT start // 8192 AS shard_id,
+        |    CAST(COUNT(*) AS BIGINT) AS repack_items,
+        |    CAST(SUM(n_bytes) AS BIGINT) AS repack_bytes,
+        |    md5(string_agg(
+        |      CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(start - (start // 8192) * 8192 AS VARCHAR) || ':' ||
+        |      CAST(n_bytes AS VARCHAR), '|'
+        |      ORDER BY start - (start // 8192) * 8192)) AS repack_sig
+        |  FROM rp GROUP BY 1
+        |),
+        |asd AS (
+        |  SELECT start // 8192 AS shard_id,
+        |    CAST(COUNT(*) AS BIGINT) AS append_items,
+        |    CAST(SUM(n_bytes) AS BIGINT) AS append_bytes,
+        |    md5(string_agg(
+        |      CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(start - (start // 8192) * 8192 AS VARCHAR) || ':' ||
+        |      CAST(n_bytes AS VARCHAR), '|'
+        |      ORDER BY start - (start // 8192) * 8192)) AS append_sig
+        |  FROM ap GROUP BY 1
+        |)
+        |SELECT COALESCE(rs.shard_id, asd.shard_id) AS shard_id,
+        |  COALESCE(repack_items, 0) AS repack_items,
+        |  COALESCE(repack_bytes, 0) AS repack_bytes,
+        |  COALESCE(append_items, 0) AS append_items,
+        |  COALESCE(append_bytes, 0) AS append_bytes,
+        |  CASE WHEN repack_sig IS NULL THEN 'append_only'
+        |       WHEN append_sig IS NULL THEN 'repack_only'
+        |       WHEN repack_sig = append_sig THEN 'match'
+        |       ELSE 'changed' END AS status
+        |FROM rs FULL OUTER JOIN asd ON rs.shard_id = asd.shard_id
+        |ORDER BY 1""".stripMargin,
+
     // m08: the pack stated as ONE global window cumsum
     "m08_shard_pack" ->
       """WITH m AS (

@@ -293,8 +293,10 @@ object PipelineOps {
     * is near-dup-node-sized and joins on doc ids.
     */
   def p25NegativePairs(spark: SparkSession, dir: String): DataFrame = {
-    val fam = DedupOps.convergedComponents(spark, dir)
-      .select(col("doc_id"), col("component"))
+    // cached: the anchor-side and negative-side family joins both read
+    // it — uncached, the converged fixpoint propagation runs twice
+    val fam = graft.Caches.cache(DedupOps.convergedComponents(spark, dir)
+      .select(col("doc_id"), col("component")))
     negativePairsOf(Tables.documents(spark, dir).select("doc_id"), fam)
   }
 

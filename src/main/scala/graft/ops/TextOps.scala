@@ -827,7 +827,90 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** Vocabulary churn between crawl snapshots (1 row) — the text-side
+    * twin of d27's quality drift, on the SAME split rule (incoming =
+    * doc_id % 10 < 2): how much of the incoming snapshot's vocabulary
+    * is NEW (tokens the reference never saw — topic/source shift, or
+    * crawler breakage minting garbage tokens) and how much of the
+    * reference vocabulary DROPPED. High new_share with a flat d27 is
+    * the signature of tokenizer-hostile drift that quality binning
+    * can't see. All counts are exact integers over per-snapshot
+    * distinct token sets; shares and Jaccard are single divisions
+    * (NULL when a side is empty, never 0/0).
+    *
+    * 100 TB posture: ONE corpus explode collapses immediately to the
+    * distinct (snapshot, token) frame (<= 2x vocabulary rows); the
+    * flag agg is token-keyed; the report is one 1-row fold.
+    */
+  def t24VocabChurn(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select((col("doc_id") % 10 < 2).cast("long").as("is_inc"),
+        explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val flags = tok.groupBy("token")
+      .agg(max(col("is_inc")).as("has_inc"),
+        max(lit(1L) - col("is_inc")).as("has_ref"))
+    val agg = flags.agg(
+      sum(col("has_ref")).as("vocab_ref"),
+      sum(col("has_inc")).as("vocab_inc"),
+      sum(col("has_ref") * col("has_inc")).as("n_common"),
+      sum(col("has_inc") * (lit(1L) - col("has_ref"))).as("n_new"),
+      sum(col("has_ref") * (lit(1L) - col("has_inc"))).as("n_dropped"))
+    agg.select(col("vocab_ref"), col("vocab_inc"), col("n_common"),
+      col("n_new"), col("n_dropped"),
+      when(col("vocab_inc") > 0,
+        col("n_new").cast("double") / col("vocab_inc")).as("new_share"),
+      when(col("vocab_ref") > 0,
+        col("n_dropped").cast("double") / col("vocab_ref"))
+        .as("dropped_share"),
+      when(col("vocab_ref") + col("vocab_inc") > 0,
+        col("n_common").cast("double") /
+          (col("vocab_ref") + col("vocab_inc") - col("n_common")))
+        .as("jaccard"))
+  }
+
+  /** Per-source lexical-diversity report — the hapax-legomena audit a
+    * data team reads before trusting a source's token budget: tokens
+    * occurring exactly once (hapax) or twice (dis) in the source's own
+    * stream, vocabulary size, and the derived shares. A source whose
+    * hapax_share spikes is minting tokens (OCR/crawler breakage,
+    * boilerplate IDs, tokenizer-hostile markup); one whose type-token
+    * ratio collapses is template spam. Zipf's law says roughly half an
+    * honest corpus's vocabulary is hapax — large deviations either way
+    * are the signal. All counts are exact integers over per-source
+    * token-frequency tables; shares are single IEEE divisions
+    * (NULL-guarded, never 0/0).
+    *
+    * 100 TB posture: ONE corpus explode collapses immediately to the
+    * (source, token) frequency frame — the only corpus-sized shuffle,
+    * keyed on (source, token) so partial aggregation combines map-side;
+    * the fold to |sources| rows is a second tiny hash agg; presentation
+    * sort is |sources| rows.
+    */
+  def t25HapaxReport(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        col("n_hapax"), col("n_dis"),
+        when(col("vocab") > 0,
+          col("n_hapax").cast("double") / col("vocab")).as("hapax_share"),
+        when(col("n_tokens") > 0,
+          col("vocab").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_hapax_report" -> (t25HapaxReport _),
+    "t24_vocab_churn" -> (t24VocabChurn _),
     "t23_vocab_overlap" -> (t23VocabOverlap _),
     "t22_blocklist_report" -> (t22BlocklistReport _),
     "t21_vocab_growth" -> (t21VocabGrowth _),
@@ -971,6 +1054,60 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t25: per-source token-frequency table folded to hapax/dis/vocab
+    "t25_hapax_report" ->
+      """WITH tf AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY source, token
+        |)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dis,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*) END AS hapax_share,
+        |  CASE WHEN SUM(tf) > 0 THEN
+        |    CAST(COUNT(*) AS DOUBLE) / SUM(tf) END AS type_token_ratio
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    // t24: d27's split rule, per-snapshot distinct token sets, one fold
+    "t24_vocab_churn" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT is_inc, token FROM (
+        |    SELECT CAST(CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END
+        |             AS BIGINT) AS is_inc,
+        |           unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |),
+        |flags AS (
+        |  SELECT token, CAST(MAX(is_inc) AS BIGINT) AS has_inc,
+        |         CAST(MAX(1 - is_inc) AS BIGINT) AS has_ref
+        |  FROM tok GROUP BY token
+        |),
+        |agg AS (
+        |  SELECT CAST(SUM(has_ref) AS BIGINT) AS vocab_ref,
+        |    CAST(SUM(has_inc) AS BIGINT) AS vocab_inc,
+        |    CAST(SUM(has_ref * has_inc) AS BIGINT) AS n_common,
+        |    CAST(SUM(has_inc * (1 - has_ref)) AS BIGINT) AS n_new,
+        |    CAST(SUM(has_ref * (1 - has_inc)) AS BIGINT) AS n_dropped
+        |  FROM flags
+        |)
+        |SELECT vocab_ref, vocab_inc, n_common, n_new, n_dropped,
+        |  CASE WHEN vocab_inc > 0
+        |    THEN CAST(n_new AS DOUBLE) / vocab_inc END AS new_share,
+        |  CASE WHEN vocab_ref > 0
+        |    THEN CAST(n_dropped AS DOUBLE) / vocab_ref END AS dropped_share,
+        |  CASE WHEN vocab_ref + vocab_inc > 0
+        |    THEN CAST(n_common AS DOUBLE) /
+        |      (vocab_ref + vocab_inc - n_common) END AS jaccard
+        |FROM agg""".stripMargin,
+
     // t23: distinct (source, token) frame, token-keyed pair counts,
     // zero-kept source-pair spine
     "t23_vocab_overlap" ->
