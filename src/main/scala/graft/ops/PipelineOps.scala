@@ -1037,7 +1037,58 @@ object PipelineOps {
       .orderBy("doc_id", "copy_id")
   }
 
+  /** Train→eval n-gram leakage audit over p13's family-safe split —
+    * the OTHER leakage channel: p13 guarantees no near-dup FAMILY
+    * straddles train and eval, but sub-document reuse (a quoted
+    * paragraph, shared boilerplate) still leaks verbatim 8-grams from
+    * train into eval and silently inflates the eval score. For EVERY
+    * eval/val doc: how many of its distinct 8-grams appear in ANY
+    * train doc, and the smallest offending train doc id — zero-hit
+    * rows kept (the d23/t22 calibration discipline: the table must
+    * show the clean docs too), so the output is the complete eval
+    * spine and a threshold decision reads straight off it.
+    *
+    * 100 TB posture: the train gram stream collapses FIRST to one
+    * (gram, min train id) row per distinct gram — the join output is
+    * then bounded by the eval side's gram count, never train-df ×
+    * eval-df; the join is gram-keyed hash (both sides shuffled once,
+    * map-side distinct); the zero-row restore is a broadcast-sized
+    * left join only when the eval spine is small — here it rides the
+    * same doc_id key. In production the train gram set would also be
+    * df-capped (drop grams in >K train docs as non-discriminative
+    * boilerplate) — kept exact here.
+    */
+  def p26EvalLeakage(spark: SparkSession, dir: String): DataFrame =
+    evalLeakageOf(Tables.documents(spark, dir).select("doc_id", "text"),
+      p13LeakageSafeSplit(spark, dir).select("doc_id", "split"))
+
+  /** The p26 body over any (doc_id, text) × (doc_id, split) pair —
+    * exposed so the spec can plant a verbatim leaked phrase.
+    */
+  private[graft] def evalLeakageOf(
+      docs: DataFrame, splits: DataFrame): DataFrame = {
+    val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-7, 1))," +
+      " i -> array_join(slice(toks, i, 8), ' ')))"
+    val g = docs.join(splits, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("split"), explode(expr(grams)).as("gram"))
+    val trainGrams = g.filter(col("split") === "train")
+      .groupBy("gram").agg(min(col("doc_id")).as("train_doc"))
+    val hits = g.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_leaked"),
+        min(col("train_doc")).as("example_train_doc"))
+    splits.filter(col("split") =!= "train")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked_grams"),
+        col("example_train_doc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_eval_leakage" -> (p26EvalLeakage _),
     "p25_negative_pairs" -> (p25NegativePairs _),
     "p24_source_concentration" -> (p24SourceConcentration _),
     "p23_mixture_plan" -> (p23MixturePlan _),
@@ -1066,6 +1117,48 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p26: p13's family-keyed split, distinct 8-grams per doc, train
+    // side collapsed to (gram, min doc) before the join, zero rows kept
+    "p26_eval_leakage" ->
+      s"""WITH comp AS (
+         |  SELECT doc_id, component FROM (${DedupOps.d07Sql})
+         |),
+         |f AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS family_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, CAST('0x' ||
+         |      substring(md5('split:' || CAST(family_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 10 AS h FROM f)
+         |),
+         |g AS (
+         |  SELECT d.doc_id, sp.split,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' '))-7, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))))
+         |      AS gram
+         |  FROM documents d JOIN sp USING (doc_id)
+         |),
+         |tg AS (
+         |  SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS train_doc
+         |  FROM g WHERE split = 'train' GROUP BY gram
+         |),
+         |hits AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked,
+         |         CAST(MIN(tg.train_doc) AS BIGINT) AS example_train_doc
+         |  FROM g JOIN tg USING (gram)
+         |  WHERE g.split <> 'train' GROUP BY g.doc_id
+         |)
+         |SELECT sp.doc_id, sp.split,
+         |  COALESCE(h.n_leaked, 0) AS n_leaked_grams,
+         |  h.example_train_doc
+         |FROM sp LEFT JOIN hits h ON h.doc_id = sp.doc_id
+         |WHERE sp.split <> 'train' ORDER BY sp.doc_id""".stripMargin,
+
     // p25: bucketed hash rings + next-J neighbors, d07-family anti
     // filter, rank by ring distance
     "p25_negative_pairs" ->
