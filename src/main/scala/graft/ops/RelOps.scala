@@ -1764,7 +1764,66 @@ object RelOps {
       .orderBy("model", "channel")
   }
 
+  /** Winsorized + trimmed mean per event type — the robust-mean
+    * companion to w23's MAD: the raw mean, the mean after clamping
+    * values to the exact rank-based p05/p95 cuts (winsorize — tails
+    * pulled in, every row still counts), and the mean over only the
+    * rows inside the cuts (trim — tails dropped, ties at the cut
+    * kept). The number a metrics pipeline quotes when a handful of
+    * outliers would otherwise own the average. Cuts are w09's
+    * rank-selection (value at rank ceil(q·n), no interpolation —
+    * engine-identical); all three means are exact-decimal sums with
+    * ONE IEEE division each (the w01 idiom).
+    *
+    * Scale: cuts ride the shared two-phase rank machinery (scan +
+    * histogram, no per-group sort); the clamp/trim pass is one
+    * broadcast join of G cut rows + a single map-side-combined agg —
+    * two scans of the source total, nothing corpus-sized sorted.
+    */
+  def w45WinsorizedStats(spark: SparkSession, dir: String): DataFrame =
+    winsorizedOf(Tables.events(spark, dir).select("event_type", "value"))
+
+  /** The w45 body over any (event_type, value) frame — exposed so the
+    * spec can pin hand-computed cuts and means. */
+  private[ops] def winsorizedOf(ev: DataFrame): DataFrame = {
+    val stats = rankStats(ev)
+    val wanted = stats
+      .select(col("event_type"), col("cnt"),
+        explode(array(
+          struct(lit("lo").as("q"),
+            expr("CAST(ceil(cnt * 0.05) AS BIGINT)").as("r")),
+          struct(lit("hi").as("q"),
+            expr("CAST(ceil(cnt * 0.95) AS BIGINT)").as("r")))).as("t"))
+      .select(col("event_type"), col("cnt"),
+        col("t.q").as("q"), col("t.r").as("r"))
+    val cuts = valuesAtRanks(ev, stats, wanted)
+      .groupBy("event_type", "cnt")
+      .agg(max(when(col("q") === "lo", col("value"))).as("lo_cut"),
+        max(when(col("q") === "hi", col("value"))).as("hi_cut"))
+    val kept = col("value") >= col("lo_cut") && col("value") <= col("hi_cut")
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"), col("cnt"),
+        col("lo_cut"), col("hi_cut"))
+      .agg(
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_raw"),
+        sum(least(greatest(col("value"), col("lo_cut")), col("hi_cut"))
+          .cast(DecimalType(28, 6))).cast("double").as("sum_win"),
+        sum(when(kept, col("value").cast(DecimalType(28, 6))))
+          .cast("double").as("sum_trim"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("event_type"), col("cnt").as("n"),
+        (col("sum_raw") / col("cnt")).as("mean"),
+        col("lo_cut"), col("hi_cut"),
+        (col("sum_win") / col("cnt")).as("winsorized_mean"),
+        when(col("n_kept") > 0, col("sum_trim") / col("n_kept"))
+          .as("trimmed_mean"),
+        (col("cnt") - col("n_kept")).as("n_trimmed"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w45_winsorized_stats" -> (w45WinsorizedStats _),
     "w44_attribution" -> (w44Attribution _),
     "w43_autocorr" -> (w43Autocorr _),
     "w42_ewma" -> (w42Ewma _),
@@ -1850,6 +1909,46 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w45: rank-selected p05/p95 cuts (ceil(q*n), no interpolation),
+    // decimal-exact sums, one IEEE division per mean
+    "w45_winsorized_stats" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS r
+        |  FROM ev
+        |),
+        |cuts AS (
+        |  SELECT s.event_type, s.cnt,
+        |    MAX(CASE WHEN r = CAST(ceil(cnt * 0.05) AS BIGINT)
+        |        THEN value END) AS lo_cut,
+        |    MAX(CASE WHEN r = CAST(ceil(cnt * 0.95) AS BIGINT)
+        |        THEN value END) AS hi_cut
+        |  FROM rk JOIN st s USING (event_type) GROUP BY 1, 2
+        |)
+        |SELECT e.event_type, c.cnt AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / c.cnt
+        |    AS mean,
+        |  c.lo_cut, c.hi_cut,
+        |  CAST(SUM(CAST(least(greatest(value, lo_cut), hi_cut)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / c.cnt AS winsorized_mean,
+        |  CASE WHEN SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+        |                THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+        |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+        |          THEN 1 ELSE 0 END) END AS trimmed_mean,
+        |  CAST(c.cnt - SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+        |FROM ev e JOIN cuts c USING (event_type)
+        |GROUP BY e.event_type, c.cnt, c.lo_cut, c.hi_cut
+        |ORDER BY e.event_type""".stripMargin,
+
     // w37: w26's greedy stage chain collapsed to the one-row experiment
     // report
     "w37_ab_lift" ->
