@@ -1515,7 +1515,50 @@ object SimOps {
       .orderBy("subspace", "code")
   }
 
+  /** IVF inverted-list balance audit — the serving-capacity readout an
+    * index operator reads next to s23's vector-side gaps: per codebook
+    * cell, the posting count, its share of the corpus, and the load
+    * factor (count × n_cells / total; 1.0 = perfectly balanced). A
+    * cell with load ≫ 1 is the probe-latency tail (every query probing
+    * it scans that whole list); a ZERO row (kept — the d23 discipline)
+    * is a dead centroid wasting codebook capacity, the re-train
+    * trigger next to s21's drift. Counts exact off the persisted
+    * postings; share/load are single divisions of exact integers.
+    *
+    * 100 TB posture: one posting-count agg off the persisted index
+    * (cell-keyed, map-side combined — the corpus vectors are never
+    * re-scored), a codebook-sized left join to restore empty cells,
+    * and the 1-row totals ride the d23 scalar broadcast.
+    */
+  def s30CellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    cellBalanceOf(
+      spark.read.parquet(s"$root/codebook").select("cell"),
+      spark.read.parquet(s"$root/postings"))
+  }
+
+  /** The s30 body over any codebook spine × postings pair — exposed so
+    * the spec can plant dead and overfull cells. */
+  private[graft] def cellBalanceOf(
+      cells: DataFrame, postings: DataFrame): DataFrame = {
+    val per = cells
+      .join(postings.groupBy("cell").agg(count(lit(1)).as("pn")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("pn"), lit(0L)).as("n_vectors"))
+    val tot = per.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_cells"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        when(col("total") > 0,
+          col("n_vectors").cast("double") / col("total")).as("share"),
+        when(col("total") > 0,
+          col("n_vectors").cast("double") * col("n_cells") / col("total"))
+          .as("load_factor"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_cell_balance" -> (s30CellBalance _),
     "s29_pq_distortion" -> (s29PqDistortion _),
     "s28_mutual_knn" -> (s28MutualKnn _),
     "s27_pq_train" -> (s27PqTrain _),
@@ -1850,6 +1893,59 @@ object SimOps {
 
     // s19: the declarative full-recompute statement — corpus-trained
     // codebook, corpus postings, batch assignment, per-cell growth
+    // s30: corpus-only centroids + assignment (the persisted index),
+    // codebook spine keeps dead cells as zero rows
+    "s30_cell_balance" ->
+      s"""WITH $unnestSql,
+         |cs AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  WHERE u.vec_id % 10 <> 7
+         |  GROUP BY e.label, u.i
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell),
+         |sc AS (
+         |  SELECT u.vec_id, cs.cell,
+         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+         |  FROM u
+         |  JOIN cs ON cs.dim = u.i
+         |  JOIN n nv ON nv.vec_id = u.vec_id
+         |  JOIN cn ON cn.cell = cs.cell
+         |  WHERE u.vec_id % 10 <> 7
+         |  GROUP BY u.vec_id, cs.cell, nv.normsq, cn.cnormsq
+         |),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r FROM sc)
+         |  WHERE r = 1
+         |),
+         |cells AS (SELECT DISTINCT cell FROM cs),
+         |cnt AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS pn FROM asg
+         |  GROUP BY cell
+         |),
+         |per AS (
+         |  SELECT c.cell, COALESCE(t.pn, 0) AS n_vectors
+         |  FROM cells c LEFT JOIN cnt t ON t.cell = c.cell
+         |),
+         |tot AS (
+         |  SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS n_cells
+         |  FROM per
+         |)
+         |SELECT per.cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+         |  CASE WHEN total > 0
+         |    THEN CAST(n_vectors AS DOUBLE) / total END AS share,
+         |  CASE WHEN total > 0
+         |    THEN CAST(n_vectors AS DOUBLE) * n_cells / total END
+         |    AS load_factor
+         |FROM per CROSS JOIN tot ORDER BY per.cell""".stripMargin,
+
     "s19_ivf_append" ->
       s"""WITH $unnestSql,
          |cs AS (
