@@ -418,6 +418,26 @@ object ScalingProbe {
     }
   }
 
+  /** p26 scaling: train→eval 8-gram leakage on the word-soup corpus
+    * (adjacent docs share a 10-token window → 3 shared 8-grams, so
+    * every eval doc bordering a train doc genuinely hits). The claimed
+    * posture: train grams collapse to one row per distinct gram before
+    * the join, so join output is bounded by the eval side.
+    */
+  private def leakProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = wordSoup(spark, n)
+    val splits = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 8, "train")
+        .when(col("id") % 10 === 8, "val")
+        .otherwise("test").as("split"))
+    time("p26_eval_leakage", n) {
+      // sum over the leak counts, not count(): a bare count lets the
+      // optimizer skip the gram join entirely
+      graft.ops.PipelineOps.evalLeakageOf(docs, splits)
+        .agg(sum(col("n_leaked_grams"))).head().getLong(0)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dedupMode = args.headOption.contains("dedup")
     val sparseMode = args.headOption.contains("sparse")
@@ -454,6 +474,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("kcore")) {
       kcoreProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("leak")) {
+      leakProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }
