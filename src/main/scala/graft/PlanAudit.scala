@@ -87,6 +87,20 @@ object PlanAudit {
     // packStarts passes each roll their own)
     "m09_shard_append" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // m10: contains m09's append manifest (its corpus-total broadcast)
+    // + THREE packStarts offsets windows (repack pass, append's corpus
+    // and batch passes) — all bucket-count-sized
+    "m10_manifest_diff" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // s30: the 1-row (total, n_cells) scalar broadcast scaling the
+    // codebook-sized balance frame — the d23 scalar pattern
+    "s30_cell_balance" -> Set("BroadcastNestedLoopJoin"),
+    // g08: two 1-row scalar broadcasts (corpus total, in-graph total)
+    // + the top-cumulative window over DISTINCT degree values (a
+    // hundreds-row frame at any corpus size, single-partition by
+    // design) next to the presentation sort
+    "g08_degree_distribution" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // p20: inherits p19's 1-row majority-target broadcast + the p15
     // 64-row bucket-offsets window next to the 1-row target agg
     "p20_training_order" ->

@@ -456,7 +456,53 @@ object GraphOps {
       .orderBy("component")
   }
 
+  /** Degree-frequency distribution of the near-dup pair graph — the
+    * first chart a governance team draws before trusting any other
+    * graph readout: per degree value, how many documents have it, the
+    * share of the WHOLE corpus, and the top-cumulative count (nodes
+    * with degree ≥ d — the hub-tail readout: a heavy tail is a
+    * template farm, a thin one incremental edits; cross-checks g04's
+    * assortativity single-number with the full shape). Degree 0 (docs
+    * in NO pair) appears as a real row off the documents spine — the
+    * d23 zero-row discipline; without it the distribution silently
+    * describes only the duplicated minority. All counts exact; share
+    * is one division.
+    *
+    * 100 TB posture: one node-keyed degree agg over the write-once
+    * pair graph + a degree-keyed recount; the window cumsum runs over
+    * DISTINCT degree values (hundreds of rows at any corpus size —
+    * single-partition by design); 1-row totals ride the d23 scalar
+    * broadcast.
+    */
+  def g08DegreeDistribution(spark: SparkSession, dir: String): DataFrame =
+    degreeDistributionOf(
+      graft.Caches.cache(
+        DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b")),
+      graft.Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
+
+  /** The g08 body over any pair graph × 1-row corpus total — exposed so
+    * the spec can plant a hub-and-chain graph. */
+  private[graft] def degreeDistributionOf(
+      pairs: DataFrame, nDocs: DataFrame): DataFrame = {
+    val deg = graft.Caches.cache(degrees(pairs))
+    val inGraph = deg.agg(count(lit(1)).as("n_in_graph"))
+    val nonzero = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val zeroRow = nDocs.crossJoin(broadcast(inGraph))
+      .select(lit(0L).as("degree"),
+        (col("n_docs") - col("n_in_graph")).as("n_nodes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("degree").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    nonzero.unionByName(zeroRow)
+      .crossJoin(broadcast(nDocs))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / col("n_docs")).as("node_share"),
+        sum(col("n_nodes")).over(w).as("n_nodes_ge"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g08_degree_distribution" -> (g08DegreeDistribution _),
     "g07_modularity" -> (g07Modularity _),
     "g06_edge_support" -> (g06EdgeSupport _),
     "g05_link_prediction" -> (g05LinkPrediction _),
@@ -614,6 +660,30 @@ object GraphOps {
 
     // g07: d07's 4-round labels (== the converged labels on this
     // corpus, diameter <= 4), exact-integer shares, one subtraction
+    // g08: degree-frequency rows + corpus-spine zero row, cumulative
+    // from the top over distinct degrees
+    "g08_degree_distribution" -> materializedCtes(
+      s"""$graphSqlPrefix,
+         |nz AS (
+         |  SELECT CAST(degree AS BIGINT) AS degree,
+         |         CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |ig AS (SELECT CAST(count(*) AS BIGINT) AS n_in FROM deg),
+         |alld AS (
+         |  SELECT degree, n_nodes FROM nz
+         |  UNION ALL
+         |  SELECT CAST(0 AS BIGINT), t.n_docs - i.n_in
+         |  FROM tot t CROSS JOIN ig i
+         |)
+         |SELECT degree, n_nodes,
+         |  CAST(n_nodes AS DOUBLE) / t.n_docs AS node_share,
+         |  CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_nodes_ge
+         |FROM alld CROSS JOIN tot t ORDER BY degree""".stripMargin),
+
     "g07_modularity" -> materializedCtes(
       s"""WITH pg AS (SELECT doc_a, doc_b FROM (${DedupOps.d03Sql})),
          |lab AS (SELECT doc_id, component FROM (${DedupOps.d07Sql})),
