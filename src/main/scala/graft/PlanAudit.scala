@@ -92,6 +92,11 @@ object PlanAudit {
     // and batch passes) — all bucket-count-sized
     "m10_manifest_diff" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // p27: two scalar broadcasts (corpus totals, the 1-row threshold)
+    // + the rank/cumsum windows over the Σsources-row frame — the p24
+    // source-table shape, single-partition by design
+    "p27_budget_waterfill" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // s30: the 1-row (total, n_cells) scalar broadcast scaling the
     // codebook-sized balance frame — the d23 scalar pattern
     "s30_cell_balance" -> Set("BroadcastNestedLoopJoin"),

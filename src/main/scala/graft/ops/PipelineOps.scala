@@ -1087,7 +1087,65 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Token-budget waterfill across sources — the allocation step
+    * between p24's concentration readout and p23's temperature mix:
+    * given a global token budget (60% of the corpus here), every
+    * source keeps all its tokens up to a SINGLE threshold T chosen so
+    * the allocations exactly exhaust the budget (Σ min(n_i, T) = B) —
+    * the max-min-fair split that never takes from a small source to
+    * feed a large one. T has the classic sorted closed form: with
+    * sources ascending by size and m sources remaining at rank k, the
+    * first rank where cum_before + m·n_k ≥ B pins T = (B −
+    * cum_before)/m — ONE division; every other number is an exact
+    * integer or a min against T. B ≥ total degenerates to no-cap
+    * (NULL threshold, full allocations, zero capped flags).
+    *
+    * 100 TB posture: the corpus-sized work is ONE per-source token
+    * agg; everything after runs on the Σsources-row frame (the window
+    * sort is |sources| rows — single-partition by design, like p24);
+    * the 1-row threshold rides the d23 scalar broadcast.
+    */
+  def p27BudgetWaterfill(spark: SparkSession, dir: String): DataFrame =
+    budgetWaterfillOf(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens")),
+      6L, 10L)
+
+  /** The p27 body over any (source, n_tokens) frame with budget =
+    * total·num div den — exposed for the hand-computed spec. */
+  private[graft] def budgetWaterfillOf(
+      per: DataFrame, num: Long, den: Long): DataFrame = {
+    val tot = per.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val wRank = Window.orderBy(col("n_tokens"), col("source"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = graft.Caches.cache(per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"total * $num div $den"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+      .withColumn("m", col("n_sources") - col("rk") + 1))
+    val thr = ranked
+      .filter(col("cum_before") + col("m") * col("n_tokens") >=
+        col("budget"))
+      .agg(expr("min_by((budget - cum_before) / CAST(m AS DOUBLE), rk)")
+        .as("threshold"))
+    ranked.crossJoin(broadcast(thr))
+      .select(col("source"), col("n_tokens"), col("budget"),
+        col("threshold"),
+        when(col("threshold").isNull, col("n_tokens").cast("double"))
+          .otherwise(least(col("n_tokens").cast("double"),
+            col("threshold"))).as("allocation"),
+        when(col("threshold").isNotNull &&
+          col("n_tokens").cast("double") > col("threshold"), 1L)
+          .otherwise(0L).as("capped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_budget_waterfill" -> (p27BudgetWaterfill _),
     "p26_eval_leakage" -> (p26EvalLeakage _),
     "p25_negative_pairs" -> (p25NegativePairs _),
     "p24_source_concentration" -> (p24SourceConcentration _),
@@ -1117,6 +1175,46 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p27: sorted waterfill closed form — first feasible rank pins the
+    // threshold, one division, everything else exact integers
+    "p27_budget_waterfill" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+        |         CAST(COUNT(*) AS BIGINT) AS n_sources
+        |  FROM per
+        |),
+        |rkd AS (
+        |  SELECT p.source, p.n_tokens,
+        |    (t.total * 6) // 10 AS budget,
+        |    CAST(row_number() OVER (ORDER BY p.n_tokens, p.source)
+        |      AS BIGINT) AS rk,
+        |    CAST(COALESCE(SUM(p.n_tokens) OVER (
+        |      ORDER BY p.n_tokens, p.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    t.n_sources
+        |  FROM per p CROSS JOIN tot t
+        |),
+        |rkd2 AS (SELECT *, n_sources - rk + 1 AS m FROM rkd),
+        |thr AS (
+        |  SELECT min_by((budget - cum_before) / CAST(m AS DOUBLE), rk)
+        |    AS threshold
+        |  FROM rkd2 WHERE cum_before + m * n_tokens >= budget
+        |)
+        |SELECT r.source, r.n_tokens, r.budget, t.threshold,
+        |  CASE WHEN t.threshold IS NULL THEN CAST(r.n_tokens AS DOUBLE)
+        |       ELSE least(CAST(r.n_tokens AS DOUBLE), t.threshold) END
+        |    AS allocation,
+        |  CAST(CASE WHEN t.threshold IS NOT NULL
+        |        AND CAST(r.n_tokens AS DOUBLE) > t.threshold
+        |       THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM rkd2 r CROSS JOIN thr t ORDER BY r.source""".stripMargin,
+
     // p26: p13's family-keyed split, distinct 8-grams per doc, train
     // side collapsed to (gram, min doc) before the join, zero rows kept
     "p26_eval_leakage" ->
