@@ -52,6 +52,9 @@ object PlanAudit {
     // recall audit: contains s01's exact side (the same broadcast
     // query-set scan) by construction
     "s17_recall_report" -> Set("BroadcastNestedLoopJoin"),
+    // rank-quality audit: s17's family — contains s01's exact side
+    // (broadcast query-set scan); the scoring joins are all equality
+    "s31_rank_quality" -> Set("BroadcastNestedLoopJoin"),
     "s04_knn_topk_agg" -> Set("BroadcastNestedLoopJoin"),
     "s08_ivf_ann" -> Set("BroadcastNestedLoopJoin"),
     // s26: the same s08 codebook/probe broadcast scans, filtered corpus

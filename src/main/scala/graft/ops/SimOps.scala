@@ -1557,7 +1557,59 @@ object SimOps {
       .orderBy("cell")
   }
 
+  /** Rank-quality report (MRR + nDCG) — the position-aware sequel to
+    * s17's set-level recall: per query, WHERE in the LSH top-5 the
+    * exact neighbors landed, not just how many. rr = 1/first-relevant-
+    * rank (the MRR term); ndcg_lin is nDCG with LINEAR discounts
+    * 1/(rank+1) instead of 1/log2(rank+1) — deliberately, because the
+    * log discount would make the hash gate hostage to cross-engine
+    * libm rounding, while the linear weights scale to the EXACT
+    * integers 27720/(rank+1) (27720 = lcm(2..11)), making DCG and
+    * ideal-DCG integer sums and ndcg ONE division. Relevance = the
+    * exact top-10 (s01's truth); queries the LSH misses entirely keep
+    * a row with rr = 0 and ndcg = 0 (the d23 zero-row discipline).
+    *
+    * 100 TB posture: both rankings are the existing sampled-query
+    * machinery (s17's argument); the scoring on top is two query-set-
+    * sized aggs and one query-keyed left join.
+    */
+  def s31RankQuality(spark: SparkSession, dir: String): DataFrame =
+    rankQualityOf(
+      s01KnnBruteforce(spark, dir)
+        .select(col("qid"), col("neighbor_id"),
+          col("rank").as("exact_rank")),
+      s02LshAnn(spark, dir)
+        .select(col("qid"), col("neighbor_id"),
+          col("rank").as("ann_rank")))
+
+  /** The s31 body over any exact × approximate ranking pair — exposed
+    * so the spec can plant known rank placements. */
+  private[graft] def rankQualityOf(
+      exact: DataFrame, ann: DataFrame): DataFrame = {
+    val D = 27720L // lcm(2..11): every 1/(rank+1) weight scales exact
+    val hits = ann
+      .join(exact.select("qid", "neighbor_id"), Seq("qid", "neighbor_id"))
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_hits"),
+        min(col("ann_rank")).as("first_hit_rank"),
+        sum(expr(s"$D div (ann_rank + 1)")).as("dcg_num"))
+    val ideal = exact.groupBy("qid").agg(
+      count(lit(1)).as("n_exact"),
+      sum(when(col("exact_rank") <= 5, expr(s"$D div (exact_rank + 1)"))
+        .otherwise(0L)).as("idcg_num"))
+    ideal.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        when(col("first_hit_rank").isNotNull,
+          lit(1.0) / col("first_hit_rank")).otherwise(lit(0.0)).as("rr"),
+        (coalesce(col("dcg_num"), lit(0L)).cast("double") /
+          col("idcg_num")).as("ndcg_lin"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_rank_quality" -> (s31RankQuality _),
     "s30_cell_balance" -> (s30CellBalance _),
     "s29_pq_distortion" -> (s29PqDistortion _),
     "s28_mutual_knn" -> (s28MutualKnn _),
@@ -1893,6 +1945,76 @@ object SimOps {
 
     // s19: the declarative full-recompute statement — corpus-trained
     // codebook, corpus postings, batch assignment, per-cell growth
+    // s31: exact top-10 truth × LSH top-5, integer linear-discount
+    // DCG (27720/(rank+1)), one division per metric
+    "s31_rank_quality" ->
+      s"""WITH $unnestSql,
+         |dall AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |call AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) *
+         |     sqrt(CAST(nv.normsq AS DOUBLE))) AS cosine
+         |  FROM dall JOIN n nq ON nq.vec_id = qid
+         |  JOIN n nv ON nv.vec_id = vid
+         |),
+         |ex AS (
+         |  SELECT qid, vid, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid ASC) AS rank FROM call)
+         |  WHERE rank <= 10
+         |),
+         |e AS (
+         |  SELECT vec_id, ${signKeySql("embedding", 4)} AS bucket
+         |  FROM embeddings
+         |),
+         |dl AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         |  FROM u q JOIN u v USING (i)
+         |  JOIN e eq ON eq.vec_id = q.vec_id
+         |  JOIN e ev ON ev.vec_id = v.vec_id AND ev.bucket = eq.bucket
+         |  WHERE q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, v.vec_id
+         |),
+         |cl AS (
+         |  SELECT qid, vid, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq.normsq AS DOUBLE)) *
+         |     sqrt(CAST(nv.normsq AS DOUBLE))) AS cosine
+         |  FROM dl JOIN n nq ON nq.vec_id = qid
+         |  JOIN n nv ON nv.vec_id = vid
+         |),
+         |annr AS (
+         |  SELECT qid, vid, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid ASC) AS rank FROM cl)
+         |  WHERE rank <= 5
+         |),
+         |h AS (
+         |  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    CAST(MIN(a.rank) AS BIGINT) AS first_hit_rank,
+         |    CAST(SUM(27720 // (a.rank + 1)) AS BIGINT) AS dcg_num
+         |  FROM annr a JOIN ex ON ex.qid = a.qid AND ex.vid = a.vid
+         |  GROUP BY 1
+         |),
+         |i AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(SUM(CASE WHEN rank <= 5 THEN 27720 // (rank + 1)
+         |             ELSE 0 END) AS BIGINT) AS idcg_num
+         |  FROM ex GROUP BY 1
+         |)
+         |SELECT i.qid, i.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+         |  h.first_hit_rank,
+         |  CASE WHEN h.first_hit_rank IS NOT NULL
+         |    THEN CAST(1 AS DOUBLE) / h.first_hit_rank
+         |    ELSE CAST(0 AS DOUBLE) END AS rr,
+         |  CAST(COALESCE(h.dcg_num, 0) AS DOUBLE) / i.idcg_num
+         |    AS ndcg_lin
+         |FROM i LEFT JOIN h ON h.qid = i.qid ORDER BY i.qid""".stripMargin,
+
     // s30: corpus-only centroids + assignment (the persisted index),
     // codebook spine keeps dead cells as zero rows
     "s30_cell_balance" ->
