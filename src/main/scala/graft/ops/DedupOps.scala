@@ -1486,7 +1486,53 @@ object DedupOps {
       .orderBy("strategy")
   }
 
+  /** Cross-language duplicate-family audit — the governance readout
+    * that catches what a per-language pipeline structurally cannot: a
+    * near-dup family whose members carry DIFFERENT lang labels is
+    * either boilerplate that survived translation (template farms
+    * localizing the same page) or a lang-ID failure — both corrupt a
+    * per-language token budget, and both are invisible to d25's
+    * size-only census. Per family: size, distinct langs, the sorted
+    * lang roster, a cross_lang flag, and the dominant language with
+    * its share (ties break to the lexicographically smaller lang —
+    * deterministic). Counts exact; the share one division.
+    *
+    * 100 TB posture: labels come from the converged propagation over
+    * the write-once pair graph (near-dup-population-sized); the lang
+    * join hits only labeled docs (broadcast against the corpus
+    * column); two family-keyed hash aggs after that — no corpus-wide
+    * shuffle beyond the label join.
+    */
+  def d29CrossLangFamilies(spark: SparkSession, dir: String): DataFrame =
+    crossLangFamiliesOf(
+      convergedComponents(spark, dir).select("doc_id", "component"),
+      Tables.documents(spark, dir).select("doc_id", "lang"))
+
+  /** The d29 body over any (doc_id, component) × (doc_id, lang) pair —
+    * exposed so the spec can plant mixed-language families. */
+  private[graft] def crossLangFamiliesOf(
+      fam: DataFrame, langs: DataFrame): DataFrame = {
+    val perLang = fam.join(langs, Seq("doc_id"))
+      .groupBy(col("component").as("family"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    perLang.groupBy("family")
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        array_join(sort_array(collect_list(col("lang"))), ",")
+          .as("langs_csv"),
+        min(struct((-col("n")).as("neg"), col("lang"))).as("top"))
+      .select(col("family"), col("n_docs"), col("n_langs"),
+        col("langs_csv"),
+        when(col("n_langs") > 1, 1L).otherwise(0L).as("cross_lang"),
+        col("top.lang").as("top_lang"),
+        ((-col("top.neg")).cast("double") / col("n_docs"))
+          .as("top_lang_share"))
+      .orderBy("family")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_cross_lang_families" -> (d29CrossLangFamilies _),
     "d28_dedup_savings" -> (d28DedupSavings _),
     "d27_quality_drift" -> (d27QualityDrift _),
     "d25_family_census" -> (d25FamilyCensus _),
@@ -1584,6 +1630,33 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // d29: d07's component labels joined with lang, two family aggs,
+    // dominant lang by (count desc, lang asc)
+    "d29_cross_lang_families" ->
+      s"""WITH comp AS (SELECT doc_id, component FROM ($d07Sql)),
+         |pl AS (
+         |  SELECT c.component AS family, d.lang,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |top AS (
+         |  SELECT family, lang AS top_lang, n AS top_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY family
+         |      ORDER BY n DESC, lang ASC) AS r FROM pl)
+         |  WHERE r = 1
+         |)
+         |SELECT p.family,
+         |  CAST(SUM(p.n) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |  string_agg(p.lang, ',' ORDER BY p.lang) AS langs_csv,
+         |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS cross_lang,
+         |  MIN(t.top_lang) AS top_lang,
+         |  CAST(MIN(t.top_n) AS DOUBLE) / SUM(p.n) AS top_lang_share
+         |FROM pl p JOIN top t ON t.family = p.family
+         |GROUP BY p.family ORDER BY p.family""".stripMargin,
+
     // d27: fixed 11-bin quality histogram per split + TVD terms
     // d28: exact md5 groups + d07 component families -> per-strategy
     // removable docs/tokens beyond the min-doc_id keeper
