@@ -1822,7 +1822,45 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** Weekly activity profile — the day-of-week × hour-of-day heatmap
+    * behind every ops dashboard, with the zero cells KEPT: the full
+    * 7×24 spine per event type (the d23 discipline — a silent hour is
+    * a real cell, and the weekend trough is the capacity-planning
+    * signal). dow is computed as ((days-since-1970-01-01 + 4) mod 7,
+    * 0 = Sunday) — explicit epoch arithmetic instead of the engines'
+    * dayofweek builtins, whose numbering conventions disagree (Spark
+    * 1=Sunday, DuckDB 0=Sunday); counts exact, share-of-type one
+    * division.
+    *
+    * Scale: one (type, dow, hour)-keyed agg over the events scan
+    * (map-side combined; ≤ types × 168 groups), the spine join is
+    * types × 168 broadcast rows, per-type totals a broadcast equality
+    * join.
+    */
+  def w46WeeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        ((datediff(to_date(col("ts")), lit("1970-01-01")) + 4) % 7)
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+    val counts = ev.groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.select("event_type").distinct()
+      .select(col("event_type"), explode(expr("sequence(0L, 6L)")).as("dow"))
+      .select(col("event_type"), col("dow"),
+        explode(expr("sequence(0L, 23L)")).as("hour"))
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    spine.join(counts, Seq("event_type", "dow", "hour"), "left")
+      .join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("n_type"))
+          .as("share_of_type"))
+      .orderBy("event_type", "dow", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w46_weekly_profile" -> (w46WeeklyProfile _),
     "w45_winsorized_stats" -> (w45WinsorizedStats _),
     "w44_attribution" -> (w44Attribution _),
     "w43_autocorr" -> (w43Autocorr _),
@@ -1909,6 +1947,40 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w46: explicit epoch dow arithmetic (engine dayofweek conventions
+    // disagree), full 7x24 spine per type, zero cells kept
+    "w46_weekly_profile" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7
+        |      AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hour
+        |  FROM events
+        |),
+        |counts AS (
+        |  SELECT event_type, dow, hour, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2, 3
+        |),
+        |spine AS (
+        |  SELECT DISTINCT t.event_type,
+        |    CAST(d.d AS BIGINT) AS dow, CAST(h.h AS BIGINT) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS d) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        |),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT s.event_type, s.dow, s.hour,
+        |  COALESCE(c.n, 0) AS n,
+        |  CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_type AS share_of_type
+        |FROM spine s
+        |LEFT JOIN counts c ON c.event_type = s.event_type
+        |  AND c.dow = s.dow AND c.hour = s.hour
+        |JOIN tot t ON t.event_type = s.event_type
+        |ORDER BY s.event_type, s.dow, s.hour""".stripMargin,
+
     // w45: rank-selected p05/p95 cuts (ceil(q*n), no interpolation),
     // decimal-exact sums, one IEEE division per mean
     "w45_winsorized_stats" ->
