@@ -168,6 +168,12 @@ object PlanAudit {
     // w41: the d23 1-row trigram-total broadcast over the tiny path
     // frame; the top-10 is a TakeOrdered, not a window
     "w41_top_paths" -> Set("BroadcastNestedLoopJoin"),
+    // w47: the d23 1-row basket-total broadcast over the 20-row
+    // top-pairs frame; the top-20 is a TakeOrdered
+    "w47_market_basket" -> Set("BroadcastNestedLoopJoin"),
+    // w48: the 1-row global max-month scalar broadcast building the
+    // cohort-months age spine
+    "w48_cohort_ltv" -> Set("BroadcastNestedLoopJoin"),
     // d27: the d23 1-row split-totals broadcast over the 11-bin frame
     "d27_quality_drift" -> Set("BroadcastNestedLoopJoin"),
     // t22: the d23 1-row doc-total broadcast over the 6-term frame

@@ -1144,7 +1144,66 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Length-bucketed curriculum batching report: documents ranked by
+    * token length (the "sorted batching" / bucketing trick every
+    * trainer uses to cut padding waste), cut into fixed 32-doc
+    * batches, and each batch scored for the padding it pays when the
+    * loader pads to the batch max — n_docs·max_len − sum_tokens
+    * tokens of pure padding, pad_share the one division. Because
+    * neighbors in length order have near-equal lengths, pad_share
+    * collapses versus arrival-order batching; the fat-batch tail that
+    * remains is the long-document overhang (p21's signal, now
+    * loader-shaped). The curriculum order is the total order
+    * (n_tokens, doc_id mod 64, doc_id) — deterministic and
+    * engine-identical.
+    *
+    * 100 TB posture: NO global sort of the corpus — the rank is the
+    * p15 two-phase bucket form on (n_tokens, bucket) keys: per-key
+    * counts roll into broadcast offsets (a lengths×64 frame), ranks
+    * come from per-key windows, so the only corpus-sized shuffle is
+    * hash-keyed on (n_tokens, bucket) and a hot length value splits
+    * across 64 partitions instead of one. The report agg is map-side
+    * combined on batch_id.
+    */
+  def p28LengthCurriculum(spark: SparkSession, dir: String): DataFrame =
+    lengthCurriculumOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      batch = 32L)
+
+  /** The p28 body over any (doc_id, n_tokens) frame — spec-shared. */
+  private[graft] def lengthCurriculumOf(
+      docs: DataFrame, batch: Long): DataFrame = {
+    val d = graft.Caches.cache(
+      docs.withColumn("bucket", pmod(col("doc_id"), lit(64L))))
+    val wOff = Window.orderBy(col("n_tokens"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("n_tokens", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+    val wRank = Window.partitionBy(col("n_tokens"), col("bucket"))
+      .orderBy(col("doc_id"))
+    d.join(broadcast(offsets.select("n_tokens", "bucket", "off")),
+        Seq("n_tokens", "bucket"))
+      .select(col("n_tokens"),
+        (col("off") + row_number().over(wRank) - 1).as("r"))
+      .groupBy(expr(s"CAST(r DIV $batch AS BIGINT)").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_len"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("batch_id"), col("n_docs"), col("min_len"),
+        col("max_len"), col("sum_tokens"),
+        (col("n_docs") * col("max_len") - col("sum_tokens")).as("padding"),
+        ((col("n_docs") * col("max_len") - col("sum_tokens"))
+          .cast("double") / (col("n_docs") * col("max_len")))
+          .as("pad_share"))
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_length_curriculum" -> (p28LengthCurriculum _),
     "p27_budget_waterfill" -> (p27BudgetWaterfill _),
     "p26_eval_leakage" -> (p26EvalLeakage _),
     "p25_negative_pairs" -> (p25NegativePairs _),
@@ -1175,6 +1234,34 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p28: rank by the (n_tokens, doc_id mod 64, doc_id) total order,
+    // fixed 32-doc batches, padding = n_docs*max_len - sum_tokens
+    "p28_length_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 64 AS bucket
+        |  FROM documents
+        |),
+        |ranked AS (
+        |  SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, bucket, doc_id) - 1
+        |      AS r
+        |  FROM d
+        |)
+        |SELECT CAST(r // 32 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_tokens) AS min_len,
+        |  max(n_tokens) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+        |    AS padding,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS DOUBLE)
+        |    / (count(*) * max(n_tokens)) AS pad_share
+        |FROM ranked
+        |GROUP BY 1
+        |ORDER BY batch_id""".stripMargin,
+
     // p27: sorted waterfill closed form — first feasible rank pins the
     // threshold, one division, everything else exact integers
     "p27_budget_waterfill" ->

@@ -1859,7 +1859,117 @@ object RelOps {
       .orderBy("event_type", "dow", "hour")
   }
 
+  /** Market-basket association rules over order baskets: the 20 most
+    * frequent part co-occurrence pairs with exact support, confidence
+    * and lift — the classic "frequently bought together" first pass
+    * (the co-occurrence count an FP-growth run would start from).
+    * Items are distinct (order, part) so a part listed twice in one
+    * order counts once; pairs are canonical part_a < part_b; lift
+    * compares the observed pair rate to the independence expectation
+    * (lift >> 1 = genuine affinity, << 1 = substitutes). Every double
+    * is ONE division of exact integer counts; top-20 has the
+    * (n_co DESC, part_a, part_b) total order so the selected SET is
+    * engine-identical.
+    *
+    * 100 TB posture: pair emission rides a self-equality-join on
+    * l_orderkey, bounded by per-basket size squared (baskets are ≤ a
+    * few lines — never corpus x corpus); the (a, b) count agg is
+    * map-side combined; top-20 is a TakeOrdered, so only 20 rows ever
+    * reach the item-count joins (broadcast) and the 1-row basket-total
+    * scalar (the d23 broadcast, BNLJ allowlisted).
+    */
+  def w47MarketBasket(spark: SparkSession, dir: String): DataFrame =
+    marketBasketOf(Tables.lineitem(spark, dir))
+
+  /** w47 core on any (l_orderkey, l_partkey) frame — fixture-testable. */
+  def marketBasketOf(lineitem: DataFrame): DataFrame = {
+    val items = graft.Caches.cache(lineitem
+      .select("l_orderkey", "l_partkey").distinct())
+    val itemCounts = graft.Caches.cache(
+      items.groupBy("l_partkey").agg(count(lit(1)).as("n_item")))
+    val tot = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val co = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_co"))
+    val top = co.orderBy(col("n_co").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    top
+      .join(itemCounts.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a")), Seq("part_a"))
+      .join(itemCounts.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"),
+        col("n_b"), col("n_orders"),
+        (col("n_co").cast("double") / col("n_orders")).as("support"),
+        (col("n_co").cast("double") / col("n_a")).as("confidence"),
+        ((col("n_co") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
+  }
+
+  /** Cohort lifetime-value triangle: customers cohorted by first-order
+    * month; per (cohort, account-age-in-months) exact order counts,
+    * active customers, revenue, decimal-exact cumulative revenue and
+    * LTV per cohort member — the retention-economics twin of w27's
+    * activity triangle. Ages are zero-filled to the global last month
+    * (a quiet month is a real cell; the cumulative line must stay flat
+    * through it, not skip it), month arithmetic is explicit
+    * (year*12 + month — exact integers in both engines), and the
+    * cumulative sum runs over DECIMAL so the running total is
+    * order-independent, cast to double once at the edge.
+    *
+    * 100 TB posture: one custkey-keyed first-order agg + one
+    * custkey-equality enrichment join over the orders scan; everything
+    * downstream is the (months x months)/2 cell frame. The cumulative
+    * window partitions by cohort over <= months rows; the 1-row global
+    * max-month scalar rides the d23 broadcast (BNLJ allowlisted).
+    */
+  def w48CohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOf(Tables.orders(spark, dir))
+
+  /** w48 core on any (o_custkey, o_orderdate, o_totalprice) frame. */
+  def cohortLtvOf(orders: DataFrame): DataFrame = {
+    val o = graft.Caches.cache(orders
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate"))
+        .as("m"), col("o_totalprice")))
+    val cohort = graft.Caches.cache(
+      o.groupBy("o_custkey").agg(min(col("m")).as("cm")))
+    def monthsIdx(c: org.apache.spark.sql.Column) =
+      year(c) * 12 + month(c)
+    val cells = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cm"),
+        (monthsIdx(col("m")) - monthsIdx(col("cm"))).cast("long").as("age"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("o_totalprice").cast(DecimalType(28, 4))).as("rev"))
+    val sizes = cohort.groupBy("cm").agg(count(lit(1)).as("cohort_size"))
+    val gm = o.agg(max(col("m")).as("gm"))
+    val spine = sizes.crossJoin(broadcast(gm))
+      .select(col("cm"), col("cohort_size"),
+        explode(sequence(lit(0L),
+          (monthsIdx(col("gm")) - monthsIdx(col("cm"))).cast("long")))
+          .as("age"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+    val rev0 = coalesce(col("rev"), lit(0).cast(DecimalType(28, 4)))
+    spine.join(cells, Seq("cm", "age"), "left")
+      .select(col("cm").cast("date").as("cohort_month"),
+        col("age").as("age_months"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        rev0.cast("double").as("revenue"),
+        sum(rev0).over(w).cast("double").as("cum_revenue"),
+        col("cohort_size"),
+        (sum(rev0).over(w).cast("double") / col("cohort_size"))
+          .as("ltv_per_customer"))
+      .orderBy("cohort_month", "age_months")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w48_cohort_ltv" -> (w48CohortLtv _),
+    "w47_market_basket" -> (w47MarketBasket _),
     "w46_weekly_profile" -> (w46WeeklyProfile _),
     "w45_winsorized_stats" -> (w45WinsorizedStats _),
     "w44_attribution" -> (w44Attribution _),
@@ -1947,6 +2057,90 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w47: canonical a<b pairs on distinct (order, part); every double
+    // one division of exact integers; the (n_co DESC, a, b) total
+    // order makes the top-20 set engine-identical
+    "w47_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |),
+        |ic AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM items GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM items
+        |),
+        |co AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_co
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |top AS (
+        |  SELECT * FROM co ORDER BY n_co DESC, part_a, part_b LIMIT 20
+        |)
+        |SELECT t.part_a, t.part_b, t.n_co,
+        |  ia.n_item AS n_a, ib.n_item AS n_b, tot.n_orders,
+        |  CAST(t.n_co AS DOUBLE) / tot.n_orders AS support,
+        |  CAST(t.n_co AS DOUBLE) / ia.n_item AS confidence,
+        |  CAST(t.n_co * tot.n_orders AS DOUBLE)
+        |    / (ia.n_item * ib.n_item) AS lift
+        |FROM top t
+        |JOIN ic ia ON ia.l_partkey = t.part_a
+        |JOIN ic ib ON ib.l_partkey = t.part_b
+        |CROSS JOIN tot
+        |ORDER BY t.n_co DESC, t.part_a, t.part_b""".stripMargin,
+
+    // w48: explicit year*12+month age arithmetic, ages zero-filled to
+    // the global last month, cumulative revenue summed in DECIMAL and
+    // cast to double once
+    "w48_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+        |    CAST(o_totalprice AS DECIMAL(28,4)) AS p
+        |  FROM orders
+        |),
+        |cohort AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |sizes AS (
+        |  SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1
+        |),
+        |gm AS (SELECT max(m) AS gmax FROM o),
+        |cells AS (
+        |  SELECT c.cm,
+        |    CAST((year(o.m)*12 + month(o.m))
+        |      - (year(c.cm)*12 + month(c.cm)) AS BIGINT) AS age,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |    sum(o.p) AS rev
+        |  FROM o JOIN cohort c USING (o_custkey)
+        |  GROUP BY 1, 2
+        |),
+        |spine AS (
+        |  SELECT s.cm, s.cohort_size,
+        |    CAST(unnest(generate_series(0,
+        |      (year(gm.gmax)*12 + month(gm.gmax))
+        |        - (year(s.cm)*12 + month(s.cm)))) AS BIGINT) AS age
+        |  FROM sizes s CROSS JOIN gm
+        |)
+        |SELECT CAST(s.cm AS DATE) AS cohort_month, s.age AS age_months,
+        |  COALESCE(c.n_orders, 0) AS n_orders,
+        |  COALESCE(c.n_active, 0) AS n_active,
+        |  CAST(COALESCE(c.rev, 0) AS DOUBLE) AS revenue,
+        |  CAST(sum(COALESCE(c.rev, 0))
+        |    OVER (PARTITION BY s.cm ORDER BY s.age) AS DOUBLE)
+        |    AS cum_revenue,
+        |  s.cohort_size,
+        |  CAST(sum(COALESCE(c.rev, 0))
+        |    OVER (PARTITION BY s.cm ORDER BY s.age) AS DOUBLE)
+        |    / s.cohort_size AS ltv_per_customer
+        |FROM spine s
+        |LEFT JOIN cells c ON c.cm = s.cm AND c.age = s.age
+        |ORDER BY cohort_month, age_months""".stripMargin,
+
     // w46: explicit epoch dow arithmetic (engine dayofweek conventions
     // disagree), full 7x24 spine per type, zero cells kept
     "w46_weekly_profile" ->

@@ -1134,6 +1134,52 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Tombstone / compaction audit over the persisted IVF postings —
+    * the DELETE half of index maintenance next to s19's append (the
+    * FAISS IDSelector / vector-store tombstone semantics: a delete
+    * never rewrites postings at write time; the id goes on a tombstone
+    * list that search anti-joins, and a background compactor rewrites
+    * a cell only when its dead share crosses a threshold). Tombstones
+    * here are vec_id mod 10 = 4 (a batch-delete stand-in, disjoint
+    * from s19's mod-10=7 append batch). Per cell: posting count, dead
+    * and live counts, live share (one division), the compaction flag
+    * at the 25% dead threshold as the exact integer test
+    * 4·n_tombstoned >= n_postings (no float threshold), and the
+    * rewrite bill — live rows the compactor must copy, zero where the
+    * flag is down. Zero-tombstone cells are real rows (the d23
+    * discipline): a flat zero column IS the healthy readout.
+    *
+    * 100 TB posture: the corpus is never re-scored — the only input is
+    * the PERSISTED postings (one narrow row per indexed vector) and the
+    * work is ONE cell-keyed map-side-combined count agg; the tombstone
+    * test is a pure per-row predicate, so no tombstone-list join at
+    * all at audit time (search-time filtering is s26's candidate-side
+    * predicate shape).
+    */
+  def s25TombstoneCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    tombstoneCompactOf(spark.read.parquet(s"$root/postings"),
+      col("vec_id") % 10 === 4)
+  }
+
+  /** s25 core over any (vec_id, cell) postings frame — spec-shared. */
+  private[graft] def tombstoneCompactOf(
+      postings: DataFrame, isTombstone: Column): DataFrame = {
+    val dead = lit(4L) * col("n_tombstoned") >= col("n_postings")
+    postings
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_postings"),
+        sum(when(isTombstone, 1L).otherwise(0L)).as("n_tombstoned"))
+      .select(col("cell"), col("n_postings"), col("n_tombstoned"),
+        (col("n_postings") - col("n_tombstoned")).as("n_live"),
+        ((col("n_postings") - col("n_tombstoned")).cast("double") /
+          col("n_postings")).as("live_share"),
+        when(dead, 1L).otherwise(0L).as("compact_flag"),
+        when(dead, col("n_postings") - col("n_tombstoned"))
+          .otherwise(0L).as("rewrite_rows"))
+      .orderBy("cell")
+  }
+
   /** Dimension-truncated adaptive retrieval (the Matryoshka/MRL
     * pattern): a coarse pass ranks candidates on the FIRST 16 of 64
     * components — a 4x cheaper integer dot against every corpus vector
@@ -1618,6 +1664,7 @@ object SimOps {
     "s22_kmeans_refine" -> (s22KmeansRefine _),
     "s21_centroid_drift" -> (s21CentroidDrift _),
     "s20_truncated_rescore" -> (s20TruncatedRescore _),
+    "s25_tombstone_compact" -> (s25TombstoneCompact _),
     "s19_ivf_append" -> (s19IvfAppend _),
     "s18_margin_mining" -> (s18MarginMining _),
     "s16_sparse_cosine" -> (s16SparseCosine _),
@@ -2067,6 +2114,56 @@ object SimOps {
          |    THEN CAST(n_vectors AS DOUBLE) * n_cells / total END
          |    AS load_factor
          |FROM per CROSS JOIN tot ORDER BY per.cell""".stripMargin,
+
+    // s25: the s19 index recomputed declaratively (corpus = mod-10<>7),
+    // then one cell-keyed count agg; the 25% threshold is the exact
+    // integer test 4*n_tombstoned >= n_postings
+    "s25_tombstone_compact" ->
+      s"""WITH $unnestSql,
+         |cs AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  WHERE u.vec_id % 10 <> 7
+         |  GROUP BY e.label, u.i
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell),
+         |sc AS (
+         |  SELECT u.vec_id, cs.cell,
+         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+         |  FROM u
+         |  JOIN cs ON cs.dim = u.i
+         |  JOIN n nv ON nv.vec_id = u.vec_id
+         |  JOIN cn ON cn.cell = cs.cell
+         |  WHERE u.vec_id % 10 <> 7
+         |  GROUP BY u.vec_id, cs.cell, nv.normsq, cn.cnormsq
+         |),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS r FROM sc)
+         |  WHERE r = 1
+         |),
+         |per AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_postings,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 4 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_tombstoned
+         |  FROM asg GROUP BY cell
+         |)
+         |SELECT cell, n_postings, n_tombstoned,
+         |  n_postings - n_tombstoned AS n_live,
+         |  CAST(n_postings - n_tombstoned AS DOUBLE) / n_postings
+         |    AS live_share,
+         |  CAST(CASE WHEN 4 * n_tombstoned >= n_postings
+         |    THEN 1 ELSE 0 END AS BIGINT) AS compact_flag,
+         |  CAST(CASE WHEN 4 * n_tombstoned >= n_postings
+         |    THEN n_postings - n_tombstoned ELSE 0 END AS BIGINT)
+         |    AS rewrite_rows
+         |FROM per
+         |ORDER BY cell""".stripMargin,
 
     "s19_ivf_append" ->
       s"""WITH $unnestSql,
