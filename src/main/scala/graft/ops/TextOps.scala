@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for LLM-data pipelines over `documents`
   * (SURVEY.md §7 step E): token counting, language-ID heuristic, quality
@@ -908,7 +909,55 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source Simpson lexical-concentration audit — the HEAD-side
+    * companion to t25 (hapax/TTR read the tail of the frequency
+    * distribution; Simpson's index weights the head, so template spam
+    * that hides behind a healthy hapax share still spikes here).
+    * simpson = Σ tf·(tf−1) / (N·(N−1)): the exact probability two
+    * token draws without replacement are the same type; inv_simpson
+    * (Hill number of order 2) is the "effective vocabulary" — how many
+    * equally-common types would concentrate draws this much. A corpus
+    * where inv_simpson collapses while vocab holds is being flooded by
+    * a handful of boilerplate tokens. Both readouts are ONE division
+    * of exact integers, NULL-guarded (N < 2 / all-hapax) never 0/0.
+    *
+    * 100 TB posture: identical to t25 — ONE corpus explode collapsing
+    * to the (source, token) frequency frame, map-side combined on its
+    * own key; the fold is a second agg to Σsources rows. The O(N²)
+    * terms (Σ tf·(tf−1) and N·(N−1)) are widened to DECIMAL(38,0) —
+    * exact to 1e36, i.e. any corpus — and each side casts to double
+    * ONCE before the division, matching the oracle's arithmetic
+    * step-for-step.
+    */
+  def t26SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("tf"))
+    // the N*(N-1) and sum tf*(tf-1) terms are O(N^2): widened to
+    // DECIMAL(38,0) so they stay exact integers at any corpus size
+    // (1e36 headroom), then ONE cast of each side to double before the
+    // division — the oracle divides the same two exact-int doubles
+    val nn1 = col("n_tokens").cast(DecimalType(38, 0)) *
+      (col("n_tokens") - 1).cast(DecimalType(38, 0))
+    tf.groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("tf")).as("n_tokens"),
+        sum((col("tf") * (col("tf") - 1)).cast(DecimalType(38, 0)))
+          .as("rp"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        col("rp").cast("long").as("repeat_pairs"),
+        when(col("n_tokens") >= 2,
+          col("rp").cast("double") / nn1.cast("double")).as("simpson"),
+        when(col("rp") > 0,
+          nn1.cast("double") / col("rp").cast("double"))
+          .as("inv_simpson"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_simpson_diversity" -> (t26SimpsonDiversity _),
     "t25_hapax_report" -> (t25HapaxReport _),
     "t24_vocab_churn" -> (t24VocabChurn _),
     "t23_vocab_overlap" -> (t23VocabOverlap _),
@@ -1055,6 +1104,27 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     // t25: per-source token-frequency table folded to hapax/dis/vocab
+    // t26: head-side concentration — repeat_pairs = sum tf*(tf-1),
+    // simpson/inv_simpson each one NULL-guarded division of exact ints
+    "t26_simpson_diversity" ->
+      """WITH tf AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY source, token
+        |)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf * (tf - 1)) AS BIGINT) AS repeat_pairs,
+        |  CASE WHEN SUM(tf) >= 2 THEN
+        |    CAST(SUM(tf * (tf - 1)) AS DOUBLE)
+        |      / CAST(SUM(tf) * (SUM(tf) - 1) AS DOUBLE) END AS simpson,
+        |  CASE WHEN SUM(tf * (tf - 1)) > 0 THEN
+        |    CAST(SUM(tf) * (SUM(tf) - 1) AS DOUBLE)
+        |      / CAST(SUM(tf * (tf - 1)) AS DOUBLE) END AS inv_simpson
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
     "t25_hapax_report" ->
       """WITH tf AS (
         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (

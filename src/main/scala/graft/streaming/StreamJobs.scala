@@ -955,3 +955,77 @@ object AttributionJobs {
   def attributionBoard(results: DataFrame): DataFrame =
     graft.ops.RelOps.w44Report(results.sparkSession, results)
 }
+
+/** Typed rows for the streaming heavy-hitters twin (t11). */
+case class TokEvent(tok: String)
+case class TokCount(tok: String, n_occurrences: Long)
+
+/** StatefulProcessor for [[HeavyJobs.heavyTokensTws]]: per-token
+  * running occurrence count in a single ValueState, emitting the new
+  * total whenever the token appears in a micro-batch. Emitted counts
+  * are MONOTONE per token, so the accumulated delta table folds with a
+  * plain max() — no batch ids, no latest-row windows (the same trick
+  * that makes the fold order-independent under micro-batch replays:
+  * max of a monotone series is its last value).
+  *
+  * State is one long per distinct token — a point-lookup counter table
+  * (the honest continual-ingest shape: the batch t11's Misra-Gries
+  * pass SELECTS candidates from a bounded sketch because batch can
+  * afford a second exact pass over the corpus; a stream cannot
+  * re-scan history, so its exactness has to live in state). A
+  * production variant bounds state by TTL'ing cold tokens — which
+  * forfeits exactness for tokens that go hot late; this twin keeps the
+  * exact contract so the board is value-identical to batch t11.
+  */
+class HeavyTokensProcessor
+    extends StatefulProcessor[String, TokEvent, TokCount] {
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      tok: String,
+      rows: Iterator[TokEvent],
+      timerValues: TimerValues): Iterator[TokCount] = {
+    var add = 0L
+    while (rows.hasNext) { rows.next(); add += 1 }
+    if (add == 0) Iterator.empty
+    else {
+      val total = Option(n.get()).getOrElse(0L) + add
+      n.update(total)
+      Iterator.single(TokCount(tok, total))
+    }
+  }
+}
+
+/** Streaming heavy-hitters entrypoint (t11's continual-ingest twin). */
+object HeavyJobs {
+  /** Per-token running counts as an append-only update stream; the
+    * accumulated table folds to the exact batch t11 heavy-token report
+    * via [[heavyTokensBoard]].
+    */
+  def heavyTokensTws(toks: Dataset[TokEvent]): Dataset[TokCount] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.tok)
+      .transformWithState(new HeavyTokensProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated count table into t11's board: latest (= max,
+    * counts are monotone) per token, total occurrences as the sum of
+    * latest counts, and the exact integer share gate
+    * `count * 200 > n` — column- and value-identical to
+    * `TextOps.t11HeavyTokens` (the spec pins it).
+    */
+  def heavyTokensBoard(counts: DataFrame): DataFrame = {
+    val latest = counts.groupBy(col("tok"))
+      .agg(max(col("n_occurrences")).as("n_occurrences"))
+    val tot = latest.agg(sum(col("n_occurrences")).as("n"))
+    latest.crossJoin(broadcast(tot))
+      .filter(col("n_occurrences") * 200 > col("n"))
+      .select(col("tok"), col("n_occurrences"))
+      .orderBy("tok")
+  }
+}
