@@ -174,6 +174,8 @@ object PlanAudit {
     // w48: the 1-row global max-month scalar broadcast building the
     // cohort-months age spine
     "w48_cohort_ltv" -> Set("BroadcastNestedLoopJoin"),
+    // d26: the d23 1-row id-bounds broadcast feeding the decile cut
+    "d26_dup_burst" -> Set("BroadcastNestedLoopJoin"),
     // d27: the d23 1-row split-totals broadcast over the 11-bin frame
     "d27_quality_drift" -> Set("BroadcastNestedLoopJoin"),
     // t22: the d23 1-row doc-total broadcast over the 6-term frame

@@ -1531,7 +1531,65 @@ object DedupOps {
       .orderBy("family")
   }
 
+  /** Duplication burst audit along the CRAWL AXIS — when did the
+    * pipeline start re-ingesting mirrors? The corpus id range splits
+    * into 10 ingestion deciles ((id − min)·10 div span — exact
+    * integers off a 1-row bounds scalar; ids are ingestion-ordered by
+    * the corpus contract); per decile: docs, near-dup members (either
+    * end of a d03 pair), and RE-dups — the larger end of a canonical
+    * pair, i.e. a doc that duplicates something already ingested. A
+    * flat dup_share with a redup_share spike in late deciles is the
+    * mirror-re-crawl signature (the time-axis blind spot of d18's
+    * source view and d27's quality view); shares are single divisions;
+    * empty deciles are real zero rows off the 0..9 spine.
+    *
+    * 100 TB posture: dup/redup node sets come off the write-once
+    * banded pair graph (near-dup-population-sized, never corpus
+    * pairs); the corpus touch is two doc_id-keyed left joins + one
+    * 10-group map-side agg; bounds ride the d23 scalar broadcast
+    * (BNLJ allowlisted).
+    */
+  def d26DupBurst(spark: SparkSession, dir: String): DataFrame =
+    dupBurstOf(Tables.documents(spark, dir).select("doc_id"),
+      pairGraph(spark, dir).select("doc_a", "doc_b"))
+
+  /** d26 core over any doc_id frame + canonical (a < b) pair frame. */
+  private[graft] def dupBurstOf(
+      docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    val redups = pairs.select(col("doc_b").as("doc_id"))
+      .distinct().withColumn("is_redup", lit(1L))
+    val bounds = docs.agg(min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
+    val cells = docs
+      .join(members, Seq("doc_id"), "left")
+      .join(redups, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bounds))
+      .groupBy(expr("CAST(((doc_id - min_id) * 10) DIV " +
+        "(max_id - min_id + 1) AS BIGINT)").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+        sum(coalesce(col("is_redup"), lit(0L))).as("n_redup"))
+    val spine = spark.range(10).select(col("id").as("decile"))
+    spine.join(cells, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_redup"), lit(0L)).as("n_redup"),
+        when(coalesce(col("n_docs"), lit(0L)) > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"))
+          .as("dup_share"),
+        when(coalesce(col("n_docs"), lit(0L)) > 0,
+          coalesce(col("n_redup"), lit(0L)).cast("double") / col("n_docs"))
+          .as("redup_share"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_dup_burst" -> (d26DupBurst _),
     "d29_cross_lang_families" -> (d29CrossLangFamilies _),
     "d28_dedup_savings" -> (d28DedupSavings _),
     "d27_quality_drift" -> (d27QualityDrift _),
@@ -1630,6 +1688,47 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // d26: ingestion deciles off the id range, dup/redup membership
+    // from the d03 pair graph, zero-filled 0..9 spine
+    "d26_dup_burst" ->
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
+         |members AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)
+         |),
+         |redups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |bounds AS (
+         |  SELECT min(doc_id) AS min_id, max(doc_id) AS max_id
+         |  FROM documents
+         |),
+         |cells AS (
+         |  SELECT CAST(((d.doc_id - b.min_id) * 10)
+         |      // (b.max_id - b.min_id + 1) AS BIGINT) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dup,
+         |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_redup
+         |  FROM documents d CROSS JOIN bounds b
+         |  LEFT JOIN members m ON m.doc_id = d.doc_id
+         |  LEFT JOIN redups r ON r.doc_id = d.doc_id
+         |  GROUP BY 1
+         |),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS decile
+         |)
+         |SELECT s.decile,
+         |  COALESCE(c.n_docs, 0) AS n_docs,
+         |  COALESCE(c.n_dup, 0) AS n_dup,
+         |  COALESCE(c.n_redup, 0) AS n_redup,
+         |  CASE WHEN COALESCE(c.n_docs, 0) > 0 THEN
+         |    CAST(c.n_dup AS DOUBLE) / c.n_docs END AS dup_share,
+         |  CASE WHEN COALESCE(c.n_docs, 0) > 0 THEN
+         |    CAST(c.n_redup AS DOUBLE) / c.n_docs END AS redup_share
+         |FROM spine s LEFT JOIN cells c ON c.decile = s.decile
+         |ORDER BY s.decile""".stripMargin,
+
     // d29: d07's component labels joined with lang, two family aggs,
     // dominant lang by (count desc, lang asc)
     "d29_cross_lang_families" ->

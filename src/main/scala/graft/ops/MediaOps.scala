@@ -406,6 +406,7 @@ object MediaOps {
     "m10_manifest_diff" -> (m10ManifestDiff _),
     "m07_media_dedup_report" -> (m07MediaDedupReport _),
     "m06_phash_neardup" -> (m06PhashNeardup _),
+    "m11_codec_census" -> (m11CodecCensus _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_frame_sample" -> (m03FrameSample _),
@@ -414,6 +415,50 @@ object MediaOps {
     "m08_shard_pack" -> (m08ShardPack _),
     "m09_shard_append" -> (m09ShardAppend _)
   )
+
+  /** Codec-mix census over the opaque payloads: per (kind, 2-byte
+    * header magic) item and byte counts with within-kind shares — the
+    * "what formats are actually in this bucket" audit every multimodal
+    * ingestion runs before provisioning decoders (an unexpected magic
+    * at volume = a codec the pipeline can't decode; a long OTHER tail
+    * = corrupt or mislabeled payloads). Top-5 magics per kind stay
+    * named (rank by exact count, header tiebreak); the remainder rolls
+    * into an honest OTHER row rather than dropping. Counts exact;
+    * each share ONE division by the kind totals. On the text stand-in
+    * payloads the "magics" are leading characters — the plan and
+    * arithmetic are what real magics get.
+    *
+    * 100 TB posture: ONE (kind, header) map-side-combined count agg
+    * over the payload scan (header cardinality = codec magics — tiny;
+    * the payload column never moves, only its first two bytes);
+    * ranking/rollup run on that tiny frame; kind totals broadcast.
+    */
+  def m11CodecCensus(spark: SparkSession, dir: String): DataFrame =
+    codecCensusOf(mediaTable(spark, dir))
+
+  /** m11 core over any (kind, payload binary) frame — spec-shared. */
+  private[graft] def codecCensusOf(media: DataFrame): DataFrame = {
+    val m = graft.Caches.cache(media.select(col("kind"),
+      hex(substring(col("payload"), 1, 2)).as("hdr"),
+      length(col("payload")).cast("long").as("nb")))
+    val per = m.groupBy("kind", "hdr")
+      .agg(count(lit(1)).as("ni"), sum(col("nb")).as("nby"))
+    val w = Window.partitionBy(col("kind"))
+      .orderBy(col("ni").desc, col("hdr"))
+    val labeled = per.withColumn("rk", row_number().over(w))
+      .withColumn("header_hex",
+        when(col("rk") <= 5, col("hdr")).otherwise(lit("OTHER")))
+      .groupBy("kind", "header_hex")
+      .agg(sum(col("ni")).as("n_items"), sum(col("nby")).as("n_bytes"))
+    val totals = m.groupBy("kind")
+      .agg(count(lit(1)).as("ki"), sum(col("nb")).as("kb"))
+    labeled.join(broadcast(totals), Seq("kind"))
+      .select(col("kind"), col("header_hex"), col("n_items"),
+        col("n_bytes"),
+        (col("n_items").cast("double") / col("ki")).as("item_share"),
+        (col("n_bytes").cast("double") / col("kb")).as("byte_share"))
+      .orderBy(col("kind"), col("n_items").desc, col("header_hex"))
+  }
 
   /** Shard-manifest packing (the webdataset/tar-shard builder): every
     * payload is assigned a shard and a byte offset by CONTIGUOUS FILL
@@ -739,6 +784,45 @@ object MediaOps {
         |    AS has_embedding
         |FROM m LEFT JOIN n ON n.vec_id = m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+
+    // m11: top-5 magics per kind by (count desc, header), OTHER rollup,
+    // shares single divisions by the kind totals
+    "m11_codec_census" ->
+      """WITH m AS (
+        |  SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |           AS kind,
+        |         hex(substring(text, 1, 2)) AS hdr,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents
+        |),
+        |per AS (
+        |  SELECT kind, hdr, CAST(count(*) AS BIGINT) AS ni,
+        |         CAST(sum(nb) AS BIGINT) AS nby
+        |  FROM m GROUP BY 1, 2
+        |),
+        |labeled AS (
+        |  SELECT kind,
+        |    CASE WHEN row_number() OVER (PARTITION BY kind
+        |      ORDER BY ni DESC, hdr) <= 5 THEN hdr ELSE 'OTHER' END
+        |      AS header_hex,
+        |    ni, nby
+        |  FROM per
+        |),
+        |rolled AS (
+        |  SELECT kind, header_hex, CAST(sum(ni) AS BIGINT) AS n_items,
+        |         CAST(sum(nby) AS BIGINT) AS n_bytes
+        |  FROM labeled GROUP BY 1, 2
+        |),
+        |tot AS (
+        |  SELECT kind, CAST(count(*) AS BIGINT) AS ki,
+        |         CAST(sum(nb) AS BIGINT) AS kb
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT r.kind, r.header_hex, r.n_items, r.n_bytes,
+        |  CAST(r.n_items AS DOUBLE) / t.ki AS item_share,
+        |  CAST(r.n_bytes AS DOUBLE) / t.kb AS byte_share
+        |FROM rolled r JOIN tot t ON t.kind = r.kind
+        |ORDER BY r.kind, r.n_items DESC, r.header_hex""".stripMargin,
 
     "m01_media_meta" ->
       """WITH m AS (
