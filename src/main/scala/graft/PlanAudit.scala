@@ -95,6 +95,11 @@ object PlanAudit {
     // and batch passes) — all bucket-count-sized
     "m10_manifest_diff" ->
       Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // p29: the 1-row corpus-total scalar broadcast gating the budget
+    // cut + the offsets cumsum window over the BOUNDED 101x64
+    // (level, bucket) frame next to the presentation sort
+    "p29_anneal_split" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // p27: two scalar broadcasts (corpus totals, the 1-row threshold)
     // + the rank/cumsum windows over the Σsources-row frame — the p24
     // source-table shape, single-partition by design

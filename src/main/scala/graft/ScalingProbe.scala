@@ -438,6 +438,40 @@ object ScalingProbe {
     }
   }
 
+  /** w47 shape: basket self-join + pair agg on n orders, basket size
+    * 1 + (i mod 7) (TPC-H-like), parts drawn from a n/10 catalog.
+    * Claimed posture: pair emission bounded by Σ basket² (per-order,
+    * never corpus×corpus), so 10x orders => ~linear runtime.
+    */
+  private def basketProbe(spark: SparkSession, n: Int): Unit = {
+    val li = spark.range(n.toLong)
+      .select(col("id").as("o"),
+        explode(expr("sequence(0, CAST(id % 7 AS INT))")).as("j"))
+      .select(col("o").as("l_orderkey"),
+        ((col("o") * 31 + col("j") * 17) % (n / 10)).as("l_partkey"))
+    time("w47_market_basket", n) {
+      graft.ops.RelOps.marketBasketOf(li)
+        .agg(sum(col("n_co"))).head()
+      n.toLong
+    }
+  }
+
+  /** p28 shape: two-phase length rank + batch agg on n docs with HOT
+    * length ties (only 50 distinct lengths, so each length holds n/50
+    * docs). Claimed posture: the (n_tokens, bucket) key splits a hot
+    * length across 64 partitions — 10x docs => ~linear runtime, no
+    * single-partition sort of a popular length.
+    */
+  private def curriculumProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      (col("id") % 50 + 10).as("n_tokens"))
+    time("p28_length_curriculum", n) {
+      graft.ops.PipelineOps.lengthCurriculumOf(docs, 32L)
+        .agg(sum(col("padding"))).head()
+      n.toLong
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dedupMode = args.headOption.contains("dedup")
     val sparseMode = args.headOption.contains("sparse")
@@ -544,6 +578,16 @@ object ScalingProbe {
     }
     if (args.headOption.contains("heavy")) {
       heavyProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("basket")) {
+      basketProbe(spark, if (args.length > 1) args(1).toInt else 200000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("curriculum")) {
+      curriculumProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
       spark.stop()
       return
     }

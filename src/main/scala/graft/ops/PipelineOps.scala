@@ -1202,7 +1202,62 @@ object PipelineOps {
       .orderBy("batch_id")
   }
 
+  /** Two-phase training schedule (the "annealing" recipe): the LAST
+    * 10% of the token budget trains on the highest-quality data, so
+    * every doc gets a phase — 2 (anneal) while the cumulative token
+    * count in quality order is under total div 10, else 1. Quality is
+    * d15's integer lexical diversity coarsened to 101 levels
+    * (div 10000): phase decisions need a coarse ladder, not a total
+    * micro-order — and the coarse level is what bounds the offsets
+    * frame below. The schedule order is the documented total order
+    * (level DESC, doc_id mod 64, doc_id); the budget cut is exact
+    * integer arithmetic off a 1-row corpus-total scalar.
+    *
+    * 100 TB posture: the p28 two-phase prefix form on (level, bucket)
+    * keys — per-key TOKEN sums roll into broadcast offsets (a
+    * 101×64-row frame, bounded regardless of corpus size; this is why
+    * the level is coarsened), within-key prefixes come from per-key
+    * windows so a hot quality level splits across 64 partitions; the
+    * only corpus-sized shuffle is that one hash key. No global sort,
+    * no corpus-sized single-partition window (the p27 contrast: its
+    * frame is Σsources, this one would have been Σdocs).
+    */
+  def p29AnnealSplit(spark: SparkSession, dir: String): DataFrame = {
+    val quality = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
+      " * 1000000 div size(split(text, ' '))"
+    annealSplitOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(($quality) div 10000 AS BIGINT)").as("level"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+  }
+
+  /** p29 core over any (doc_id, source, level, n_tokens) frame. */
+  private[graft] def annealSplitOf(docs: DataFrame): DataFrame = {
+    val d = graft.Caches.cache(
+      docs.withColumn("bucket", pmod(col("doc_id"), lit(64L))))
+    val tot = d.agg(sum(col("n_tokens")).as("total"))
+    val wOff = Window.orderBy(col("level").desc, col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("level", "bucket")
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy(col("level"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets.select("level", "bucket", "off")),
+        Seq("level", "bucket"))
+      .withColumn("cum_before",
+        col("off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("level"),
+        col("n_tokens"), col("cum_before"),
+        when(col("cum_before") < expr("total div 10"), 2L)
+          .otherwise(1L).as("phase"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p29_anneal_split" -> (p29AnnealSplit _),
     "p28_length_curriculum" -> (p28LengthCurriculum _),
     "p27_budget_waterfill" -> (p27BudgetWaterfill _),
     "p26_eval_leakage" -> (p26EvalLeakage _),
@@ -1234,6 +1289,35 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p29: quality coarsened to 101 levels, cumulative tokens in the
+    // (level DESC, bucket, doc_id) total order, phase 2 under the
+    // exact total-div-10 budget
+    "p29_anneal_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST((CAST(len(list_distinct(string_split(text, ' ')))
+        |        AS BIGINT) * 1000000
+        |      // len(string_split(text, ' '))) // 10000 AS BIGINT)
+        |      AS level,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 64 AS bucket
+        |  FROM documents
+        |),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d),
+        |ranked AS (
+        |  SELECT doc_id, source, level, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (
+        |      ORDER BY level DESC, bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.source, r.level, r.n_tokens, r.cum_before,
+        |  CAST(CASE WHEN r.cum_before < t.total // 10 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS phase
+        |FROM ranked r CROSS JOIN tot t
+        |ORDER BY r.doc_id""".stripMargin,
+
     // p28: rank by the (n_tokens, doc_id mod 64, doc_id) total order,
     // fixed 32-doc batches, padding = n_docs*max_len - sum_tokens
     "p28_length_curriculum" ->
