@@ -1180,6 +1180,49 @@ object SimOps {
       .orderBy("cell")
   }
 
+  /** Label-outlier review queue (embedding-side mislabel/OOD
+    * curation): every vector scores against ITS OWN label's centroid
+    * and the 3 worst-aligned vectors per label surface for review —
+    * the SemDeDup-era data-curation primitive (a low own-centroid
+    * cosine is either a mislabel, an out-of-distribution sample, or a
+    * centroid poisoned by them; all three are what a curation pass
+    * pulls before training). The bottom-k is exact: integer dots,
+    * deterministic double division, (ccos asc, vec_id) total order.
+    *
+    * 100 TB posture: the centroid table is label-count-sized and
+    * broadcast; scoring is ONE equality join on the label key (each
+    * vector meets exactly its own centroid — never the s01 broadcast
+    * scan over all cells); the bottom-3 rides a map-side graft_topk
+    * heap on negated scores, so k rows per label per partition reach
+    * the shuffle instead of the corpus.
+    */
+  def s32LabelOutliers(spark: SparkSession, dir: String): DataFrame =
+    labelOutliersOf(spark, Tables.embeddings(spark, dir))
+
+  /** s32 core over any (vec_id, embedding float[], label) frame. */
+  private[graft] def labelOutliersOf(
+      spark: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = emb.withColumn("qv", expr(quantize))
+      .select(col("vec_id"), col("qv"), col("label"),
+        expr(dotSq("qv", "qv")).as("vnorm"))
+    val cells = cellCentroids(v)
+    val scored = v
+      .select(col("vec_id"), col("label").cast("long").as("cell"),
+        col("qv"), col("vnorm"))
+      .join(broadcast(cells), Seq("cell"))
+      .withColumn("ccos", expr(dotSq("qv", "cvec")).cast("double") /
+        (sqrt(col("vnorm").cast("double")) *
+          sqrt(col("cnorm").cast("double"))))
+    scored.groupBy(col("cell"))
+      .agg(expr("graft_topk(-ccos, vec_id, 3)").as("bot"))
+      .select(col("cell").as("label"),
+        posexplode(col("bot")).as(Seq("p", "s")))
+      .select(col("label"), (col("p") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), (-col("s.score")).as("ccos"))
+      .orderBy("label", "rank")
+  }
+
   /** Dimension-truncated adaptive retrieval (the Matryoshka/MRL
     * pattern): a coarse pass ranks candidates on the FIRST 16 of 64
     * components — a 4x cheaper integer dot against every corpus vector
@@ -1664,6 +1707,7 @@ object SimOps {
     "s22_kmeans_refine" -> (s22KmeansRefine _),
     "s21_centroid_drift" -> (s21CentroidDrift _),
     "s20_truncated_rescore" -> (s20TruncatedRescore _),
+    "s32_label_outliers" -> (s32LabelOutliers _),
     "s25_tombstone_compact" -> (s25TombstoneCompact _),
     "s19_ivf_append" -> (s19IvfAppend _),
     "s18_margin_mining" -> (s18MarginMining _),
@@ -2114,6 +2158,36 @@ object SimOps {
          |    THEN CAST(n_vectors AS DOUBLE) * n_cells / total END
          |    AS load_factor
          |FROM per CROSS JOIN tot ORDER BY per.cell""".stripMargin,
+
+    // s32: full-corpus label centroids, each vector scored against its
+    // OWN label, bottom-3 per label by (ccos asc, vec_id)
+    "s32_label_outliers" ->
+      s"""WITH $unnestSql,
+         |cs AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  GROUP BY e.label, u.i
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell),
+         |sc AS (
+         |  SELECT u.vec_id, CAST(e.label AS BIGINT) AS cell,
+         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+         |  FROM u
+         |  JOIN embeddings e ON e.vec_id = u.vec_id
+         |  JOIN cs ON cs.cell = CAST(e.label AS BIGINT) AND cs.dim = u.i
+         |  JOIN n nv ON nv.vec_id = u.vec_id
+         |  JOIN cn ON cn.cell = CAST(e.label AS BIGINT)
+         |  GROUP BY u.vec_id, e.label, nv.normsq, cn.cnormsq
+         |)
+         |SELECT cell AS label, CAST(r AS BIGINT) AS rank, vec_id, ccos
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ccos ASC, vec_id ASC) AS r FROM sc)
+         |WHERE r <= 3 ORDER BY label, rank""".stripMargin,
 
     // s25: the s19 index recomputed declaratively (corpus = mod-10<>7),
     // then one cell-keyed count agg; the 25% threshold is the exact

@@ -1029,3 +1029,121 @@ object HeavyJobs {
       .orderBy("tok")
   }
 }
+
+/** Typed rows for the streaming cohort-LTV twin (w48). */
+case class OrderEvent(o_custkey: Long, month_idx: Int, price4: Long)
+case class LtvDelta(
+    cohort_idx: Int, age_months: Long, n_orders: Long, active_delta: Long,
+    rev4: Long)
+
+/** StatefulProcessor for [[LtvJobs.cohortLtvTws]]: per-customer
+  * ValueState pinning the cohort month (first order seen) plus a
+  * MapState over ACTIVE MONTHS for the n_active dedup. Each order
+  * emits one (cohort, age) delta carrying exact integer order count
+  * and revenue in 1e-4 units; the first order of a (customer, month)
+  * also carries active_delta = 1 so a downstream SUM is the batch
+  * operator's COUNT(DISTINCT custkey) per cell.
+  *
+  * ORDERING CONTRACT (the w44 caveat): per customer, micro-batches
+  * must arrive in month order — the cohort is pinned by the first
+  * event seen (in-batch rows are processed in ascending month order,
+  * so any split of a month-sorted stream is safe).
+  */
+class CohortLtvProcessor
+    extends StatefulProcessor[Long, OrderEvent, LtvDelta] {
+  @transient private var cohort: ValueState[Int] = _
+  @transient private var months: MapState[Int, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cohort = getHandle.getValueState[Int]("cohort",
+      org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    months = getHandle.getMapState[Int, Boolean]("months",
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      custkey: Long,
+      rows: Iterator[OrderEvent],
+      timerValues: TimerValues): Iterator[LtvDelta] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LtvDelta]
+    rows.toSeq.sortBy(_.month_idx).foreach { r =>
+      if (!cohort.exists()) cohort.update(r.month_idx)
+      val c = cohort.get()
+      val newMonth = !months.containsKey(r.month_idx)
+      if (newMonth) months.updateValue(r.month_idx, true)
+      out += LtvDelta(c, (r.month_idx - c).toLong, 1L,
+        if (newMonth) 1L else 0L, r.price4)
+    }
+    out.iterator
+  }
+}
+
+/** Streaming cohort-LTV entrypoint (w48's continual-ingest twin). */
+object LtvJobs {
+  /** Orders table -> the typed event stream shape (month index =
+    * months since 1970-01, price in exact 1e-4 units).
+    */
+  def orderEvents(orders: DataFrame): Dataset[OrderEvent] = {
+    import orders.sparkSession.implicits._
+    orders.select(col("o_custkey"),
+      ((year(col("o_orderdate")) - 1970) * 12 +
+        month(col("o_orderdate")) - 1).cast("int").as("month_idx"),
+      round(col("o_totalprice") * 10000).cast("long").as("price4"))
+      .as[OrderEvent]
+  }
+
+  /** Per-order (cohort, age) deltas as an append-only update stream;
+    * the accumulated table folds to the exact batch w48 triangle via
+    * [[cohortLtvBoard]].
+    */
+  def cohortLtvTws(orders: Dataset[OrderEvent]): Dataset[LtvDelta] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.o_custkey)
+      .transformWithState(new CohortLtvProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold accumulated deltas into w48's board: cells by plain SUMs
+    * (revenue exact in 1e-4 longs), cohort sizes = active count at
+    * age 0 (every customer's first order is its cohort month), the
+    * global max month off the deltas, zero-filled age spine and the
+    * running totals — column- and value-identical to
+    * `RelOps.w48CohortLtv` (the spec pins it).
+    */
+  def cohortLtvBoard(deltas: DataFrame): DataFrame = {
+    // fresh attribute ids for the spine side (it re-joins `cells`
+    // below — without the aliases the Generate over the shared lineage
+    // trips Catalyst's conflicting-references resolution)
+    val cells = deltas.groupBy("cohort_idx", "age_months")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("active_delta")).as("n_active"),
+        sum(col("rev4")).as("rev4"))
+    val sizes = cells.filter(col("age_months") === 0L)
+      .select(col("cohort_idx").as("ci"),
+        col("n_active").as("cohort_size"))
+    val gm = deltas.agg(max(col("cohort_idx") + col("age_months"))
+      .as("gidx"))
+    val spine = sizes.crossJoin(broadcast(gm))
+      .select(col("ci"), col("cohort_size"),
+        explode(sequence(lit(0L),
+          (col("gidx") - col("ci")).cast("long"))).as("age"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ci")).orderBy(col("age"))
+    val rev0 = coalesce(col("rev4"), lit(0L))
+    spine.join(cells,
+        spine("ci") === cells("cohort_idx") &&
+          spine("age") === cells("age_months"), "left")
+      .select(
+        expr("add_months(DATE '1970-01-01', ci)").as("cohort_month"),
+        col("age").as("age_months"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        (rev0.cast("double") / 1e4).as("revenue"),
+        (sum(rev0).over(w).cast("double") / 1e4).as("cum_revenue"),
+        col("cohort_size"),
+        (sum(rev0).over(w).cast("double") / 1e4 / col("cohort_size"))
+          .as("ltv_per_customer"))
+      .orderBy("cohort_month", "age_months")
+  }
+}
