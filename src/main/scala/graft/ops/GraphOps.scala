@@ -509,8 +509,43 @@ object GraphOps {
     "g04_assortativity" -> (g04Assortativity _),
     "g03_kcore" -> (g03Kcore _),
     "g01_triangle_count" -> (g01TriangleCount _),
-    "g02_pagerank" -> (g02Pagerank _)
+    "g02_pagerank" -> (g02Pagerank _),
+    "g09_degree_clustering" -> (g09DegreeClustering _)
   )
+
+  /** Degree-dependent clustering curve C(d) — the Ravasz–Barabási
+    * hierarchical-structure readout over the near-dup graph: for each
+    * degree d >= 2, the node count, summed triangle count, and the
+    * EXACT average local clustering 2·Σtri / (n_d·d·(d−1)) — one
+    * division per row, possible only because every node in the group
+    * shares the same denominator d·(d−1) (averaging per-node ratios
+    * would stack float error; the grouped form never does). A falling
+    * C(d) says hubs sit between families rather than inside them —
+    * the d07-over-merge risk g06's per-edge support flags locally,
+    * read here as one curve.
+    *
+    * 100 TB posture: inherits g01's degree-oriented O(m^1.5) wedge
+    * machinery (the only corpus-scale work); this readout is one
+    * degree-keyed re-agg of the per-node frame — hundreds of rows.
+    */
+  def g09DegreeClustering(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.cache(
+      DedupOps.pairGraph(spark, dir).select("doc_a", "doc_b"))
+    degreeClusteringOf(pairs)
+  }
+
+  /** g09's body over any canonical distinct edge frame (spec-shared). */
+  private[graft] def degreeClusteringOf(pairs: DataFrame): DataFrame =
+    triangleStats(pairs)
+      .filter(col("degree") >= 2)
+      .groupBy(col("degree").cast("long").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("n_triangles")).as("n_triangles"))
+      .select(col("degree"), col("n_nodes"), col("n_triangles"),
+        ((lit(2) * col("n_triangles")).cast("double") /
+          (col("n_nodes") * col("degree") * (col("degree") - 1)))
+          .as("avg_cc"))
+      .orderBy("degree")
 
   private def graphSqlPrefix: String =
     s"""WITH pairs AS (SELECT doc_a, doc_b FROM (${DedupOps.d03Sql})),
@@ -657,6 +692,34 @@ object GraphOps {
          |            ELSE CAST(0 AS DOUBLE) END AS local_cc
          |FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // g09: g01's triangle enumeration re-aggregated per degree; the
+    // grouped form 2*sum(tri)/(n*d*(d-1)) is ONE division per row
+    "g09_degree_clustering" ->
+      s"""$graphSqlPrefix,
+         |tri AS (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |),
+         |tc AS (
+         |  SELECT doc_id, count(*) AS n_triangles FROM (
+         |    SELECT a AS doc_id FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY doc_id
+         |)
+         |SELECT CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(coalesce(tc.n_triangles, 0)) AS BIGINT)
+         |    AS n_triangles,
+         |  CAST(2 * sum(coalesce(tc.n_triangles, 0)) AS DOUBLE)
+         |    / (count(*) * d.degree * (d.degree - 1)) AS avg_cc
+         |FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
+         |WHERE d.degree >= 2
+         |GROUP BY d.degree
+         |ORDER BY degree""".stripMargin,
 
     // g07: d07's 4-round labels (== the converged labels on this
     // corpus, diameter <= 4), exact-integer shares, one subtraction

@@ -296,4 +296,39 @@ class GraphOpsSpec extends SparkTestBase {
     }
     graft.Caches.unpersistAll()
   }
+
+  test("g09: degree-clustering curve hand-computed on triangle + tail") {
+    // triangle {1,2,3} + tail 3-4: degrees 1:2 2:2 3:3 4:1
+    val rows = GraphOps.degreeClusteringOf(
+      edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)).collect()
+    // degree-1 node 4 is excluded (no defined coefficient)
+    assert(rows.map(_.getAs[Long]("degree")).toSeq == Seq(2L, 3L))
+    val d2 = rows(0)
+    assert(d2.getAs[Long]("n_nodes") == 2L)
+    assert(d2.getAs[Long]("n_triangles") == 2L)
+    assert(d2.getAs[Double]("avg_cc") == 1.0) // both fully closed
+    val d3 = rows(1) // the hub: 1 of its 3 wedge pairs closed
+    assert(d3.getAs[Long]("n_nodes") == 1L)
+    assert(d3.getAs[Double]("avg_cc") == 1.0 / 3)
+    graft.Caches.unpersistAll()
+  }
+
+  test("g09: curve reconciles with the per-node g01 frame") {
+    val perNode = GraphOps.triangleStats(planted).collect()
+      .filter(_.getAs[Long]("degree") >= 2L)
+    val want = perNode.groupBy(_.getAs[Long]("degree")).map {
+      case (d, rs) => d -> (rs.length.toLong,
+        rs.map(_.getAs[Long]("n_triangles")).sum)
+    }
+    val rows = GraphOps.degreeClusteringOf(planted).collect()
+    rows.foreach { r =>
+      val (n, t) = want(r.getAs[Long]("degree"))
+      assert(r.getAs[Long]("n_nodes") == n)
+      assert(r.getAs[Long]("n_triangles") == t)
+      assert(r.getAs[Double]("avg_cc") ==
+        2.0 * t / (n * r.getAs[Long]("degree") *
+          (r.getAs[Long]("degree") - 1)))
+    }
+    graft.Caches.unpersistAll()
+  }
 }
