@@ -153,6 +153,9 @@ object PlanAudit {
     "q08_health" -> Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // five 1-row global aggs unioned
     "p03_profile" -> Set("multi-SinglePartition"),
+    // p30: the p03 shape — four 1-row check aggs unioned (the three
+    // lineitem row-checks already share one scan/agg)
+    "p30_expectations" -> Set("multi-SinglePartition"),
     // two 1-row scalar broadcasts (total, leftover seats) + the global
     // remainder-rank window and final sort — all over the
     // source-population-sized quota frame, never the corpus

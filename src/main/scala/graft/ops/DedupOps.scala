@@ -1690,8 +1690,11 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     // d26: ingestion deciles off the id range, dup/redup membership
     // from the d03 pair graph, zero-filled 0..9 spine
+    // pairs is referenced three times below: MATERIALIZED stops DuckDB
+    // re-expanding the whole d03 LSH statement per reference (the g03
+    // CTE-inlining lesson)
     "d26_dup_burst" ->
-      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
+      s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($d03Sql)),
          |members AS (
          |  SELECT DISTINCT doc_id FROM (
          |    SELECT doc_a AS doc_id FROM pairs

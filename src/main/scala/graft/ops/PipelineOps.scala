@@ -1256,7 +1256,72 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Declarative data-quality expectations (the Great-Expectations /
+    * dbt-test gate a pipeline runs at ingestion, as ONE relational
+    * report): per check — rows scanned, violations, violation share
+    * (one division) and the pass flag (exact zero test). Six checks
+    * cover the four standard families: range (quantity > 0, discount
+    * in [0,1], price > 0), completeness (shipdate NOT NULL), key
+    * uniqueness (duplicate (orderkey, linenumber) rows beyond the
+    * first), and referential integrity (orders.custkey resolves in
+    * customer). A NULL in a range check VIOLATES it (NULL comparisons
+    * are the classic silent-pass bug; `bad` predicates here are
+    * null-affirming by construction).
+    *
+    * 100 TB posture: the three lineitem row-checks share ONE scan
+    * (one agg emitting three sums, unstacked to rows); uniqueness is
+    * one pk-keyed count agg; RI is one broadcast left join of the
+    * dim keys + a 1-row agg — no check ever collects, and adding a
+    * check to an existing table adds a sum, not a scan.
+    */
+  def p30Expectations(spark: SparkSession, dir: String): DataFrame =
+    expectationsOf(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir))
+
+  /** p30 core over any (lineitem, orders, customer) frames. */
+  private[graft] def expectationsOf(
+      l: DataFrame, o: DataFrame, c: DataFrame): DataFrame = {
+    val lChecks = l.agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") <= 0, 1L)
+          .otherwise(0L)).as("vq"),
+        sum(when(col("l_discount").isNull || col("l_discount") < 0 ||
+          col("l_discount") > 1, 1L).otherwise(0L)).as("vd"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("vs"))
+      .select(expr("stack(3," +
+        " 'lineitem.quantity_positive', vq," +
+        " 'lineitem.discount_in_unit_range', vd," +
+        " 'lineitem.shipdate_not_null', vs) AS (check, n_violations)"),
+        col("n").as("n_rows"))
+    val pkUnique = l.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("k"))
+      .agg(sum(col("k")).as("n_rows"),
+        sum(col("k") - 1).as("n_violations"))
+      .select(lit("lineitem.pk_unique").as("check"), col("n_violations"),
+        col("n_rows"))
+    val price = o.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0,
+          1L).otherwise(0L)).as("n_violations"))
+      .select(lit("orders.totalprice_positive").as("check"),
+        col("n_violations"), col("n_rows"))
+    val ri = o.select("o_custkey")
+      .join(broadcast(c.select(col("c_custkey").as("o_custkey"),
+        lit(1L).as("hit")).distinct()), Seq("o_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("orders.custkey_resolves").as("check"),
+        col("n_violations"), col("n_rows"))
+    lChecks.select("check", "n_violations", "n_rows")
+      .union(pkUnique).union(price).union(ri)
+      .select(col("check"), col("n_rows"), col("n_violations"),
+        (col("n_violations").cast("double") / col("n_rows"))
+          .as("violation_share"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+      .orderBy("check")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_expectations" -> (p30Expectations _),
     "p29_anneal_split" -> (p29AnnealSplit _),
     "p28_length_curriculum" -> (p28LengthCurriculum _),
     "p27_budget_waterfill" -> (p27BudgetWaterfill _),
@@ -1289,6 +1354,55 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // p30: six checks, null-affirming range predicates, exact counts;
+    // violation_share one division, pass the exact zero test
+    "p30_expectations" ->
+      """WITH l3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS vq,
+        |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+        |      OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vd,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vs
+        |  FROM lineitem
+        |),
+        |pk AS (
+        |  SELECT CAST(sum(k) AS BIGINT) AS n,
+        |    CAST(sum(k - 1) AS BIGINT) AS v
+        |  FROM (SELECT count(*) AS k FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |),
+        |pr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM orders
+        |),
+        |ri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = o.o_custkey
+        |),
+        |rows_ AS (
+        |  SELECT 'lineitem.quantity_positive' AS check_, n AS n_rows,
+        |    vq AS n_violations FROM l3
+        |  UNION ALL SELECT 'lineitem.discount_in_unit_range', n, vd
+        |    FROM l3
+        |  UNION ALL SELECT 'lineitem.shipdate_not_null', n, vs FROM l3
+        |  UNION ALL SELECT 'lineitem.pk_unique', n, v FROM pk
+        |  UNION ALL SELECT 'orders.totalprice_positive', n, v FROM pr
+        |  UNION ALL SELECT 'orders.custkey_resolves', n, v FROM ri
+        |)
+        |SELECT check_ AS "check", n_rows, n_violations,
+        |  CAST(n_violations AS DOUBLE) / n_rows AS violation_share,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pass
+        |FROM rows_ ORDER BY "check"""".stripMargin,
+
     // p29: quality coarsened to 101 levels, cumulative tokens in the
     // (level DESC, bucket, doc_id) total order, phase 2 under the
     // exact total-div-10 budget
