@@ -179,6 +179,11 @@ object PlanAudit {
     // w47: the d23 1-row basket-total broadcast over the 20-row
     // top-pairs frame; the top-20 is a TakeOrdered
     "w47_market_basket" -> Set("BroadcastNestedLoopJoin"),
+    // w49: two 1-row scalar broadcasts (global max date, customer
+    // total) + the rank machinery's tiny-frame global aggs next to the
+    // <= 125-cell presentation sort (the p03 unioned-scalar shape)
+    "w49_rfm_segments" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
     // w48: the 1-row global max-month scalar broadcast building the
     // cohort-months age spine
     "w48_cohort_ltv" -> Set("BroadcastNestedLoopJoin"),

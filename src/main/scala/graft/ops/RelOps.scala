@@ -1967,7 +1967,84 @@ object RelOps {
       .orderBy("cohort_month", "age_months")
   }
 
+  /** RFM customer segmentation — the classic CRM cube: per customer,
+    * Recency (days since last order, vs the global max date),
+    * Frequency (order count) and Monetary (decimal-exact revenue),
+    * each scored 1..5 by QUINTILE CUT VALUES (value at rank
+    * ceil(q·n), q in {.2,.4,.6,.8} — w09's rank selection, ties share
+    * the cut) with score = 1 + (cuts strictly beaten); recency is
+    * negated first so "bigger = better" holds for all three
+    * dimensions and a tie AT a cut lands in the lower score
+    * deterministically. Output = the occupied (r, f, m) segment cells
+    * with exact customer counts and one share division — (5,5,5) is
+    * the champions cell, (1,1,1) the lost cell.
+    *
+    * 100 TB posture: the three dimensions ride ONE long frame through
+    * the SHARED two-phase rank machinery (histogram + candidate
+    * bucket — no global sort, no per-customer rank materialized);
+    * scoring joins the broadcast 12-row cut table and map-side
+    * combines on (customer, dim); the cube re-agg sees <= 125 cells.
+    * The 1-row customer total rides the d23 scalar broadcast.
+    */
+  def w49RfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmOf(Tables.orders(spark, dir))
+
+  /** w49 core over any (o_custkey, o_orderdate, o_totalprice) frame. */
+  private[graft] def rfmOf(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy("o_custkey").agg(
+      max(col("o_orderdate")).as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(col("o_totalprice").cast(DecimalType(28, 4))).cast("double")
+        .as("monetary"))
+    val gm = per.agg(max(col("last_order")).as("gmax"))
+    val base = graft.Caches.cache(per.crossJoin(broadcast(gm))
+      .select(col("o_custkey"),
+        datediff(col("gmax"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary")))
+    // one long (dim, value) frame; recency negated: bigger = better
+    def dim(name: String, v: org.apache.spark.sql.Column) =
+      base.select(col("o_custkey"), lit(name).as("event_type"),
+        v.cast("double").as("value"))
+    val evK = graft.Caches.cache(
+      dim("recency", -col("recency_days"))
+        .union(dim("frequency", col("frequency")))
+        .union(dim("monetary", col("monetary"))))
+    val ev = evK.select("event_type", "value")
+    val stats = rankStats(ev)
+    val wanted = stats
+      .select(col("event_type"), col("cnt"),
+        explode(array(Seq(0.2, 0.4, 0.6, 0.8).map(q =>
+          struct(lit(q).as("q"),
+            expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))): _*)).as("t"))
+      .select(col("event_type"), col("t.q").as("q"), col("t.r").as("r"))
+    val cuts = valuesAtRanks(ev, stats, wanted)
+      .select(col("event_type"), col("value").as("cut"))
+    val scores = evK.join(broadcast(cuts), Seq("event_type"))
+      .groupBy("o_custkey", "event_type")
+      .agg((lit(1L) +
+        sum(when(col("value") > col("cut"), 1L).otherwise(0L)))
+        .as("score"))
+    val wide = scores.groupBy("o_custkey").agg(
+      max(when(col("event_type") === "recency", col("score")))
+        .as("r_score"),
+      max(when(col("event_type") === "frequency", col("score")))
+        .as("f_score"),
+      max(when(col("event_type") === "monetary", col("score")))
+        .as("m_score"))
+    val tot = wide.agg(count(lit(1)).as("n_total"))
+    wide.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("n_customers"),
+        (col("n_customers").cast("double") / col("n_total"))
+          .as("share"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w49_rfm_segments" -> (w49RfmSegments _),
     "w48_cohort_ltv" -> (w48CohortLtv _),
     "w47_market_basket" -> (w47MarketBasket _),
     "w46_weekly_profile" -> (w46WeeklyProfile _),
@@ -2057,6 +2134,63 @@ object RelOps {
         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w49: quintile cut VALUES at rank ceil(q*n) (same IEEE ceil(n*q)
+    // product in both engines), score = 1 + cuts strictly beaten,
+    // recency negated so bigger = better everywhere
+    "w49_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1
+        |),
+        |gm AS (SELECT max(last_order) AS gmax FROM per),
+        |evk AS (
+        |  SELECT o_custkey, 'recency' AS dim,
+        |    -CAST(datediff('day', last_order, gmax) AS DOUBLE) AS value
+        |  FROM per CROSS JOIN gm
+        |  UNION ALL SELECT o_custkey, 'frequency',
+        |    CAST(frequency AS DOUBLE) FROM per
+        |  UNION ALL SELECT o_custkey, 'monetary', monetary FROM per
+        |),
+        |ranked AS (
+        |  SELECT dim, value,
+        |    row_number() OVER (PARTITION BY dim ORDER BY value) AS rn
+        |  FROM evk
+        |),
+        |cnts AS (SELECT dim, count(*) AS cnt FROM evk GROUP BY 1),
+        |cutranks AS (
+        |  SELECT dim, CAST(ceil(cnt * q) AS BIGINT) AS r
+        |  FROM cnts CROSS JOIN (VALUES (0.2), (0.4), (0.6), (0.8)) t(q)
+        |),
+        |cuts AS (
+        |  SELECT c.dim, rk.value AS cut
+        |  FROM cutranks c JOIN ranked rk
+        |    ON rk.dim = c.dim AND rk.rn = c.r
+        |),
+        |scores AS (
+        |  SELECT e.o_custkey, e.dim,
+        |    1 + CAST(sum(CASE WHEN e.value > c.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score
+        |  FROM evk e JOIN cuts c ON c.dim = e.dim
+        |  GROUP BY 1, 2
+        |),
+        |wide AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN dim = 'recency' THEN score END) AS r_score,
+        |    max(CASE WHEN dim = 'frequency' THEN score END) AS f_score,
+        |    max(CASE WHEN dim = 'monetary' THEN score END) AS m_score
+        |  FROM scores GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM wide)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS DOUBLE) / t.n_total AS share
+        |FROM wide CROSS JOIN tot t
+        |GROUP BY r_score, f_score, m_score, t.n_total
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+
     // w47: canonical a<b pairs on distinct (order, part); every double
     // one division of exact integers; the (n_co DESC, a, b) total
     // order makes the top-20 set engine-identical
