@@ -57,11 +57,41 @@ object Bench {
     // flag fails the run at the end (after artifacts are persisted).
     val planGuard = new graft.plans.PlanGuardListener()
     spark.listenerManager.register(planGuard)
+    // Contention sentinel (VERDICT r9 item 1): a fixed, data-independent
+    // calibration probe (CPU-bound range-sum + one tiny fixed parquet
+    // scan) interleaved through the sweep. Its samples land in
+    // BENCH_FULL.json (`calibration: [...]`): on a quiet host they are
+    // flat (measured <±15%); a sample drifting 2x+ above the minimum
+    // marks the queries timed near it as contention-suspect — the
+    // signal the r9 official artifact lacked when host contention
+    // inflated w49/d20/s09 by 4-17x. The probe costs ~0.1s per sample
+    // (~10 samples per full sweep), outside every timed span.
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def calibrate(idx: Int): Unit = {
+      // each sample = min of 3 micro-runs: a GC pause inflates at most
+      // one run, while genuine host contention inflates all three — the
+      // min isolates the signal the sentinel exists for
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(2000000L).selectExpr("sum(id * 3 % 7)").collect()
+        try spark.read.parquet(s"$sfDir/nation.parquet").count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      calSamples += ((idx, runs.min))
+    }
     // Warm up JVM/codegen/parquet-reader paths so the first timed query
-    // isn't charged for session initialization.
+    // isn't charged for session initialization — including the
+    // calibration probe's own codegen (two untracked runs; the tracked
+    // samples then measure the host, not compilation).
     spark.range(1000).selectExpr("sum(id)").collect()
     try Tables.events(spark, sfDir).limit(1).collect()
     catch { case _: Throwable => () }
+    // 4 untracked sentinel warm-ups (12 micro-runs): the generated code
+    // is codegen-cached after one, but JIT tiering of the hot loop needs
+    // several more before the probe's floor stabilizes — an unwarmed
+    // sample 0 reads ~1.8x the steady floor and fakes a drift signal.
+    (1 to 4).foreach(_ => calibrate(-1)); calSamples.clear()
     // The warm repeat runs BACK-TO-BACK with the cold run, not as a
     // second full sweep: Spark's whole-stage-codegen class cache holds
     // only 100 generated classes, and 72 queries generate far more per
@@ -84,8 +114,13 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      val df =
-        try { val d = fn(spark, sfDir); d.count(); Some(d) }
+      // The timed action is the aggregate `d.count()` runs internally,
+      // kept as a Dataset so its QueryExecution — the one that actually
+      // EXECUTED, with AQE finalized — is sweepable afterwards (ADVICE
+      // r9: sweeping d's own never-executed QE saw only the initial
+      // adaptive plan, making the "runtime" gate a second static sweep).
+      val exec =
+        try { val a = fn(spark, sfDir).groupBy().count(); a.head(); Some(a) }
         catch { case e: Throwable =>
           errors(name) = e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300)
@@ -93,20 +128,30 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       // plan sweep + cache bookkeeping, outside the timed span
-      df.foreach { d =>
+      exec.foreach { a =>
         val fs =
-          try graft.PlanAudit.flags(d.queryExecution.executedPlan.toString)
+          try graft.PlanAudit.flags(a.queryExecution.executedPlan.toString)
           catch { case _: Throwable => Nil }
         if (fs.nonEmpty) runtimeFlags(name) = fs
       }
       Caches.unpersistAll()
-      if (df.isDefined) dt else -1.0
+      if (exec.isDefined) dt else -1.0
     }
-    def pass(): Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.map {
-      case (name, fn) =>
+    // Subset filter for A/B and contention experiments (never set by the
+    // driver): a regex over full query names, e.g. "(w49|d20|s09).*".
+    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val selected = SparkEntry.queries.toSeq.filter { case (n, _) =>
+      nameFilter.isEmpty || n.matches(nameFilter) }
+    def pass(): Seq[(String, Double, Double)] = {
+      calibrate(0)
+      val out = selected.zipWithIndex.map { case ((name, fn), i) =>
         val coldT = benchOne(name, fn)
         val warmT = if (warmPass && coldT >= 0) benchOne(name, fn) else -1.0
+        if ((i + 1) % 25 == 0 && i + 1 < selected.size) calibrate(i + 1)
         (name, coldT, warmT)
+      }
+      calibrate(selected.size)
+      out
     }
     // Short key = id prefix before the first '_' ("q01", "d08", ...).
     // Must stay unique or two queries silently merge in the output map.
@@ -135,12 +180,22 @@ object Bench {
     // compile-dominated and noisy; warm is the steady-state signal).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val jstr = (s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Calibration record + drift summary: `i` is the sweep position the
+    // sample was taken at (0 = before the first timed query). drift =
+    // max/min over the sweep; > ~2 means the host was NOT quiet for part
+    // of the run and per-query rows near the slow samples are suspect.
+    val calJson = calSamples.map { case (i, s) =>
+      f"""{"i":$i,"sec":$s%.3f}""" }.mkString("[", ",", "]")
+    val calDrift = if (calSamples.nonEmpty && calSamples.map(_._2).min > 0)
+      calSamples.map(_._2).max / calSamples.map(_._2).min else -1.0
     val fullJson = both.map { case (n, c, w) =>
       s"${jstr(n)}:{" + s""""cold":$c,"warm":$w""" +
         errors.get(n).map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
     }.mkString(
       s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"queries":{""", ",",
-      s"""},"cold_total":${f3(coldTotal)}${extra},"errors":[${errors.keys.map(jstr).mkString(",")}]}\n""")
+      s"""},"cold_total":${f3(coldTotal)}${extra},"calibration":$calJson,""" +
+      s""""calibration_drift":${f3(calDrift)},""" +
+      s""""errors":[${errors.keys.map(jstr).mkString(",")}]}\n""")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       fullJson.getBytes("UTF-8"))
     // "value" stays the cold total — comparable with every prior round.
@@ -157,6 +212,7 @@ object Bench {
     println("# bench-planguard " + runtimeFlags.map { case (n, fs) =>
       s"${jstr(n)}:[${fs.map(jstr).mkString(",")}]"
     }.mkString("{", ",", "}") + s" listener_hits=${planGuard.flagged.size}")
+    println(f"# bench-calibration drift=$calDrift%.2f samples=$calJson")
     println(line)
     spark.stop()
     // After the artifact is printed AND persisted: a broken query fails

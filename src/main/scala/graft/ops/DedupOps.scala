@@ -1418,10 +1418,16 @@ object DedupOps {
         coalesce(col("n_inc"), lit(0L)).as("n_inc")))
     val tot = cells.agg(sum(col("n_ref")).as("t_ref"),
       sum(col("n_inc")).as("t_inc"))
+    // when-guards: an EMPTY snapshot split yields NULL shares (and a
+    // NULL tvd_term), never NaN/Infinity — the never-0/0 discipline
+    // (cellBalanceOf, dupBurstOf). Both engines agree either way, so
+    // this is value-identical on any non-degenerate corpus.
     cells.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_inc"),
-        (col("n_ref").cast("double") / col("t_ref")).as("p_ref"),
-        (col("n_inc").cast("double") / col("t_inc")).as("p_inc"))
+        when(col("t_ref") > 0, col("n_ref").cast("double") / col("t_ref"))
+          .as("p_ref"),
+        when(col("t_inc") > 0, col("n_inc").cast("double") / col("t_inc"))
+          .as("p_inc"))
       .withColumn("tvd_term",
         abs(col("p_ref") - col("p_inc")) / 2.0)
       .orderBy("bin")
@@ -1839,10 +1845,15 @@ object DedupOps {
         |  FROM cells
         |)
         |SELECT c.bin, c.n_ref, c.n_inc,
-        |  CAST(c.n_ref AS DOUBLE) / t.t_ref AS p_ref,
-        |  CAST(c.n_inc AS DOUBLE) / t.t_inc AS p_inc,
-        |  abs(CAST(c.n_ref AS DOUBLE) / t.t_ref -
-        |      CAST(c.n_inc AS DOUBLE) / t.t_inc) / 2.0 AS tvd_term
+        |  CASE WHEN t.t_ref > 0
+        |       THEN CAST(c.n_ref AS DOUBLE) / t.t_ref END AS p_ref,
+        |  CASE WHEN t.t_inc > 0
+        |       THEN CAST(c.n_inc AS DOUBLE) / t.t_inc END AS p_inc,
+        |  abs(CASE WHEN t.t_ref > 0
+        |           THEN CAST(c.n_ref AS DOUBLE) / t.t_ref END -
+        |      CASE WHEN t.t_inc > 0
+        |           THEN CAST(c.n_inc AS DOUBLE) / t.t_inc END) / 2.0
+        |    AS tvd_term
         |FROM cells c CROSS JOIN tot t
         |ORDER BY c.bin""".stripMargin,
 

@@ -526,26 +526,15 @@ object RelOps {
   // n) table, and the two-phase rank machinery that derives it costs
   // ~2s of fixed plan/stage overhead per execution (measured
   // data-independent, sf0.01 == sf0.1 — r8 VERDICT item 4). Built on
-  // first access per dataset dir per JVM; every consumer scans the
-  // G-row parquet. Values are identical by construction (the build IS
-  // madOf), so oracle hashes are untouched.
-  private val madRoots = scala.collection.mutable.Map.empty[String, String]
-  private lazy val madScratch: String =
-    java.nio.file.Files.createTempDirectory("graft-madstats-").toString
-  private[graft] var madBuildCount = 0
+  // first access per dataset dir per JVM (rebuilt if the dir's content
+  // fingerprint moves — the ADVICE r9 staleness fix, via Materialized);
+  // every consumer scans the G-row parquet. Values are identical by
+  // construction (the build IS madOf), so oracle hashes are untouched.
+  private[graft] def madBuildCount = graft.Materialized.buildCount
 
-  private[graft] def madStats(spark: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      madRoots.getOrElseUpdate(dir, {
-        madBuildCount += 1
-        val p = s"$madScratch/${madRoots.size}"
-        madOf(Tables.events(spark, dir).select("event_type", "value"))
-          .coalesce(1).write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    spark.read.parquet(path)
-  }
+  private[graft] def madStats(spark: SparkSession, dir: String): DataFrame =
+    graft.Materialized.table(spark, s"madstats:$dir", dir)(
+      madOf(Tables.events(spark, dir).select("event_type", "value")))
 
   /** The w23 core over any (event_type, value) frame — exposed so the
     * spec can pin hand-computed odd/even-count and outlier cases.
@@ -1981,35 +1970,65 @@ object RelOps {
     *
     * 100 TB posture: the three dimensions ride ONE long frame through
     * the SHARED two-phase rank machinery (histogram + candidate
-    * bucket — no global sort, no per-customer rank materialized);
-    * scoring joins the broadcast 12-row cut table and map-side
-    * combines on (customer, dim); the cube re-agg sees <= 125 cells.
-    * The 1-row customer total rides the d23 scalar broadcast.
+    * bucket — no global sort, no per-customer rank materialized); the
+    * 12-row cut table is then BROADCAST AS PER-DIMENSION ARRAYS and all
+    * three scores are one map-side pass over the per-customer frame —
+    * zero scoring shuffles (the r9 plan joined a 3n-row long frame and
+    * paid two extra n-row shuffles for the same numbers); the cube
+    * re-agg sees <= 125 cells. The 1-row customer total rides the d23
+    * scalar broadcast. The cut table is write-once per dataset dir per
+    * JVM (madStats discipline, r9 VERDICT item 2).
     */
-  def w49RfmSegments(spark: SparkSession, dir: String): DataFrame =
-    rfmOf(Tables.orders(spark, dir))
+  def w49RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = rfmBase(Tables.orders(spark, dir))
+    // Values identical by construction (the build IS rfmCutsOf).
+    val cuts = graft.Materialized.table(spark, s"rfmcuts:$dir", dir)(
+      rfmCutsOf(rfmLongOf(base)))
+    rfmSegmentsFrom(base, cuts)
+  }
 
   /** w49 core over any (o_custkey, o_orderdate, o_totalprice) frame. */
   private[graft] def rfmOf(orders: DataFrame): DataFrame = {
+    val base = rfmBase(orders)
+    rfmSegmentsFrom(base, rfmCutsOf(rfmLongOf(base)))
+  }
+
+  /** Per-customer (o_custkey, recency_days, frequency, monetary). */
+  private def rfmBase(orders: DataFrame): DataFrame = {
     val per = orders.groupBy("o_custkey").agg(
       max(col("o_orderdate")).as("last_order"),
       count(lit(1)).as("frequency"),
       sum(col("o_totalprice").cast(DecimalType(28, 4))).cast("double")
         .as("monetary"))
     val gm = per.agg(max(col("last_order")).as("gmax"))
-    val base = graft.Caches.cache(per.crossJoin(broadcast(gm))
+    graft.Caches.cache(per.crossJoin(broadcast(gm))
       .select(col("o_custkey"),
         datediff(col("gmax"), col("last_order")).cast("long")
           .as("recency_days"),
         col("frequency"), col("monetary")))
-    // one long (dim, value) frame; recency negated: bigger = better
-    def dim(name: String, v: org.apache.spark.sql.Column) =
-      base.select(col("o_custkey"), lit(name).as("event_type"),
-        v.cast("double").as("value"))
-    val evK = graft.Caches.cache(
-      dim("recency", -col("recency_days"))
-        .union(dim("frequency", col("frequency")))
-        .union(dim("monetary", col("monetary"))))
+  }
+
+  /** The long (o_custkey, event_type, value) RFM frame off the base —
+    * all three dimensions in one explode so the rank machinery runs
+    * once; recency negated: bigger = better in every dimension.
+    */
+  private def rfmLongOf(base: DataFrame): DataFrame =
+    graft.Caches.cache(base
+      .select(col("o_custkey"), explode(array(
+        struct(lit("recency").as("event_type"),
+          (-col("recency_days")).cast("double").as("value")),
+        struct(lit("frequency").as("event_type"),
+          col("frequency").cast("double").as("value")),
+        struct(lit("monetary").as("event_type"),
+          col("monetary").cast("double").as("value")))).as("t"))
+      .select(col("o_custkey"), col("t.event_type").as("event_type"),
+        col("t.value").as("value")))
+
+  /** The 12-row (event_type, cut) quintile cut table off the long RFM
+    * frame — the expensive two-phase rank selection, isolated so
+    * [[w49RfmSegments]] can materialize it write-once per dataset dir.
+    */
+  private[graft] def rfmCutsOf(evK: DataFrame): DataFrame = {
     val ev = evK.select("event_type", "value")
     val stats = rankStats(ev)
     val wanted = stats
@@ -2018,20 +2037,34 @@ object RelOps {
           struct(lit(q).as("q"),
             expr(s"CAST(ceil(cnt * $q) AS BIGINT)").as("r"))): _*)).as("t"))
       .select(col("event_type"), col("t.q").as("q"), col("t.r").as("r"))
-    val cuts = valuesAtRanks(ev, stats, wanted)
+    valuesAtRanks(ev, stats, wanted)
       .select(col("event_type"), col("value").as("cut"))
-    val scores = evK.join(broadcast(cuts), Seq("event_type"))
-      .groupBy("o_custkey", "event_type")
-      .agg((lit(1L) +
-        sum(when(col("value") > col("cut"), 1L).otherwise(0L)))
-        .as("score"))
-    val wide = scores.groupBy("o_custkey").agg(
-      max(when(col("event_type") === "recency", col("score")))
-        .as("r_score"),
-      max(when(col("event_type") === "frequency", col("score")))
-        .as("f_score"),
-      max(when(col("event_type") === "monetary", col("score")))
-        .as("m_score"))
+  }
+
+  /** w49's scoring + segment-cell rollup over the per-customer base and
+    * a (event_type, cut) table (4 cuts per dimension): the cuts fold to
+    * ONE broadcast row of three 4-element arrays, and score = 1 + (cuts
+    * strictly beaten) is a map-side array filter — sum(value > cut) over
+    * the joined 12-row form and size(filter(cuts, c -> value > c)) count
+    * the same comparisons, so this is value-identical to the long-frame
+    * join while shuffling nothing per customer.
+    */
+  private def rfmSegmentsFrom(base: DataFrame, cuts: DataFrame): DataFrame = {
+    def arr(d: String) = sort_array(collect_list(
+      when(col("event_type") === d, col("cut")))).as(s"${d}_cuts")
+    val cutsW = cuts.groupBy()
+      .agg(arr("recency"), arr("frequency"), arr("monetary"))
+    def score(v: org.apache.spark.sql.Column, cs: String) =
+      (lit(1L) + size(filter(col(cs), c => v > c)).cast("long"))
+    // cached: consumed by BOTH the 1-row total and the segment rollup —
+    // uncached, the whole base->scores pipeline runs twice
+    val wide = graft.Caches.cache(base.crossJoin(broadcast(cutsW))
+      .select(col("o_custkey"),
+        score((-col("recency_days")).cast("double"), "recency_cuts")
+          .as("r_score"),
+        score(col("frequency").cast("double"), "frequency_cuts")
+          .as("f_score"),
+        score(col("monetary"), "monetary_cuts").as("m_score")))
     val tot = wide.agg(count(lit(1)).as("n_total"))
     wide.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))

@@ -45,10 +45,20 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
 
-  /** Count shuffle exchanges in a frame's executed plan — the
-    * spec-facing probe for "this join is co-located".
+  /** Count shuffle exchanges in a frame's FINAL executed plan — the
+    * spec-facing probe for "this join is co-located". With AQE enabled
+    * `executedPlan` is the non-finalized adaptive wrapper whose string
+    * reflects the initial plan (ADVICE r9); unwrap `finalPhysicalPlan`
+    * (materializing query stages if needed) so the count reflects the
+    * exchanges that actually execute. Static plans pass through.
     */
-  def shuffleCount(df: DataFrame): Int =
-    df.queryExecution.executedPlan.toString()
-      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+  def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+      case p => p
+    }
+    plan.toString().linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+  }
 }
