@@ -438,6 +438,112 @@ object ScalingProbe {
     }
   }
 
+  /** s09 shape: banded KNN JOIN on the planted clustered geometry —
+    * every 10th vector a query, `broadcastQueries = false` (both sides
+    * large, all query-side joins hash). The ONE ANN quadrant without a
+    * 10x row before r10. Reports the candidate-pair count next to
+    * runtime (banding claims candidates ~linear in n on clustered
+    * geometry) and whether the executed plan carries the
+    * WindowGroupLimit partial top-k that bounds the rank shuffle.
+    */
+  private def knnJoinProbe(
+      spark: SparkSession, n: Int, k: Int, wide: Boolean): Unit = {
+    import spark.implicits._
+    val tag = if (wide) "wide16" else "narrow8"
+    val prepared = graft.ops.SimOps.prepareVectors(
+        PlantedVectors.corpus(n, k).toDF("vec_id", "embedding"))
+      .persist()
+    prepared.count()
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val a = graft.ops.SimOps.bandedTopK(prepared,
+          col("vec_id") % 10 === 0, 5, broadcastQueries = false,
+          wide = wide)
+        .groupBy().count()
+      val rows = a.head().getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val wgl = a.queryExecution.executedPlan.toString
+        .contains("WindowGroupLimit")
+      val cand = graft.ops.SimOps.bandedCandidates(prepared,
+        col("vec_id") % 10 === 0, broadcastQueries = false,
+        wide = wide).count()
+      println(f"s09_knn_join_$tag n=$n run $i: ${dt}%.2fs rows=$rows " +
+        f"cand=$cand candPerQuery=${cand.toDouble / (n / 10)}%.1f " +
+        f"windowGroupLimit=$wgl")
+      Caches.unpersistAll()
+    }
+    prepared.unpersist()
+  }
+
+  /** w48 shape: cohort LTV on n orders over n/10 customers spread
+    * across a fixed 24-cohort-month span. Claimed posture: ONE orders
+    * scan into the customer-cohort agg; everything after (spine,
+    * window cumsum) is cohorts x months sized.
+    */
+  private def cohortProbe(spark: SparkSession, n: Int): Unit = {
+    val orders = spark.range(n.toLong).select(
+      (col("id") % (n / 10)).as("o_custkey"),
+      expr("date_add(date'2024-01-01', CAST((id * 13) % 720 AS INT))")
+        .as("o_orderdate"),
+      ((col("id") % 500 + 10).cast("double")).as("o_totalprice"))
+    time("w48_cohort_ltv", n) {
+      // sum over cum_revenue: forces the cohort window work (a bare
+      // count would let Catalyst skip the cumsum — the pack lesson)
+      graft.ops.RelOps.cohortLtvOf(orders)
+        .agg(sum(col("cum_revenue"))).head()
+      n.toLong
+    }
+  }
+
+  /** w44 shape: first/last-touch attribution on n events over n/50
+    * users (each user ~50 events strided 6h, view/click/error/purchase
+    * mix — the 7-day lookback window holds ~28 events per row).
+    * Claimed posture: ONE user-keyed window sort; everything after is
+    * purchases-sized then 6 rows.
+    */
+  private def attributionProbe(spark: SparkSession, n: Int): Unit = {
+    val users = math.max(n / 50, 1)
+    val types = "array('view','click','error','purchase')"
+    val e = spark.range(n.toLong).select(
+      (col("id") % users).as("user_id"),
+      col("id").as("event_id"),
+      expr(s"timestamp'2025-01-01 00:00:00' + " +
+        s"(id div $users) * 6 * interval '1' hour").as("ts"),
+      expr(s"element_at($types, CAST(id % 4 + 1 AS INT))").as("event_type"))
+    time("w44_attribution", n) {
+      graft.ops.RelOps.w44AttributionOf(spark, e)
+        .agg(sum(col("n_conversions"))).head().getLong(0)
+    }
+  }
+
+  /** p26 df-cap A/B (VERDICT r9 item 3): word-soup corpus where HALF of
+    * every doc is a SHARED boilerplate window (25 shared + 25 unique
+    * tokens -> the 18 pure-boilerplate 8-grams have train-df ~ 0.8n and
+    * own ~42% of the gram rows; the rest stay df 1-2). Uncapped pays
+    * the full gram shuffle including the skewed boilerplate keys;
+    * maxDf=1000 prunes them BEFORE the shuffle via the Misra-Gries
+    * candidate pass. Reports both runtimes and both leak sums (capped
+    * < uncapped exactly by the boilerplate grams' contribution).
+    */
+  private def leakCapProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      expr("concat(array_join(transform(sequence(0, 24)," +
+        " j -> substring(md5(concat('boiler-', CAST(j AS STRING))), 1, 6)), ' ')," +
+        " ' ', array_join(transform(sequence(0, 24)," +
+        s" j -> substring(md5(CAST(id * 25 + j AS STRING)), 1, 6)), ' '))")
+        .as("text"))
+    val splits = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 8, "train")
+        .when(col("id") % 10 === 8, "val")
+        .otherwise("test").as("split"))
+    Seq(("uncapped", 0L), ("maxDf1000", 1000L)).foreach { case (tag, cap) =>
+      time(s"p26_leak_$tag", n) {
+        graft.ops.PipelineOps.evalLeakageOf(docs, splits, cap)
+          .agg(sum(col("n_leaked_grams"))).head().getLong(0)
+      }
+    }
+  }
+
   /** w47 shape: basket self-join + pair agg on n orders, basket size
     * 1 + (i mod 7) (TPC-H-like), parts drawn from a n/10 catalog.
     * Claimed posture: pair emission bounded by Σ basket² (per-order,
@@ -513,6 +619,28 @@ object ScalingProbe {
     }
     if (args.headOption.contains("leak")) {
       leakProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("leakcap")) {
+      leakCapProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("knnjoin")) {
+      knnJoinProbe(spark, if (args.length > 1) args(1).toInt else 50000,
+        if (args.length > 2) args(2).toInt else 100,
+        wide = args.contains("wide"))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("cohort")) {
+      cohortProbe(spark, if (args.length > 1) args(1).toInt else 200000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("attribution")) {
+      attributionProbe(spark, if (args.length > 1) args(1).toInt else 200000)
       spark.stop()
       return
     }

@@ -515,7 +515,14 @@ object PipelineOps {
     * division of exact integer counts, so the doubles and the threshold
     * comparisons are bit-identical across engines.
     */
-  def p09FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+  def p09FilterCascade(spark: SparkSession, dir: String): DataFrame =
+    cascadeCore(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The p09 battery over any (doc_id, text) frame — factored so the
+    * p31 release pipeline can gate on the same rules without
+    * re-stating them. Unordered; p09 adds the presentation sort.
+    */
+  private[graft] def cascadeCore(docs: DataFrame): DataFrame = {
     // projected-toks form (TextOps.t06): split once per row
     val t = col("toks")
     val nTok = org.apache.spark.sql.functions.size(t)
@@ -533,7 +540,7 @@ object PipelineOps {
         .cast("double") / greatest(nTok - 1, lit(1))).as("dup_bigram_ratio")
     val uniqRatio = (org.apache.spark.sql.functions.size(array_distinct(t))
       .cast("double") / nTok).as("uniq_ratio")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
         stopRatio, dupBigram, uniqRatio)
@@ -543,7 +550,6 @@ object PipelineOps {
           when(col("dup_bigram_ratio") > 0.05, 4L).otherwise(0L) +
           when(col("uniq_ratio") < 0.35, 8L).otherwise(0L)).as("fail_mask"))
       .withColumn("keep", when(col("fail_mask") === 0, 1L).otherwise(0L))
-      .orderBy("doc_id")
   }
 
   /** Epoch/repeat-factor mixing plan (the "how many epochs of each
@@ -1054,9 +1060,9 @@ object PipelineOps {
     * eval-df; the join is gram-keyed hash (both sides shuffled once,
     * map-side distinct); the zero-row restore is a broadcast-sized
     * left join only when the eval spine is small — here it rides the
-    * same doc_id key. In production the train gram set would also be
-    * df-capped (drop grams in >K train docs as non-discriminative
-    * boilerplate) — kept exact here.
+    * same doc_id key. The production df-cap lever (drop grams in >K
+    * train docs as non-discriminative boilerplate) is [[evalLeakageOf]]
+    * `maxDf` — the registered query keeps it off (exact audit).
     */
   def p26EvalLeakage(spark: SparkSession, dir: String): DataFrame =
     evalLeakageOf(Tables.documents(spark, dir).select("doc_id", "text"),
@@ -1064,16 +1070,38 @@ object PipelineOps {
 
   /** The p26 body over any (doc_id, text) × (doc_id, split) pair —
     * exposed so the spec can plant a verbatim leaked phrase.
+    *
+    * `maxDf > 0` enables the production df-cap (VERDICT r9 item 3):
+    * grams appearing in more than `maxDf` train docs are boilerplate,
+    * not leakage signal, and are dropped — implemented as ONE exact
+    * filter on the per-gram train df inside the agg that already
+    * computes min(train_doc), so the capped audit costs the same gram
+    * shuffle as the exact one while its JOIN OUTPUT (and the per-doc
+    * hits agg behind it) shrinks by every (eval doc × boilerplate
+    * gram) pair — the term that explodes on template-heavy corpora.
+    *
+    * Design note (measured, ScalingProbe `leakcap`, 1M half-boilerplate
+    * docs): a Misra-Gries heavy-gram PRE-prune of the gram streams —
+    * cached or uncached — measured 1.4-2x SLOWER than this form,
+    * because Spark's map-side partial aggregation already collapses a
+    * heavy gram's rows to one partial row per partition before the
+    * shuffle; the extra sketch/verify passes bought nothing the partial
+    * agg hadn't. The df filter after the (already heavy-key-immune)
+    * agg is the whole lever. maxDf <= 0 = the registered exact audit.
     */
   private[graft] def evalLeakageOf(
-      docs: DataFrame, splits: DataFrame): DataFrame = {
+      docs: DataFrame, splits: DataFrame, maxDf: Long = 0L): DataFrame = {
     val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-7, 1))," +
       " i -> array_join(slice(toks, i, 8), ' ')))"
     val g = docs.join(splits, Seq("doc_id"))
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("split"), explode(expr(grams)).as("gram"))
-    val trainGrams = g.filter(col("split") === "train")
-      .groupBy("gram").agg(min(col("doc_id")).as("train_doc"))
+    val trainAgg = g.filter(col("split") === "train")
+      .groupBy("gram").agg(min(col("doc_id")).as("train_doc"),
+        count(lit(1)).as("df"))
+    val trainGrams = (if (maxDf <= 0L) trainAgg
+      else trainAgg.filter(col("df") <= maxDf))
+      .select("gram", "train_doc")
     val hits = g.filter(col("split") =!= "train")
       .join(trainGrams, Seq("gram"))
       .groupBy("doc_id")
@@ -1320,7 +1348,138 @@ object PipelineOps {
       .orderBy("check")
   }
 
+  // ---------------------------------------------------------------------
+  // p31/p32: the composed corpus release — the end-to-end operator the
+  // suite's stages exist FOR (VERDICT r9 item 5). One pass stamps every
+  // document with its release fate under the production stage order,
+  // DISJOINT and exact-first (the d18 attribution discipline):
+  //
+  //   1. filtered   — fails the p09 quality cascade (map-side gate);
+  //   2. exact_dup  — a smaller-id cascade KEEPER carries byte-identical
+  //                   text (d01's md5 rule, applied post-filter: a dup
+  //                   of a rejected doc is judged on its own text);
+  //   3. near_dup   — a smaller-id EXACT-SURVIVING member of its
+  //                   converged near-dup family exists (d07/d11's
+  //                   fixpoint labels; keeper = min surviving member,
+  //                   so a family whose keeper was filtered promotes
+  //                   the next member instead of losing the family);
+  //   4. capped     — dropped by the per-source release budget (p14's
+  //                   50-doc salted-hash cap over the SURVIVORS —
+  //                   caps count released docs, not raw crawl);
+  //   5. released   — in the shipped dataset, with p13's family-keyed
+  //                   leakage-safe split and, for train docs, p15's
+  //                   salted-hash training-order position (salt
+  //                   'release0'; val/test carry NULL pos).
+  //
+  // p31 emits the per-doc manifest (what a training loader consumes);
+  // p32 rolls it into the release data card (per status x split doc and
+  // token counts with corpus shares — the governance face of the same
+  // table). The manifest is materialized WRITE-ONCE per dataset dir
+  // (graft.Materialized — the pairGraph discipline), so the expensive
+  // composition executes once and both queries (and any embedding
+  // session) scan the parquet; the near-dup labels inside it already
+  // ride the write-once pair graph.
+  //
+  // 100 TB posture: stage 1 is map-side; stage 2 is ONE md5-key hash
+  // agg + an h-keyed join (text never shuffles beyond the 32-char
+  // hash); stage 3 joins the broadcast near-dup-population-sized label
+  // and keeper frames; stage 4 is graft_topk's bounded per-partition
+  // heap (50 rows/source/partition reach the shuffle); the split is
+  // per-row hash arithmetic and the train order is the two-phase
+  // 64-bucket permutation — no global sort anywhere. The oracle states
+  // each stage declaratively over the same fixed rules.
+  // ---------------------------------------------------------------------
+
+  private[graft] def releaseManifestOf(
+      spark: SparkSession, dir: String): DataFrame =
+    releaseManifestFrom(Tables.documents(spark, dir),
+      DedupOps.convergedComponents(spark, dir))
+
+  /** The p31 composition over any (doc_id, source, text) corpus and
+    * (doc_id, component) family-label frame — exposed so the spec can
+    * plant stage-priority cases (a filtered dup, a filtered family
+    * keeper) without a fixture dir.
+    */
+  private[graft] def releaseManifestFrom(
+      docs: DataFrame, fam: DataFrame): DataFrame = {
+    val casc = cascadeCore(docs).select("doc_id", "n_tokens", "keep")
+    // corpus spine: hash + source + cascade verdict (two doc scans
+    // joined on doc_id; cached — consumed by the keeper agg and m1)
+    val spine = graft.Caches.cache(docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(casc, Seq("doc_id")))
+    val exk = spine.filter(col("keep") === 1L)
+      .groupBy("h").agg(min(col("doc_id")).as("ex_keeper"))
+    val m1 = graft.Caches.cache(spine
+      .join(exk, Seq("h"), "left")
+      .join(broadcast(fam), Seq("doc_id"), "left")
+      .withColumn("family_id", coalesce(col("component"), col("doc_id"))))
+    // family keeper = min doc_id among EXACT SURVIVORS of the family
+    val famKeeper = m1
+      .filter(col("keep") === 1L && col("doc_id") === col("ex_keeper") &&
+        col("component").isNotNull)
+      .groupBy("component").agg(min(col("doc_id")).as("near_keeper"))
+    val m2 = graft.Caches.cache(m1
+      .join(broadcast(famKeeper), Seq("component"), "left")
+      .withColumn("near_keeper",
+        coalesce(col("near_keeper"), col("doc_id"))))
+    val surv3 = m2.filter(col("keep") === 1L &&
+      col("doc_id") === col("ex_keeper") &&
+      col("doc_id") === col("near_keeper"))
+    val capKept = sourceCap(surv3.select("doc_id", "source"), 50)
+      .select(col("doc_id"), lit(1L).as("cap_ok"))
+    val bucket = expr("CAST(conv(substring(md5(concat('split:', " +
+      "CAST(family_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10")
+    val m3 = graft.Caches.cache(m2
+      .join(capKept, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("keep") === 0L, "filtered")
+          .when(col("doc_id") =!= col("ex_keeper"), "exact_dup")
+          .when(col("doc_id") =!= col("near_keeper"), "near_dup")
+          .when(col("cap_ok").isNull, "capped")
+          .otherwise("released"))
+      .withColumn("split", when(col("status") === "released",
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test"))))
+    val pos = epochShuffle(
+      m3.filter(col("split") === "train").select("doc_id"), "release0")
+    m3.join(pos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("status"),
+        col("split"), col("pos"))
+  }
+
+  /** The write-once release manifest for `dir` (built on first access
+    * per JVM, invalidated by dataset-content changes).
+    */
+  private[graft] def releaseManifest(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.Materialized.table(spark, s"release:$dir", dir)(
+      releaseManifestOf(spark, dir))
+
+  /** The per-doc corpus-release manifest — see the block comment. */
+  def p31CorpusRelease(spark: SparkSession, dir: String): DataFrame =
+    releaseManifest(spark, dir).orderBy("doc_id")
+
+  /** The release data card over the same manifest: per (status, split)
+    * doc/token counts and corpus shares. NULL split prints '-' so the
+    * card is a complete partition of the corpus (counts sum to totals,
+    * shares to 1 — spec-pinned).
+    */
+  def p32ReleaseCard(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.Caches.cache(releaseManifest(spark, dir))
+    val tot = m.agg(count(lit(1)).as("td"), sum(col("n_tokens")).as("tt"))
+    m.groupBy(col("status"), coalesce(col("split"), lit("-")).as("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("status"), col("split"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("td")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("tt")).as("token_share"))
+      .orderBy("status", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p31_corpus_release" -> (p31CorpusRelease _),
+    "p32_release_card" -> (p32ReleaseCard _),
     "p30_expectations" -> (p30Expectations _),
     "p29_anneal_split" -> (p29AnnealSplit _),
     "p28_length_curriculum" -> (p28LengthCurriculum _),
@@ -1353,7 +1512,120 @@ object PipelineOps {
     "p05_stratified_sample" -> (p05StratifiedSample _)
   )
 
+  /** The p31 manifest as one declarative DuckDB statement: each stage
+    * restated over the same fixed rules (cascade battery, md5 keeper,
+    * d07's unrolled component labels, salted-hash cap/split/order).
+    * Shared by the p31 oracle and p32's rollup oracle.
+    *
+    * Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and the
+    * final select references the m2/rel/spl/ord chain several times —
+    * inlined, each reference re-evaluates everything down to d07Sql's
+    * minhash pass and the oracle runs for MINUTES (measured); with
+    * materialization it is ~6 s at sf0.01. Oracle-side cost only — the
+    * engine's plan is unaffected.
+    */
+  private val p31Sql: String =
+    s"""WITH casc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(CASE WHEN len(toks) < 40
+       |      OR CAST(len(list_filter(toks, x ->
+       |           x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+       |         / len(toks) < 0.04
+       |      OR 1.0 - CAST(len(list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 1)),
+       |           i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+       |         / greatest(len(toks) - 1, 1) > 0.05
+       |      OR CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35
+       |      THEN 0 ELSE 1 END AS BIGINT) AS keep
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |),
+       |sp AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, md5(d.text) AS h, c.n_tokens, c.keep
+       |  FROM documents d JOIN casc c ON c.doc_id = d.doc_id
+       |),
+       |exk AS MATERIALIZED (
+       |  SELECT h, min(doc_id) AS ex_keeper FROM sp WHERE keep = 1 GROUP BY h
+       |),
+       |comp AS MATERIALIZED (SELECT doc_id, component FROM (${DedupOps.d07Sql})),
+       |m1 AS MATERIALIZED (
+       |  SELECT sp.doc_id, sp.source, sp.n_tokens, sp.keep, e.ex_keeper,
+       |    c.component, COALESCE(c.component, sp.doc_id) AS family_id
+       |  FROM sp LEFT JOIN exk e ON e.h = sp.h
+       |    LEFT JOIN comp c ON c.doc_id = sp.doc_id
+       |),
+       |famk AS MATERIALIZED (
+       |  SELECT component, min(doc_id) AS near_keeper
+       |  FROM m1 WHERE keep = 1 AND doc_id = ex_keeper
+       |    AND component IS NOT NULL
+       |  GROUP BY component
+       |),
+       |m2 AS MATERIALIZED (
+       |  SELECT m1.*, COALESCE(k.near_keeper, m1.doc_id) AS near_keeper
+       |  FROM m1 LEFT JOIN famk k ON k.component = m1.component
+       |),
+       |surv3 AS MATERIALIZED (
+       |  SELECT * FROM m2
+       |  WHERE keep = 1 AND doc_id = ex_keeper AND doc_id = near_keeper
+       |),
+       |cap AS MATERIALIZED (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY
+       |    CAST('0x' || substring(md5('cap:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8) AS BIGINT), doc_id) AS rk
+       |  FROM surv3
+       |),
+       |rel AS MATERIALIZED (
+       |  SELECT s.doc_id, s.family_id FROM surv3 s
+       |  JOIN cap ON cap.doc_id = s.doc_id AND cap.rk <= 50
+       |),
+       |spl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substring(md5('split:' ||
+       |           CAST(family_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 8
+       |         THEN 'train'
+       |         WHEN CAST('0x' || substring(md5('split:' ||
+       |           CAST(family_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 8
+       |         THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM rel
+       |),
+       |ord AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY hh % 64, hh, doc_id) - 1 AS pos
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substring(md5('release0:' ||
+       |            CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
+       |        FROM spl WHERE split = 'train')
+       |)
+       |SELECT m2.doc_id, m2.n_tokens,
+       |  CASE WHEN m2.keep = 0 THEN 'filtered'
+       |       WHEN m2.doc_id <> m2.ex_keeper THEN 'exact_dup'
+       |       WHEN m2.doc_id <> m2.near_keeper THEN 'near_dup'
+       |       WHEN r.doc_id IS NULL THEN 'capped'
+       |       ELSE 'released' END AS status,
+       |  s.split, CAST(o.pos AS BIGINT) AS pos
+       |FROM m2
+       |LEFT JOIN rel r ON r.doc_id = m2.doc_id
+       |LEFT JOIN spl s ON s.doc_id = m2.doc_id
+       |LEFT JOIN ord o ON o.doc_id = m2.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "p31_corpus_release" ->
+      s"""SELECT * FROM ($p31Sql) ORDER BY doc_id""",
+    "p32_release_card" ->
+      s"""WITH m AS MATERIALIZED ($p31Sql),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS td,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tt
+         |  FROM m
+         |)
+         |SELECT status, COALESCE(split, '-') AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS DOUBLE) / t.td AS doc_share,
+         |  CAST(sum(n_tokens) AS DOUBLE) / t.tt AS token_share
+         |FROM m CROSS JOIN tot t
+         |GROUP BY status, COALESCE(split, '-'), t.td, t.tt
+         |ORDER BY status, split""".stripMargin,
     // p30: six checks, null-affirming range predicates, exact counts;
     // violation_share one division, pass the exact zero test
     "p30_expectations" ->

@@ -331,21 +331,10 @@ object SimOps {
     * either way.
     */
   private[graft] def bandedTopK(v: DataFrame, isQuery: Column, k: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true, wide: Boolean = false): DataFrame = {
     def maybeBc(df: DataFrame): DataFrame =
       if (broadcastQueries) broadcast(df) else df
-    val bandArr = (0 until Bands)
-      .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
-      .mkString("array(", ", ", ")")
-    val bands = graft.Caches.cache(
-      v.select(col("vec_id"), posexplode(expr(bandArr)).as(Seq("band", "key"))))
-    val qBands = bands
-      .join(v.filter(isQuery).select("vec_id"), Seq("vec_id"), "left_semi")
-      .withColumnRenamed("vec_id", "qid")
-    val cand = bands.join(maybeBc(qBands), Seq("band", "key"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
-      .distinct()
+    val cand = bandedCandidates(v, isQuery, broadcastQueries, wide)
     val q = v.filter(isQuery).select(col("vec_id").as("qid"),
       col("qv").as("qemb"), col("vnorm").as("qnorm"))
     val w = Window.partitionBy(col("qid"))
@@ -359,6 +348,58 @@ object SimOps {
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
       .orderBy("qid", "rank")
+  }
+
+  /** The banded candidate stage of [[bandedTopK]], factored out so the
+    * s09 ScalingProbe can count candidate pairs directly (the number
+    * whose growth certifies the banding stays tractable at volume).
+    *
+    * `wide = false` is the registered 8-band x 8-bit layout. Its random
+    * collision floor is 8 x 2^-8 ~ 3.1% of the corpus PER QUERY — fine
+    * while queries are sparse (s07: 2% of vectors), but a KNN JOIN's
+    * query side grows WITH the corpus, so candidates grow O(n^2/320):
+    * the r10 probe measured 2,080 cand/query at 50k vectors and OOM'd a
+    * single JVM at 500k (~800M pairs). `wide = true` is the tuning a
+    * corpus-sized query set needs: all C(8,2) = 28 PAIRWISE band
+    * compositions, 16 sign bits each — per-band match probability
+    * drops to q^16 but 28 chances raise planted-pair recall
+    * (1-(1-q^16)^28 ~ 0.997 at q = 0.9, ABOVE the narrow layout's
+    * 0.99) while the random floor falls 70x to 28 x 2^-16 ~ 0.04%. The
+    * general rule this encodes: band KEY WIDTH must grow ~log2(n) with
+    * the corpus; with 64 sign bits the pairwise composition is the
+    * widest layout that needs no new signature machinery.
+    */
+  private[graft] def bandedCandidates(v: DataFrame, isQuery: Column,
+      broadcastQueries: Boolean, wide: Boolean = false): DataFrame = {
+    def maybeBc(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
+    val bands = graft.Caches.cache(if (!wide) {
+      val bandArr = (0 until Bands)
+        .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
+        .mkString("array(", ", ", ")")
+      v.select(col("vec_id"), posexplode(expr(bandArr)).as(Seq("band", "key")))
+    } else {
+      // build the 64-char sign string ONCE, slice per composite band:
+      // inlining all 28 keys is 448 CASE expressions in one generate —
+      // past Janino's 64KB method limit, so codegen falls back to
+      // interpreted (measured); 64 CASEs + 28 substring-concats stays
+      // compiled
+      val pairKeys = (for {
+        a <- 0 until Bands; b <- a + 1 until Bands
+      } yield s"concat(substring(sig64, ${a * BandBits + 1}, $BandBits), " +
+        s"substring(sig64, ${b * BandBits + 1}, $BandBits))")
+        .mkString("array(", ", ", ")")
+      v.withColumn("sig64",
+          expr(signKeyRange("embedding", 1, Bands * BandBits)))
+        .select(col("vec_id"), posexplode(expr(pairKeys)).as(Seq("band", "key")))
+    })
+    val qBands = bands
+      .join(v.filter(isQuery).select("vec_id"), Seq("vec_id"), "left_semi")
+      .withColumnRenamed("vec_id", "qid")
+    bands.join(maybeBc(qBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
   }
 
   /** KNN JOIN: every 10th vector is a query — a query set the same size

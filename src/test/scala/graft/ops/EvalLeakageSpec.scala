@@ -43,6 +43,48 @@ class EvalLeakageSpec extends SparkTestBase {
     assert(r.getAs[Long]("example_train_doc") == 0L)
   }
 
+  test("p26 df-cap: capped == exact on a boilerplate-free fixture " +
+      "(every train gram df <= maxDf)") {
+    // three train docs share the phrase (df = 3), eval shares it too:
+    // with maxDf >= 3 nothing is boilerplate and the capped audit must
+    // be row-for-row the exact audit
+    val docs = Seq(
+      (0L, s"$phrase a1"), (1L, s"$phrase b1"), (2L, s"$phrase c1"),
+      (3L, s"$phrase d1"), (4L, "x1 x2 x3"))
+      .toDF("doc_id", "text")
+    val splits = Seq((0L, "train"), (1L, "train"), (2L, "train"),
+      (3L, "test"), (4L, "val")).toDF("doc_id", "split")
+    val exact = PipelineOps.evalLeakageOf(docs, splits).collect().toSeq
+    val capped = PipelineOps.evalLeakageOf(docs, splits, maxDf = 3L)
+      .collect().toSeq
+    assert(capped == exact)
+  }
+
+  test("p26 df-cap: a gram in more than maxDf train docs is dropped as " +
+      "boilerplate; rarer leaks still count") {
+    // boilerplate phrase in 3 train docs; a RARE 8-gram in exactly one
+    // train doc; the eval doc carries both. maxDf = 2 drops the
+    // boilerplate hit, keeps the rare one — and the example_train_doc
+    // follows the surviving gram.
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (0L, s"$phrase"), (1L, s"$phrase"), (2L, s"$phrase"),
+      (5L, s"$rare"), (9L, s"$phrase"), (10L, s"$rare"))
+      .toDF("doc_id", "text")
+    val splits = Seq((0L, "train"), (1L, "train"), (2L, "train"),
+      (5L, "train"), (9L, "test"), (10L, "test"))
+      .toDF("doc_id", "split")
+    val capped = PipelineOps.evalLeakageOf(docs, splits, maxDf = 2L)
+      .collect()
+    val r9 = capped.find(_.getLong(0) == 9L).get
+    assert(r9.getAs[Long]("n_leaked_grams") == 0L,
+      "boilerplate gram (df=3 > maxDf=2) must not count as leakage")
+    assert(r9.getAs[Any]("example_train_doc") == null)
+    val r10 = capped.find(_.getLong(0) == 10L).get
+    assert(r10.getAs[Long]("n_leaked_grams") == 1L)
+    assert(r10.getAs[Long]("example_train_doc") == 5L)
+  }
+
   test("p26: sf fixture — output is the complete non-train spine of " +
       "p13's split, zero rows included") {
     val splits = PipelineOps.p13LeakageSafeSplit(spark, sf0001)
