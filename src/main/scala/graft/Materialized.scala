@@ -14,8 +14,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    statistics. The fingerprint is a listing walk (relative path,
   *    size, mtime per file) — cheap relative to any build, and exactly
   *    the signal a lakehouse table version would provide at scale.
+  *    mtime is taken at the finest resolution the filesystem reports
+  *    (nanos where available), so a same-size rewrite is missed only
+  *    within that resolution; sessions that mutate below it (coarse
+  *    object-store mtimes) call [[invalidateAll]].
   *  - CLEANUP: the scratch dir is removed by a JVM shutdown hook, so
   *    repeated harness runs don't accumulate temp parquet.
+  *
+  * PLAN VISIBILITY (ADVICE r10): the build executes during DataFrame
+  * CONSTRUCTION, so a static sweep over the consuming query sees only
+  * the parquet scan of the finished table — the build's own executed
+  * plan would be invisible to every gate except the async listener.
+  * [[table]] therefore sweeps the build plan through
+  * `PlanAudit.flags` before writing and records the result; `Bench`
+  * drains it after each timed query and merges it into that query's
+  * runtime flag set (so an undocumented structural trap inside a
+  * write-once build fails the bench exactly like one in the query),
+  * and `PlanAuditSpec` audits each registered build plan directly.
+  *
+  * CONCURRENCY: builds run under a PER-KEY lock — two sessions asking
+  * for different tables build in parallel; two asking for the same key
+  * wait for one build. The registry map itself is guarded by a short
+  * global lock that never covers a Spark job.
   *
   * Values are identical to the inline computation by construction (the
   * build IS the derivation; parquet round-trips doubles/longs/strings
@@ -24,8 +44,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialized {
   private case class Entry(fp: String, path: String)
   private val entries = scala.collection.mutable.Map.empty[String, Entry]
-  // Build counter, exposed for the build-once specs.
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Build counter, exposed for the build-once specs and the bench's
+  // per-query "this cold span paid a shared build" marker.
   private[graft] var buildCount = 0
+  // key -> PlanAudit.flags of the most recent build's executed plan;
+  // drained by Bench after each timed query (see PLAN VISIBILITY).
+  private val buildFlags =
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
 
   private lazy val scratch: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-materialized-")
@@ -45,8 +72,9 @@ object Materialized {
     } catch { case _: Throwable => () }
 
   /** Content fingerprint of a dataset dir: every regular file's relative
-    * path, size, and mtime, sorted. Missing dirs fingerprint as a
-    * constant (an entry built from them stays cached until they appear).
+    * path, size, and mtime (finest reported resolution), sorted. Missing
+    * dirs fingerprint as a constant (an entry built from them stays
+    * cached until they appear).
     */
   private[graft] def fingerprint(dir: String): String = {
     import scala.jdk.CollectionConverters._
@@ -59,7 +87,8 @@ object Materialized {
         .map { f =>
           val rel = root.relativize(f).toString
           val sz = java.nio.file.Files.size(f)
-          val mt = java.nio.file.Files.getLastModifiedTime(f).toMillis
+          val mt = java.nio.file.Files.getLastModifiedTime(f)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
           s"$rel:$sz:$mt"
         }
         .toSeq.sorted
@@ -76,19 +105,45 @@ object Materialized {
   def table(spark: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame = {
     val fp = fingerprint(dir)
-    val path = synchronized {
-      entries.get(key) match {
-        case Some(e) if e.fp == fp => e.path
-        case _ =>
-          buildCount += 1
-          val p = scratch.resolve(s"t$buildCount").toString
-          build.coalesce(1).write.mode("overwrite").parquet(p)
-          entries(key) = Entry(fp, p)
+    def lookup(): Option[String] = synchronized {
+      entries.get(key).collect { case e if e.fp == fp => e.path }
+    }
+    val path = lookup().getOrElse {
+      val lock = keyLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        // double-check under the key lock: a concurrent same-key caller
+        // may have finished the build while this one waited
+        lookup().getOrElse {
+          val b = build
+          // sweep the build plan BEFORE executing it (plan compilation
+          // only — `executedPlan` does not run the job)
+          val fs =
+            try PlanAudit.flags(b.queryExecution.executedPlan.toString)
+            catch { case _: Throwable => Nil }
+          val p = synchronized {
+            buildCount += 1
+            if (fs.nonEmpty) buildFlags(key) = fs
+            scratch.resolve(s"t$buildCount").toString
+          }
+          b.coalesce(1).write.mode("overwrite").parquet(p)
+          synchronized { entries(key) = Entry(fp, p) }
           p
+        }
       }
     }
     spark.read.parquet(path)
   }
+
+  /** Drain (return and clear) the build-plan flags recorded since the
+    * last drain — Bench calls this after each timed query to attribute
+    * any write-once build's plan flags to the query that triggered it.
+    */
+  private[graft] def drainBuildFlags(): Map[String, Seq[String]] =
+    synchronized {
+      val out = buildFlags.toMap
+      buildFlags.clear()
+      out
+    }
 
   /** Explicit invalidation hook for embedding sessions that mutate data
     * out-of-band of the filesystem signal (e.g. object stores with

@@ -200,7 +200,10 @@ object PlanAudit {
     // spine built as labels x broadcast range(8)
     "s27_pq_train" -> Set("BroadcastNestedLoopJoin"),
     // s29: the same s13/s27 broadcast-codebook scan + (8 x L) spine
-    "s29_pq_distortion" -> Set("BroadcastNestedLoopJoin")
+    "s29_pq_distortion" -> Set("BroadcastNestedLoopJoin"),
+    // p32: the d23 1-row manifest-totals broadcast scaling the
+    // status x split card (the same scalar pattern as d28/w47)
+    "p32_release_card" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query
@@ -233,12 +236,19 @@ object PlanAudit {
       (plan.sliding("SinglePartition".length).count(_ == "SinglePartition") > 1)
   ).collect { case (f, true) => f }
 
-  /** Plan-compile every named query (no execution) and return the
-    * queries that flag, name -> flags. Errors surface as an `ERROR ...`
-    * flag — a query whose plan cannot even build must fail the audit,
-    * not hide the rest of it; the catch is Throwable on purpose (Janino
-    * codegen StackOverflowError / NoClassDefFoundError are query-local
-    * here, and this never runs inside an executor).
+  /** Plan-compile every named query and return the queries that flag,
+    * name -> flags. The sweep itself never executes the swept plan —
+    * with ONE caveat: a query backed by `graft.Materialized` runs its
+    * write-once build job during DataFrame CONSTRUCTION on first
+    * access per (key, dataset) per JVM, so the sweep here only ever
+    * sees the finished table's parquet scan. Those build plans are
+    * audited separately (PlanAuditSpec sweeps each registered build
+    * directly; Bench's runtime gate merges `Materialized`'s recorded
+    * build flags into the triggering query's flag set). Errors surface
+    * as an `ERROR ...` flag — a query whose plan cannot even build must
+    * fail the audit, not hide the rest of it; the catch is Throwable on
+    * purpose (Janino codegen StackOverflowError / NoClassDefFoundError
+    * are query-local here, and this never runs inside an executor).
     */
   def sweep(spark: SparkSession, names: Seq[String], sfDir: String)
       : Map[String, Seq[String]] =

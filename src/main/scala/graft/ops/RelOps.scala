@@ -532,9 +532,17 @@ object RelOps {
   // construction (the build IS madOf), so oracle hashes are untouched.
   private[graft] def madBuildCount = graft.Materialized.buildCount
 
+  /** The raw (unmaterialized) madstats build plan — exposed so
+    * PlanAuditSpec can audit the write-once build the query sweep never
+    * sees (it executes during DataFrame construction; see Materialized).
+    */
+  private[graft] def madStatsBuild(
+      spark: SparkSession, dir: String): DataFrame =
+    madOf(Tables.events(spark, dir).select("event_type", "value"))
+
   private[graft] def madStats(spark: SparkSession, dir: String): DataFrame =
     graft.Materialized.table(spark, s"madstats:$dir", dir)(
-      madOf(Tables.events(spark, dir).select("event_type", "value")))
+      madStatsBuild(spark, dir))
 
   /** The w23 core over any (event_type, value) frame — exposed so the
     * spec can pin hand-computed odd/even-count and outlier cases.
@@ -1983,9 +1991,14 @@ object RelOps {
     val base = rfmBase(Tables.orders(spark, dir))
     // Values identical by construction (the build IS rfmCutsOf).
     val cuts = graft.Materialized.table(spark, s"rfmcuts:$dir", dir)(
-      rfmCutsOf(rfmLongOf(base)))
+      rfmCutsBuild(spark, dir))
     rfmSegmentsFrom(base, cuts)
   }
+
+  /** The raw (unmaterialized) rfmcuts build plan — see [[madStatsBuild]]. */
+  private[graft] def rfmCutsBuild(
+      spark: SparkSession, dir: String): DataFrame =
+    rfmCutsOf(rfmLongOf(rfmBase(Tables.orders(spark, dir))))
 
   /** w49 core over any (o_custkey, o_orderdate, o_totalprice) frame. */
   private[graft] def rfmOf(orders: DataFrame): DataFrame = {

@@ -83,6 +83,46 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("materialized build plans: the write-once builds the query sweep " +
+      "never sees carry no structural traps (ADVICE r10)") {
+    // A Materialized-backed query executes its build during DataFrame
+    // construction, so the sweeps above only ever audit the finished
+    // table's parquet scan. The builds themselves are audited here, raw
+    // and no-AQE. This list is maintained by hand for the known call
+    // sites; the catch-all for a FORGOTTEN entry is Bench's runtime
+    // gate, which merges Materialized's recorded build flags into the
+    // triggering query's flag set.
+    val builds = Map[String,
+        (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame](
+      "build:release" -> (graft.ops.PipelineOps.releaseManifestOf _),
+      "build:madstats" -> (graft.ops.RelOps.madStatsBuild _),
+      "build:rfmcuts" -> (graft.ops.RelOps.rfmCutsBuild _))
+    // rfmcuts: the w49 1-row global-max-date scalar broadcast (the d23
+    // pattern, already documented on w49's own allowlist entry) sits in
+    // the BUILD (recency needs the corpus max date before the cuts
+    // exist). Exact-match, so a stale entry fails like the main sweep.
+    val buildAllow = Map(
+      "build:rfmcuts" -> Set("BroadcastNestedLoopJoin"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val structural = builds.map { case (n, fn) =>
+        n -> PlanAudit.flags(
+            fn(spark, sf0001).queryExecution.executedPlan.toString)
+          .toSet.intersect(PlanAudit.structuralFlags)
+      }
+      val unexpected = structural.filter { case (n, fs) =>
+        fs != buildAllow.getOrElse(n, Set.empty[String])
+      }
+      assert(unexpected.isEmpty,
+        s"write-once build plans with undocumented structural traps " +
+          s"(or stale buildAllow entries): $unexpected")
+    } finally {
+      graft.Caches.unpersistAll()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("violations: the bench runtime gate passes allowlisted structural " +
       "traps, fails new ones, ignores runtime SinglePartition noise") {
     // s01's BNLJ is documented -> no violation
