@@ -405,28 +405,59 @@ class OpsSpec extends SparkTestBase {
     assert(t12.exists(_._3 == 0L))
   }
 
-  test("m06: phash banding finds hamming<=1 pairs exactly " +
-      "(planted twin + one-block tweak, different content excluded)") {
-    // twin payloads -> identical sigs (hamming 0); a tweak confined to
-    // one block flips at most that block's bit (hamming <= 1); a
-    // different payload shares no band
-    val base = ("a" * 64 + "z" * 64) * 4 // 512 bytes, 32/block
-    val tweaked = base.substring(0, 480) + "~" * 32 // last block boosted
-    val other = ("m" * 32 + " " * 96) * 4
-    val sigs = Map(
-      1L -> MediaOps.stubPhash(base.getBytes("UTF-8")),
-      2L -> MediaOps.stubPhash(base.getBytes("UTF-8")),
-      3L -> MediaOps.stubPhash(tweaked.getBytes("UTF-8")),
-      9L -> MediaOps.stubPhash(other.getBytes("UTF-8")))
-    assert(sigs(1L) == sigs(2L))
-    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 1)
-    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(9L)) > 1)
-    // brute-force hamming<=1 pairs over the planted sigs == what the
-    // banded join must return (losslessness at radius 1)
+  test("m06: integer DCT-II pHash — anchor value, perceptual " +
+      "robustness, and the band-screen pair semantics") {
+    // deterministic pseudorandom payload (LCG), 512 bytes
+    def payload(seed: Long, n: Int = 512): Array[Byte] = {
+      var x = seed
+      Array.fill[Byte](n) {
+        x = (x * 1103515245L + 12345L) % (1L << 31)
+        ((x >> 16) & 0xff).toByte
+      }
+    }
+    // independent-implementation anchor (computed with a Python
+    // reimplementation of the pooling/DCT/median recipe): any drift in
+    // the table, pooling bounds, median rank, or bit layout moves it
+    assert(MediaOps.dctPhash(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+      == 3841221259051584875L)
+    // degenerate inputs: flat or empty image -> all AC coefficients 0,
+    // lower median 0, strict > sets nothing
+    assert(MediaOps.dctPhash(Array.fill[Byte](256)('A'.toByte)) == 0L)
+    assert(MediaOps.dctPhash(Array.emptyByteArray) == 0L)
+    // bit budget: 63 AC bits vs their lower median -> at most 31 set,
+    // top (64th) bit never set
+    val fox = MediaOps.dctPhash(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    assert(fox >= 0L && java.lang.Long.bitCount(fox) <= 31)
+    val base = payload(42)
+    val sb = MediaOps.dctPhash(base)
+    // perceptual robustness: a +1 bump of one pixel's 8-byte slice
+    // does not move the signature at all
+    val tiny = base.clone()
+    (0 until 8).foreach(j => tiny(j) = (math.min(255, (tiny(j) & 0xff) + 1)).toByte)
+    assert(MediaOps.dctPhash(tiny) == sb)
+    // a visible local edit (+40 over the first 96 bytes) stays within
+    // the radius and shares a band -> IN the m06 result set
+    val near = base.clone()
+    (0 until 96).foreach(j => near(j) = (((near(j) & 0xff) + 40) % 256).toByte)
+    val sn = MediaOps.dctPhash(near)
+    val hNear = java.lang.Long.bitCount(sb ^ sn)
+    def bandsEq(a: Long, b: Long): Int =
+      (0 until 8).count(k => ((a >> (8 * k)) & 255L) == ((b >> (8 * k)) & 255L))
+    assert(hNear > 0 && hNear <= 16 && bandsEq(sb, sn) >= 1)
+    // unrelated content: far outside the radius AND shares no band ->
+    // excluded by both legs of the definition
+    val so = MediaOps.dctPhash(payload(777))
+    assert(java.lang.Long.bitCount(sb ^ so) > 16 && bandsEq(sb, so) == 0)
+    // the pair semantics the query + oracle both state: >= 1 shared
+    // 8-bit band AND hamming <= 16
+    val sigs = Map(1L -> sb, 2L -> sb, 3L -> sn, 9L -> so)
     val ids = sigs.keys.toSeq.sorted
     val want = (for {
       a <- ids; b <- ids if a < b
-      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1
+      if bandsEq(sigs(a), sigs(b)) >= 1 &&
+        java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 16
     } yield (a, b)).toSet
     assert(want == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
