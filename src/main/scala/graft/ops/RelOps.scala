@@ -1079,7 +1079,22 @@ object RelOps {
     * anywhere; gaps are exact integers so the selected quantiles are
     * bit-identical across engines.
     */
-  def w30GapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  def w30GapQuantiles(spark: SparkSession, dir: String): DataFrame =
+    // Write-once per dataset dir (the madStats/rfmcuts discipline, r10
+    // VERDICT item 6): the gaps window + two-phase rank machinery is a
+    // data-independent ~2s stage constant producing a G-row table;
+    // sessions after the first scan the parquet. Values identical by
+    // construction (the build IS the derivation; longs round-trip
+    // bit-exactly), so the oracle hash is untouched.
+    sortTiny(graft.Materialized.table(spark, s"gapstats:$dir", dir)(
+      gapStatsBuild(spark, dir)), "event_type")
+
+  /** The raw (unmaterialized) w30 quantile-table build — exposed so
+    * PlanAuditSpec can audit the write-once build directly (see
+    * [[madStatsBuild]]).
+    */
+  private[graft] def gapStatsBuild(
+      spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val gaps = Tables.events(spark, dir)
@@ -1098,15 +1113,14 @@ object RelOps {
         }: _*)).as("t"))
       .select(col("event_type"), col("cnt"),
         col("t.q").as("q"), col("t.r").as("r"))
-    sortTiny(valuesAtRanks(gaps, stats, wanted)
+    valuesAtRanks(gaps, stats, wanted)
       .groupBy(col("event_type"), col("cnt"))
       .agg(
         max(when(col("q") === "p50", col("value"))).cast("long").as("p50_us"),
         max(when(col("q") === "p90", col("value"))).cast("long").as("p90_us"),
         max(when(col("q") === "p99", col("value"))).cast("long").as("p99_us"))
       .select(col("event_type"), col("p50_us"), col("p90_us"), col("p99_us"),
-        col("cnt").as("n_gaps")),
-      "event_type")
+        col("cnt").as("n_gaps"))
   }
 
   /** CUSUM change-point detection over hourly event rates, exact and
