@@ -203,7 +203,11 @@ object PlanAudit {
     "s29_pq_distortion" -> Set("BroadcastNestedLoopJoin"),
     // p32: the d23 1-row manifest-totals broadcast scaling the
     // status x split card (the same scalar pattern as d28/w47)
-    "p32_release_card" -> Set("BroadcastNestedLoopJoin")
+    "p32_release_card" -> Set("BroadcastNestedLoopJoin"),
+    // q26: the d23 1-row released-token-total broadcast scaling the
+    // per-source serving shares (allowlisted with the query, not after
+    // the snapshot — the p32 lesson)
+    "q26_release_serving" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

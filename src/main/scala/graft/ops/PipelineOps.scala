@@ -1477,7 +1477,72 @@ object PipelineOps {
       .orderBy("status", "split")
   }
 
+  /** The release-aware SERVING view (VERDICT r10 item 7 — E232): what
+    * production serves from the active release, per source. Composes
+    * the q02 serving chain with the p31 manifest: the manifest's
+    * released keepers are the target set (the api-layer semi-join
+    * discipline), each source's five largest released docs form an
+    * ordered preview list (q02's per-group top-k + struct-sort ordered
+    * aggregation), and the per-source counts/token totals carry a
+    * corpus-share division off the 1-row released-token total (the d23
+    * scalar broadcast — allowlisted BEFORE the snapshot this time).
+    *
+    * 100 TB posture: the manifest is the write-once parquet (p31); the
+    * released set is released-population-sized, so its join back to
+    * `documents` for serving metadata is one hash join on doc_id with
+    * the corpus scanned once; the top-5 window runs on the released
+    * rows only; every aggregate after that is source-population-sized.
+    */
+  def q26ReleaseServing(spark: SparkSession, dir: String): DataFrame =
+    releaseServingFrom(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      releaseManifest(spark, dir))
+
+  /** The q26 core over any (doc_id, source) corpus and p31-shaped
+    * manifest — exposed so the spec can plant mixed-status manifests
+    * without a fixture dir.
+    */
+  private[graft] def releaseServingFrom(
+      docs: DataFrame, manifest: DataFrame): DataFrame = {
+    val rel = manifest
+      .filter(col("status") === "released")
+      .select("doc_id", "n_tokens", "split")
+    // recover serving metadata for exactly the released docs (inner
+    // hash join on doc_id; the corpus never shuffles more than the id
+    // + source columns)
+    val served = graft.Caches.cache(docs.join(rel, Seq("doc_id")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    // q02's A1 idiom: collect_list is unordered post-shuffle, so sort
+    // an embedded struct whose leading field encodes the serve order
+    val top = served
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("source")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(
+            (-col("n_tokens")).as("neg_tokens"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",").as("top_docs"))
+    val agg = served.groupBy("source").agg(
+      count(lit(1)).as("n_released"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+      sum(col("n_tokens")).as("released_tokens"))
+    val tot = agg.agg(sum(col("released_tokens")).as("tt"))
+    agg.join(top, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_released"), col("n_train"),
+        col("n_val"), col("n_test"), col("released_tokens"),
+        (col("released_tokens").cast("double") / col("tt"))
+          .as("token_share"),
+        col("top_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_release_serving" -> (q26ReleaseServing _),
     "p31_corpus_release" -> (p31CorpusRelease _),
     "p32_release_card" -> (p32ReleaseCard _),
     "p30_expectations" -> (p30Expectations _),
@@ -1609,6 +1674,47 @@ object PipelineOps {
        |LEFT JOIN ord o ON o.doc_id = m2.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q26: the released slice of the manifest joined back to documents
+    // for serving metadata, then the per-source serving card — counts,
+    // split mix, token share of the release, and the five largest
+    // released docs as an ordered preview list
+    "q26_release_serving" ->
+      s"""WITH m AS MATERIALIZED ($p31Sql),
+         |rel AS (
+         |  SELECT m.doc_id, m.n_tokens, m.split, d.source
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |  WHERE m.status = 'released'
+         |),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_released,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_val,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_test,
+         |    CAST(sum(n_tokens) AS BIGINT) AS released_tokens
+         |  FROM rel GROUP BY source
+         |),
+         |tot AS (SELECT CAST(sum(released_tokens) AS BIGINT) AS tt
+         |        FROM agg),
+         |top AS (
+         |  SELECT source,
+         |    string_agg(CAST(doc_id AS VARCHAR), ','
+         |      ORDER BY n_tokens DESC, doc_id) AS top_docs
+         |  FROM (
+         |    SELECT source, doc_id, n_tokens,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY n_tokens DESC, doc_id) AS rk
+         |    FROM rel
+         |  ) WHERE rk <= 5 GROUP BY source
+         |)
+         |SELECT a.source, a.n_released, a.n_train, a.n_val, a.n_test,
+         |  a.released_tokens,
+         |  CAST(a.released_tokens AS DOUBLE) / t.tt AS token_share,
+         |  top.top_docs
+         |FROM agg a JOIN top ON top.source = a.source CROSS JOIN tot t
+         |ORDER BY a.source""".stripMargin,
     "p31_corpus_release" ->
       s"""SELECT * FROM ($p31Sql) ORDER BY doc_id""",
     "p32_release_card" ->

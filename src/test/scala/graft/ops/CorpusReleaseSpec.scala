@@ -113,4 +113,41 @@ class CorpusReleaseSpec extends SparkTestBase {
         r.getAs[Long]("n_docs"))
     }
   }
+
+  test("q26: the serving view carries ONLY released docs, per-source " +
+      "splits reconcile, shares sum to 1, top_docs is the 5 largest " +
+      "in token-desc/id-asc order") {
+    // planted manifest: source a has 7 released docs (one of every
+    // size 10..70, mixed splits) + a near_dup + a filtered doc that
+    // must NOT serve; source b has 2 released docs
+    val manifest = Seq(
+      (1L, 10L, "released", "train"), (2L, 20L, "released", "val"),
+      (3L, 30L, "released", "train"), (4L, 40L, "released", "test"),
+      (5L, 50L, "released", "train"), (6L, 60L, "released", "train"),
+      (7L, 70L, "released", "train"),
+      (8L, 99L, "near_dup", null), (9L, 99L, "filtered", null),
+      (20L, 5L, "released", "train"), (21L, 5L, "released", "val"))
+      .toDF("doc_id", "n_tokens", "status", "split")
+    val docs = ((1L to 9L).map(i => (i, "a")) ++
+      Seq((20L, "b"), (21L, "b"))).toDF("doc_id", "source")
+    val out = PipelineOps.releaseServingFrom(docs, manifest)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b"))
+    val a = out("a")
+    assert(a.getAs[Long]("n_released") == 7L)
+    assert(a.getAs[Long]("n_train") == 5L &&
+      a.getAs[Long]("n_val") == 1L && a.getAs[Long]("n_test") == 1L)
+    assert(a.getAs[Long]("released_tokens") == 280L)
+    // top 5 of source a by (n_tokens desc, doc_id asc): 7,6,5,4,3
+    assert(a.getAs[String]("top_docs") == "7,6,5,4,3")
+    val b = out("b")
+    assert(b.getAs[Long]("n_released") == 2L &&
+      b.getAs[Long]("released_tokens") == 10L)
+    // a token-count tie serves the smaller doc_id first
+    assert(b.getAs[String]("top_docs") == "20,21")
+    // shares partition the release
+    assert(math.abs(out.values.map(_.getAs[Double]("token_share")).sum
+      - 1.0) < 1e-9)
+    graft.Caches.unpersistAll()
+  }
 }
