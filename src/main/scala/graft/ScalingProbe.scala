@@ -446,12 +446,44 @@ object ScalingProbe {
     * geometry) and whether the executed plan carries the
     * WindowGroupLimit partial top-k that bounds the rank shuffle.
     */
-  private def knnJoinProbe(
-      spark: SparkSession, n: Int, k: Int, wide: Boolean): Unit = {
+  /** Distributed planted-cluster corpus for probe scales where
+    * `PlantedVectors.corpus`'s driver-side boxed Seq would GC-thrash
+    * the JVM (measured: 500k x 64 floats never reaches Spark): the
+    * same k-centroid geometry (centroids seeded N(0,1)^dim on the
+    * driver — k x dim doubles, a literal), members = centroid +
+    * hash-derived deterministic uniform noise with std 0.25 (uniform,
+    * not gaussian — irrelevant for a TIMING probe; candidate counts
+    * shift slightly vs the Seq geometry, the scaling conclusion does
+    * not). Generated entirely executor-side from `spark.range`.
+    */
+  private def distPlantedCorpus(spark: SparkSession, n: Int, k: Int,
+      dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val centroids: Seq[Seq[Double]] =
+      Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+    val cLit = typedLit(centroids)
+    val cluster = (col("vec_id") / lit((n / k).toLong)).cast("int")
+    val emb = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val u = pmod(xxhash64(col("vec_id"), d, lit(7L)), lit(1000000000L))
+        .cast("double") / lit(1e9)
+      (element_at(element_at(cLit, cluster + lit(1)), d + lit(1)) +
+        (u - lit(0.5)) * lit(0.8660254)).cast("float")
+    })
+    spark.range(n.toLong).select(col("id").as("vec_id"), emb.as("embedding"))
+  }
+
+  private def knnJoinProbe(spark: SparkSession, n: Int, k: Int,
+      wide: Boolean, forceDist: Boolean = false): Unit = {
     import spark.implicits._
-    val tag = if (wide) "wide16" else "narrow8"
-    val prepared = graft.ops.SimOps.prepareVectors(
-        PlantedVectors.corpus(n, k).toDF("vec_id", "embedding"))
+    val tag = (if (wide) "wide16" else "narrow8") +
+      (if (forceDist || n > 100000) "_dist" else "")
+    // driver-side Seq geometry up to 100k (matches the recall specs);
+    // distributed generation beyond — pass `dist` to force it at small
+    // n too, so a 10x ratio compares like geometry with like
+    val src = if (!forceDist && n <= 100000)
+      PlantedVectors.corpus(n, k).toDF("vec_id", "embedding")
+    else distPlantedCorpus(spark, n, k)
+    val prepared = graft.ops.SimOps.prepareVectors(src)
       .persist()
     prepared.count()
     (1 to 2).foreach { i =>
@@ -630,7 +662,7 @@ object ScalingProbe {
     if (args.headOption.contains("knnjoin")) {
       knnJoinProbe(spark, if (args.length > 1) args(1).toInt else 50000,
         if (args.length > 2) args(2).toInt else 100,
-        wide = args.contains("wide"))
+        wide = args.contains("wide"), forceDist = args.contains("dist"))
       spark.stop()
       return
     }

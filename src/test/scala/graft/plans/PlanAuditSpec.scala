@@ -98,7 +98,8 @@ class PlanAuditSpec extends SparkTestBase {
       "build:release" -> (graft.ops.PipelineOps.releaseManifestOf _),
       "build:madstats" -> (graft.ops.RelOps.madStatsBuild _),
       "build:rfmcuts" -> (graft.ops.RelOps.rfmCutsBuild _),
-      "build:gapstats" -> (graft.ops.RelOps.gapStatsBuild _))
+      "build:gapstats" -> (graft.ops.RelOps.gapStatsBuild _),
+      "build:convlat" -> (graft.ops.RelOps.convLatencyBuild _))
     // rfmcuts: the w49 1-row global-max-date scalar broadcast (the d23
     // pattern, already documented on w49's own allowlist entry) sits in
     // the BUILD (recency needs the corpus max date before the cuts

@@ -26,7 +26,10 @@ class BucketingSpec extends SparkTestBase {
         Bucketing.colocatedJoin(spark, "b_orders", "b_customer", "custkey")
       val baseline = orders.join(customer, Seq("custkey"))
 
-      // the contract: zero exchanges bucketed, at least one unbucketed
+      // the contract: zero exchanges bucketed, at least one unbucketed.
+      // shuffleCount EXECUTES the stages under AQE (documented side
+      // effect); the collect()s below reuse the same QueryExecution's
+      // cached stages, so nothing runs twice here.
       assert(Bucketing.shuffleCount(colocated) == 0,
         s"bucketed join still shuffles:\n" +
           colocated.queryExecution.executedPlan.toString().take(2000))
