@@ -500,8 +500,19 @@ object DedupOps {
     * converging — partial labels are worse than a loud failure there.
     */
   private[graft] def convergedComponents(
-      spark: SparkSession, dir: String): DataFrame = {
-    val pairs = pairGraph(spark, dir).select("doc_a", "doc_b")
+      spark: SparkSession, dir: String): DataFrame =
+    convergedComponentsFromPairs(
+      pairGraph(spark, dir).select("doc_a", "doc_b"))
+
+  /** Converged family labels over ANY (doc_a, doc_b) pair frame — the
+    * [[convergedComponents]] core, exposed so snapshot-restricted pair
+    * graphs (p33's previous-release view is the materialized pair
+    * graph FILTERED to old-corpus endpoints — LSH candidacy is
+    * per-pair, so a subset corpus's pair graph IS the restriction)
+    * reuse the fixpoint without recomputing any signatures.
+    */
+  private[graft] def convergedComponentsFromPairs(
+      pairs: DataFrame): DataFrame = {
     val edges =
       pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
         .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
@@ -1660,8 +1671,13 @@ object DedupOps {
          |WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** 4 unrolled min-label-propagation rounds over d03's pair graph. */
-  private[graft] val d07Sql: String = {
+  /** `rounds` unrolled min-label-propagation rounds over a pair set.
+    * Extra rounds past convergence are no-ops (labels are already the
+    * component minima), so a caller unsure of its subgraph's diameter
+    * simply asks for more rounds — value-identical once converged.
+    */
+  private[graft] def d07SqlRounds(rounds: Int,
+      pairsSql: String = d03Sql): String = {
     def round(k: Int): String =
       s"""l${k} AS (
          |  SELECT l.doc_id,
@@ -1671,15 +1687,18 @@ object DedupOps {
          |  LEFT JOIN l${k - 1} ul ON ul.doc_id = e.u
          |  GROUP BY l.doc_id, l.label
          |)""".stripMargin
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d03Sql)),
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($pairsSql)),
        |edges AS (
        |  SELECT doc_a AS v, doc_b AS u FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
        |),
        |l0 AS (SELECT DISTINCT v AS doc_id, v AS label FROM edges),
-       |${(1 to 4).map(round).mkString(",\n")}
-       |SELECT doc_id, label AS component FROM l4 ORDER BY doc_id""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT doc_id, label AS component FROM l$rounds ORDER BY doc_id""".stripMargin
   }
+
+  /** 4 unrolled min-label-propagation rounds over d03's pair graph. */
+  private[graft] val d07Sql: String = d07SqlRounds(4)
 
   /** d04's oracle body, shared with the d06 cluster grouping. */
   private val simhashSql: String = {

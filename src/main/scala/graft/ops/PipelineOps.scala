@@ -1456,6 +1456,70 @@ object PipelineOps {
     graft.Materialized.table(spark, s"release:$dir", dir)(
       releaseManifestOf(spark, dir))
 
+  /** The PREVIOUS release's manifest: the same composition over the
+    * corpus as it stood before the current ingest batch (the m08/m09
+    * convention — doc_id % 10 == 7 rows are the batch). The old pair
+    * graph costs NO LSH recompute: banding candidacy and Jaccard are
+    * per-pair, so the subset corpus's verified pair graph is exactly
+    * the materialized pair graph filtered to old endpoints.
+    */
+  private[graft] def releaseManifestOldOf(
+      spark: SparkSession, dir: String): DataFrame = {
+    val docsOld = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+    val pairsOld = DedupOps.pairGraph(spark, dir)
+      .filter(col("doc_a") % 10 =!= 7 && col("doc_b") % 10 =!= 7)
+      .select("doc_a", "doc_b")
+    releaseManifestFrom(docsOld,
+      DedupOps.convergedComponentsFromPairs(pairsOld))
+  }
+
+  private[graft] def releaseManifestOld(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.Materialized.table(spark, s"release_prev:$dir", dir)(
+      releaseManifestOldOf(spark, dir))
+
+  /** Release-over-release diff — the governance operator a release
+    * review runs BEFORE swapping production to a new manifest: every
+    * (old_status -> new_status) transition with doc counts ('absent' =
+    * docs the new batch added), plus the cross-release SPLIT-MIGRATION
+    * count per cell — docs released in both manifests whose
+    * leakage-safe split CHANGED (a new batch doc can bridge two old
+    * families; the merged family's min id moves, its split hash moves
+    * with it, and a doc an old release served as train may now be
+    * test — exactly the cross-release eval-contamination hazard p13
+    * guards within one release).
+    *
+    * 100 TB posture: both manifests are write-once parquet; the diff
+    * is ONE doc_id hash join of two narrow manifests + a <=
+    * (statuses+1) x statuses rollup. The old manifest's near-dup
+    * labels ride the SAME materialized pair graph (filtered — no
+    * signature recompute), so "rebuild last release's view" never
+    * re-shingles the corpus.
+    */
+  def p33ReleaseDiff(spark: SparkSession, dir: String): DataFrame =
+    releaseDiffFrom(releaseManifest(spark, dir),
+      releaseManifestOld(spark, dir))
+
+  /** The p33 core over any two p31-shaped manifests — exposed so the
+    * spec can plant transitions (incl. a split migration) directly.
+    */
+  private[graft] def releaseDiffFrom(
+      newM: DataFrame, oldM: DataFrame): DataFrame = {
+    val nw = newM.select(col("doc_id"),
+      col("status").as("new_status"), col("split").as("new_split"))
+    val old = oldM.select(col("doc_id"),
+      col("status").as("old_status_raw"), col("split").as("old_split"))
+    nw.join(old, Seq("doc_id"), "left")
+      .groupBy(coalesce(col("old_status_raw"), lit("absent"))
+        .as("old_status"), col("new_status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("old_split").isNotNull && col("new_split").isNotNull
+          && col("old_split") =!= col("new_split"), 1L).otherwise(0L))
+          .as("n_split_migrations"))
+      .orderBy("old_status", "new_status")
+  }
+
   /** The per-doc corpus-release manifest — see the block comment. */
   def p31CorpusRelease(spark: SparkSession, dir: String): DataFrame =
     releaseManifest(spark, dir).orderBy("doc_id")
@@ -1543,6 +1607,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_release_serving" -> (q26ReleaseServing _),
+    "p33_release_diff" -> (p33ReleaseDiff _),
     "p31_corpus_release" -> (p31CorpusRelease _),
     "p32_release_card" -> (p32ReleaseCard _),
     "p30_expectations" -> (p30Expectations _),
@@ -1589,7 +1654,7 @@ object PipelineOps {
     * materialization it is ~6 s at sf0.01. Oracle-side cost only — the
     * engine's plan is unaffected.
     */
-  private val p31Sql: String =
+  private def p31SqlWith(compSql: String): String =
     s"""WITH casc AS MATERIALIZED (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |    CAST(CASE WHEN len(toks) < 40
@@ -1611,7 +1676,7 @@ object PipelineOps {
        |exk AS MATERIALIZED (
        |  SELECT h, min(doc_id) AS ex_keeper FROM sp WHERE keep = 1 GROUP BY h
        |),
-       |comp AS MATERIALIZED (SELECT doc_id, component FROM (${DedupOps.d07Sql})),
+       |comp AS MATERIALIZED (SELECT doc_id, component FROM ($compSql)),
        |m1 AS MATERIALIZED (
        |  SELECT sp.doc_id, sp.source, sp.n_tokens, sp.keep, e.ex_keeper,
        |    c.component, COALESCE(c.component, sp.doc_id) AS family_id
@@ -1673,6 +1738,22 @@ object PipelineOps {
        |LEFT JOIN spl s ON s.doc_id = m2.doc_id
        |LEFT JOIN ord o ON o.doc_id = m2.doc_id""".stripMargin
 
+  private val p31Sql: String = p31SqlWith(DedupOps.d07Sql)
+
+  /** p31 over the pre-batch snapshot (doc_id % 10 <> 7): every `FROM
+    * documents` in the composed statement reads the `docsnap` CTE
+    * instead, so the cascade, signatures, pair graph, and manifest all
+    * see the old corpus; the component unroll gets 8 rounds (rounds
+    * past convergence are no-ops, and a subset graph's diameter can
+    * EXCEED its superset's once bridging nodes leave).
+    */
+  private val p31SqlOld: String =
+    p31SqlWith(DedupOps.d07SqlRounds(8))
+      .replace("FROM documents", "FROM docsnap")
+      .replaceFirst("WITH ",
+        "WITH docsnap AS MATERIALIZED " +
+          "(SELECT * FROM documents WHERE doc_id % 10 <> 7),\n")
+
   val oracle: Map[String, String] = Map(
     // q26: the released slice of the manifest joined back to documents
     // for serving metadata, then the per-source serving card — counts,
@@ -1717,6 +1798,25 @@ object PipelineOps {
          |ORDER BY a.source""".stripMargin,
     "p31_corpus_release" ->
       s"""SELECT * FROM ($p31Sql) ORDER BY doc_id""",
+    // p33: both manifests stated in full (the old one over the docsnap
+    // CTE), joined on doc_id, rolled up to transition cells with the
+    // cross-release split-migration count
+    "p33_release_diff" ->
+      s"""WITH newm AS MATERIALIZED ($p31Sql),
+         |oldm AS MATERIALIZED ($p31SqlOld),
+         |j AS (
+         |  SELECT n.doc_id, o.status AS old_status_raw,
+         |         n.status AS new_status,
+         |         o.split AS old_split, n.split AS new_split
+         |  FROM newm n LEFT JOIN oldm o ON o.doc_id = n.doc_id
+         |)
+         |SELECT COALESCE(old_status_raw, 'absent') AS old_status,
+         |  new_status,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN old_split IS NOT NULL
+         |        AND new_split IS NOT NULL AND old_split <> new_split
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_split_migrations
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p32_release_card" ->
       s"""WITH m AS MATERIALIZED ($p31Sql),
          |tot AS (

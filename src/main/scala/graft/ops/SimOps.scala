@@ -414,6 +414,22 @@ object SimOps {
     bandedTopK(v, col("vec_id") % 10 === 0, 5, broadcastQueries = false)
   }
 
+  /** KNN JOIN in the WIDE band layout — the production configuration
+    * for a corpus-sized query set (see [[bandedCandidates]]'s key-width
+    * rule: band key width must grow ~log2(n)). Same query set and
+    * hash-join plan as s09; the 28 pairwise 16-bit band compositions
+    * drop the random collision floor 70x, which is what keeps the
+    * candidate join's shuffle bounded at volume. Measured (NOTES r11):
+    * candidates/query 460 -> 651 from 50k to 500k vectors (~constant)
+    * and ~linear runtime, where the narrow8 layout's candidate shuffle
+    * hits a ~100 GB scratch-disk wall at 500k on one host.
+    */
+  def s33KnnJoinWide(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.Caches.cache(vectors(spark, dir))
+    bandedTopK(v, col("vec_id") % 10 === 0, 5, broadcastQueries = false,
+      wide = true)
+  }
+
   /** Recall-targeted ANN over the fixture: banded signatures, top-5. */
   def s07BandedAnn(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.Caches.cache(vectors(spark, dir))
@@ -1766,6 +1782,7 @@ object SimOps {
     "s07_banded_ann" -> (s07BandedAnn _),
     "s08_ivf_ann" -> (s08IvfAnn _),
     "s09_knn_join" -> (s09KnnJoin _),
+    "s33_knn_join_wide" -> (s33KnnJoinWide _),
     "s10_quantized_rescore" -> (s10QuantizedRescore _),
     "s11_semantic_dedup" -> (s11SemanticDedup _),
     "s17_recall_report" -> (s17RecallReport _),
@@ -1811,14 +1828,25 @@ object SimOps {
     .map(t => signKeySqlRange("embedding", t * BandBits + 1, BandBits))
     .mkString("[", ", ", "]")
 
+  // s33's wide layout: all C(8,2) = 28 pairwise band compositions,
+  // 16 sign bits each — the same literals the Spark side slices out of
+  // its sig64 string
+  private val wideBandKeysSql = (for {
+    a <- 0 until Bands; b <- a + 1 until Bands
+  } yield "(" + signKeySqlRange("embedding", a * BandBits + 1, BandBits) +
+    ") || (" + signKeySqlRange("embedding", b * BandBits + 1, BandBits) + ")")
+    .mkString("[", ", ", "]")
+
   /** Shared banded-ANN oracle (s07 and the s09 KNN join differ only in
     * the query predicate — the SQL states the semantics; the Spark
-    * plans differ in broadcast vs hash query-side joins).
+    * plans differ in broadcast vs hash query-side joins. s33 swaps in
+    * the wide pairwise key layout).
     */
-  private def bandedAnnSql(queryMod: Int): String =
+  private def bandedAnnSql(queryMod: Int,
+      keysSql: String = bandKeysSql): String =
     s"""WITH $unnestSql,
        |bl AS (
-       |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+       |  SELECT vec_id, $keysSql AS keys FROM embeddings
        |),
        |eb AS (
        |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
@@ -2694,6 +2722,9 @@ object SimOps {
 
     "s07_banded_ann" -> bandedAnnSql(queryMod = 50),
     "s09_knn_join" -> bandedAnnSql(queryMod = 10),
+
+    "s33_knn_join_wide" ->
+      bandedAnnSql(queryMod = 10, keysSql = wideBandKeysSql),
 
     // s26: s08's statement with the metadata predicate on the searched
     // corpus side and the widened 4-cell probe

@@ -150,4 +150,34 @@ class CorpusReleaseSpec extends SparkTestBase {
       - 1.0) < 1e-9)
     graft.Caches.unpersistAll()
   }
+
+  test("p33: transition cells partition the new corpus, new-batch docs " +
+      "land in 'absent', and a cross-release split flip is counted as " +
+      "a migration") {
+    // old release: 1 released/train, 2 released/val, 3 capped.
+    // new release: 1 still released but now VAL (family merge moved its
+    // split hash -> MIGRATION), 2 unchanged, 3 promoted to released,
+    // 7 is the new batch doc (absent before), filtered on arrival.
+    val oldM = Seq(
+      (1L, 10L, "released", Some("train")),
+      (2L, 10L, "released", Some("val")),
+      (3L, 10L, "capped", None: Option[String]))
+      .toDF("doc_id", "n_tokens", "status", "split")
+    val newM = Seq(
+      (1L, 10L, "released", Some("val")),
+      (2L, 10L, "released", Some("val")),
+      (3L, 10L, "released", Some("train")),
+      (7L, 10L, "filtered", None: Option[String]))
+      .toDF("doc_id", "n_tokens", "status", "split")
+    val out = PipelineOps.releaseDiffFrom(newM, oldM).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_split_migrations")))
+      .toMap
+    assert(out == Map(
+      ("released", "released") -> (2L, 1L), // doc 1 migrated, doc 2 not
+      ("capped", "released") -> (1L, 0L),   // doc 3: cap freed up
+      ("absent", "filtered") -> (1L, 0L)))  // the new batch doc
+    // cells partition the NEW corpus
+    assert(out.values.map(_._1).sum == newM.count())
+  }
 }

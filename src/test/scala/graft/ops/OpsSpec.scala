@@ -543,6 +543,22 @@ class OpsSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("s33: WIDE banded KNN-join recall@5 >= 0.8 on the planted " +
+      "corpus — the pairwise 16-bit layout keeps recall while cutting " +
+      "the random candidate floor 70x") {
+    // per-band match q^16 ~ 0.16, but 28 pairwise chances:
+    // 1-(1-q^16)^28 ~ 0.99 at q ~ 0.89 — recall holds at the narrow
+    // layout's level on the same geometry, with a far smaller
+    // candidate set (the property the 500k probe certifies at scale)
+    val emb = plantedVecs.toDF("vec_id", "embedding")
+    val recall = recallOf(SimOps.bandedTopK(
+      SimOps.prepareVectors(emb), col("vec_id") % 50 === 0, 5,
+      broadcastQueries = false, wide = true))
+    info(f"wide banded KNN recall@5 on clustered corpus: $recall%.3f")
+    assert(recall >= 0.8, f"recall@5 = $recall%.3f < 0.8")
+    graft.Caches.unpersistAll()
+  }
+
   test("s08: IVF ANN recall@5 >= 0.9 on a planted clustered corpus") {
     // codebook label = true cluster id, so nProbe=2 covers the home cell
     // plus the nearest competitor — true top-5 neighbors are
