@@ -401,12 +401,38 @@ object MediaOps {
     * the near channel scans m06's banded pair output
     * (near-dup-population-sized); the rollup is a hash agg on kind.
     */
+  /** m07's perceptual channel: block-mean ([[stubPhash]]) near-dup ids
+    * at hamming <= 1 over a 4-band join — banding LOSSLESS at this
+    * radius (one flipped bit touches one band; >= 3 stay equal), so
+    * the oracle states the channel all-pairs. This stays the cheap
+    * 16-bit governance screen after m06 moved to the 63-bit DCT hash
+    * (whose radius-16 band-screen semantics would be a different — and
+    * wider — near set than a per-kind report wants).
+    */
+  private def blockMeanNearIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.Caches.cache(mediaTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, stubPhash(r.payload))))
+      .toDF("doc_id", "sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(15L))): _*))
+        .as(Seq("band", "key")))
+    banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 1)
+      .select(col("doc_b").as("doc_id")).distinct()
+  }
+
   def m07MediaDedupReport(spark: SparkSession, dir: String): DataFrame = {
     val hashed = mediaTable(spark, dir)
       .select(col("doc_id"), col("kind"), md5(col("payload")).as("h"))
     val keeper = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
-    val near = m06PhashNeardup(spark, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val near = blockMeanNearIds(spark, dir)
       .withColumn("is_near", lit(1L))
     hashed.join(keeper, Seq("h"))
       .join(near, Seq("doc_id"), "left")
