@@ -1605,7 +1605,104 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Release decontamination gate (E235) — the check a release review
+    * runs AFTER p31 assigns fates and BEFORE production trains on the
+    * manifest: per (split, source), how much of the released slice
+    * overlaps the eval suite. Two hazards, both counted: (a) eval-suite
+    * members (d08's doc_id % 97 == 0 stand-in) that the release
+    * pipeline let through as 'released' — maximal contamination, zero
+    * in a clean pipeline; (b) non-bench released docs sharing any word
+    * 4-gram with the eval suite (d08's exact overlap recipe). The
+    * per-cell contamination rate is a per-row division — no scalar
+    * broadcast, no allowlist entry.
+    *
+    * 100 TB posture: the manifest is the write-once parquet (p31), so
+    * the released slice is known BEFORE any text is touched; only
+    * released docs are tokenized/exploded (filter-then-explode, the d08
+    * discipline), and the eval suite's distinct 4-grams broadcast — the
+    * corpus never shuffles text. The contaminated-id set is a gram-keyed
+    * LEFT SEMI against the broadcast (matched rows only reach the
+    * distinct), and the rollup is one (split, source) hash agg.
+    */
+  def p34ReleaseDecontam(spark: SparkSession, dir: String): DataFrame =
+    releaseDecontamFrom(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      releaseManifest(spark, dir))
+
+  /** The p34 core over any (doc_id, source, text) corpus and p31-shaped
+    * manifest — exposed so the spec can plant a released bench doc and
+    * a planted-overlap contaminated doc without a fixture dir.
+    */
+  private[graft] def releaseDecontamFrom(
+      docs: DataFrame, manifest: DataFrame): DataFrame = {
+    val rel = manifest
+      .filter(col("status") === "released")
+      .select("doc_id", "n_tokens", "split")
+    val served = graft.Caches.cache(docs.join(rel, Seq("doc_id"))
+      .withColumn("is_bench", (col("doc_id") % 97 === 0).cast("long")))
+    // d08's 4-gram recipe, projected-toks form (a lambda restating
+    // split(text) evaluates it per ELEMENT — O(tokens^2) per doc)
+    val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+      " i -> array_join(slice(toks, i, 4), ' ')))"
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(grams)).as("gram"))
+      .distinct()
+    val contam = served.filter(col("is_bench") === 0L)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    served.join(contam, Seq("doc_id"), "left")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_released"),
+        sum(col("is_bench")).as("n_bench_docs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contam"),
+        sum(when(col("hit").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("contam_tokens"))
+      .withColumn("contam_rate",
+        col("n_contam").cast("double") / col("n_released"))
+      .orderBy("split", "source")
+  }
+
+  /** Train shard plan (E236) — the step that turns p31's manifest into
+    * training FILES: the released train docs, taken in their p15
+    * training-order positions, packed into fixed 2000-token shards
+    * under p04's start-offset rule (a doc lands in the shard its
+    * cumulative start falls in — the sequential-writer model), rolled
+    * up to one row per shard with doc/token loads, the pos span, and
+    * the fill rate against the budget.
+    *
+    * 100 TB posture: the manifest is write-once parquet and the train
+    * slice is 3 longs/row; `pos` is a DENSE 0..n-1 permutation index,
+    * so packByBudget's two-phase prefix sum (64-position groups, one
+    * broadcast offsets frame) applies verbatim with pos as the packing
+    * key — no global sort, no single-partition cumsum over the corpus.
+    * The rollup is one shard-keyed hash agg on corpus_tokens/2000 rows.
+    */
+  def p35ReleaseShards(spark: SparkSession, dir: String): DataFrame =
+    releaseShardsFrom(releaseManifest(spark, dir))
+
+  /** The p35 core over any p31-shaped manifest — exposed so the spec
+    * can pin the boundary-straddling doc's shard directly.
+    */
+  private[graft] def releaseShardsFrom(manifest: DataFrame): DataFrame = {
+    val train = manifest.filter(col("split") === "train")
+      .select(col("pos").as("doc_id"), col("n_tokens"))
+    packByBudget(train, budget = 2000L, grpSize = 64L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_pos"),
+        max(col("doc_id")).as("last_pos"))
+      .withColumn("fill_rate", col("n_tokens").cast("double") / 2000.0)
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p34_release_decontam" -> (p34ReleaseDecontam _),
+    "p35_release_shards" -> (p35ReleaseShards _),
     "q26_release_serving" -> (q26ReleaseServing _),
     "p33_release_diff" -> (p33ReleaseDiff _),
     "p31_corpus_release" -> (p31CorpusRelease _),
@@ -1755,6 +1852,64 @@ object PipelineOps {
           "(SELECT * FROM documents WHERE doc_id % 10 <> 7),\n")
 
   val oracle: Map[String, String] = Map(
+    // p34: the released slice joined back to text, the eval suite's
+    // distinct 4-grams (d08's recipe), the contaminated-id set, and the
+    // (split, source) rollup with both hazard counts
+    "p34_release_decontam" ->
+      s"""WITH m AS MATERIALIZED ($p31Sql),
+         |rel AS MATERIALIZED (
+         |  SELECT m.doc_id, m.n_tokens, m.split, d.source, d.text
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |  WHERE m.status = 'released'
+         |),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+         |      AS gram
+         |    FROM documents WHERE doc_id % 97 = 0)
+         |),
+         |contam AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+         |      AS gram
+         |    FROM rel WHERE doc_id % 97 <> 0) t
+         |  JOIN bg USING (gram)
+         |)
+         |SELECT rel.split, rel.source,
+         |  CAST(count(*) AS BIGINT) AS n_released,
+         |  CAST(sum(CASE WHEN rel.doc_id % 97 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bench_docs,
+         |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contam,
+         |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN rel.n_tokens
+         |    ELSE 0 END) AS BIGINT) AS contam_tokens,
+         |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS contam_rate
+         |FROM rel LEFT JOIN contam c ON c.doc_id = rel.doc_id
+         |GROUP BY rel.split, rel.source
+         |ORDER BY rel.split, rel.source""".stripMargin,
+    // p35: the train slice in pos order under p04's start-offset
+    // packing rule, rolled up per shard
+    "p35_release_shards" ->
+      s"""WITH m AS MATERIALIZED ($p31Sql),
+         |tr AS (SELECT pos, n_tokens FROM m WHERE split = 'train'),
+         |pk AS (
+         |  SELECT pos, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // 2000 AS BIGINT) AS shard_id
+         |  FROM tr
+         |)
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(min(pos) AS BIGINT) AS first_pos,
+         |  CAST(max(pos) AS BIGINT) AS last_pos,
+         |  CAST(sum(n_tokens) AS DOUBLE) / 2000.0 AS fill_rate
+         |FROM pk GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // q26: the released slice of the manifest joined back to documents
     // for serving metadata, then the per-source serving card — counts,
     // split mix, token share of the release, and the five largest

@@ -151,6 +151,75 @@ class CorpusReleaseSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("p34: released bench members and 4-gram overlaps are counted " +
+      "per (split, source); non-released docs never enter the rollup") {
+    // doc 0 (0 % 97 == 0): an eval-suite member the pipeline RELEASED
+    // -> n_bench_docs hazard. doc 97: an eval member kept out of the
+    // release (filtered) — its grams still poison. doc 1: released,
+    // shares doc 97's 4-gram -> contaminated. doc 2/3: clean released.
+    // doc 4: near_dup — must not appear in any cell.
+    val docs = Seq(
+      (0L, "s", "b0a b0b b0c b0d b0e"),
+      (97L, "s", "evalx evaly evalz evalw tailq"),
+      (1L, "s", "pre1 evalx evaly evalz evalw post1"),
+      (2L, "s", "clean2a clean2b clean2c clean2d clean2e"),
+      (3L, "s", "clean3a clean3b clean3c clean3d clean3e"),
+      (4L, "s", "dupa dupb dupc dupd dupe"))
+      .toDF("doc_id", "source", "text")
+    val manifest = Seq(
+      (0L, 10L, "released", Some("train")),
+      (97L, 99L, "filtered", None: Option[String]),
+      (1L, 20L, "released", Some("train")),
+      (2L, 30L, "released", Some("train")),
+      (3L, 40L, "released", Some("val")),
+      (4L, 50L, "near_dup", None: Option[String]))
+      .toDF("doc_id", "n_tokens", "status", "split")
+    val out = PipelineOps.releaseDecontamFrom(docs, manifest).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("train", "s"), ("val", "s")))
+    val tr = out(("train", "s"))
+    assert(tr.getAs[Long]("n_released") == 3L)
+    assert(tr.getAs[Long]("n_bench_docs") == 1L) // doc 0
+    assert(tr.getAs[Long]("n_contam") == 1L) // doc 1, never bench doc 0
+    assert(tr.getAs[Long]("contam_tokens") == 20L)
+    assert(math.abs(tr.getAs[Double]("contam_rate") - 1.0 / 3) < 1e-9)
+    val va = out(("val", "s"))
+    assert(va.getAs[Long]("n_released") == 1L &&
+      va.getAs[Long]("n_contam") == 0L &&
+      va.getAs[Long]("n_bench_docs") == 0L)
+    graft.Caches.unpersistAll()
+  }
+
+  test("p35: train docs pack into 2000-token shards by start offset — " +
+      "a straddling doc stays in the shard its start falls in — and " +
+      "non-train rows never enter the plan") {
+    val manifest = Seq(
+      // (doc_id, n_tokens, status, split, pos)
+      (10L, 900L, "released", Some("train"), Some(0L)),
+      (11L, 900L, "released", Some("train"), Some(1L)),
+      // starts at 1800 < 2000 -> shard 0, though it ends at 2700
+      (12L, 900L, "released", Some("train"), Some(2L)),
+      (13L, 500L, "released", Some("train"), Some(3L)), // starts 2700
+      (14L, 600L, "released", Some("train"), Some(4L)), // starts 3200
+      (15L, 999L, "released", Some("val"), None: Option[Long]),
+      (16L, 999L, "capped", None: Option[String], None: Option[Long]))
+      .toDF("doc_id", "n_tokens", "status", "split", "pos")
+    val out = PipelineOps.releaseShardsFrom(manifest).collect()
+      .map(r => r.getAs[Long]("shard_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    val s0 = out(0L)
+    assert(s0.getAs[Long]("n_docs") == 3L &&
+      s0.getAs[Long]("n_tokens") == 2700L &&
+      s0.getAs[Long]("first_pos") == 0L &&
+      s0.getAs[Long]("last_pos") == 2L)
+    assert(math.abs(s0.getAs[Double]("fill_rate") - 1.35) < 1e-9)
+    val s1 = out(1L)
+    assert(s1.getAs[Long]("n_docs") == 2L &&
+      s1.getAs[Long]("n_tokens") == 1100L &&
+      s1.getAs[Long]("first_pos") == 3L &&
+      s1.getAs[Long]("last_pos") == 4L)
+  }
+
   test("p33: transition cells partition the new corpus, new-batch docs " +
       "land in 'absent', and a cross-release split flip is counted as " +
       "a migration") {
