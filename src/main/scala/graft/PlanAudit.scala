@@ -76,6 +76,9 @@ object PlanAudit {
     "s24_nprobe_sweep" -> Set("BroadcastNestedLoopJoin"),
     // t18: the t05/t08 1-row n_docs scalar broadcast
     "t18_keyword_extract" -> Set("BroadcastNestedLoopJoin"),
+    // t27: the t08 1-row corpus-total broadcast — it enters only the
+    // reported cell mean; the tercile RANKING is scalar-free
+    "t27_surprisal_terciles" -> Set("BroadcastNestedLoopJoin"),
     // t23: sources x sources zero-kept spine — a source-count-bounded
     // broadcast theta join (src_a < src_b); the overlap join itself is
     // token-keyed equality

@@ -576,6 +576,38 @@ object ScalingProbe {
     }
   }
 
+  /** p31 shape: the COMPOSED release-manifest build (cascade -> exact
+    * keeper -> family labels -> cap -> split -> order) on a corpus that
+    * exercises every stage: 50-token docs with a 10% stopword ratio (so
+    * the cascade KEEPS them and does real token work), 1/11 exact dups
+    * (id % 11 == 1 re-sends id-1's text), 30% of docs in planted
+    * 3-member families, 20 sources. Family labels are handed in
+    * directly — the LSH pair-graph cost is probed separately
+    * (prefix/leak modes); this measures p31's own composition. Claimed
+    * posture: every corpus-sized stage is a hash agg or doc_id-keyed
+    * join; the cap's per-source heap and the train-order permutation
+    * run on source-bounded/released-bounded frames — 10x docs =>
+    * ~linear runtime.
+    */
+  private def releaseProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n.toLong).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
+      expr("array_join(transform(sequence(0, 49), j -> CASE" +
+        " WHEN j % 10 = 0 THEN 'the'" +
+        " ELSE substring(md5(CAST((CASE WHEN id % 11 = 1 THEN id - 1" +
+        " ELSE id END) * 40 + j AS STRING)), 1, 6) END), ' ')")
+        .as("text"))
+    val fam = spark.range(n.toLong).filter(col("id") % 10 < 3)
+      .select(col("id").as("doc_id"),
+        expr("(id div 10) * 10").as("component"))
+    time("p31_release_manifest", n) {
+      graft.ops.PipelineOps.releaseManifestFrom(docs, fam)
+        .groupBy("status").count()
+        .collect().map(_.getLong(1)).sum
+    }
+  }
+
   /** w47 shape: basket self-join + pair agg on n orders, basket size
     * 1 + (i mod 7) (TPC-H-like), parts drawn from a n/10 catalog.
     * Claimed posture: pair emission bounded by Σ basket² (per-order,
@@ -673,6 +705,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("attribution")) {
       attributionProbe(spark, if (args.length > 1) args(1).toInt else 200000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("release")) {
+      releaseProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

@@ -956,7 +956,76 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source surprisal terciles (E237) — the CCNet head/middle/tail
+    * bucketing: every document scored by its mean unigram surprisal
+    * under the in-corpus LM (t08's bit-bucket arithmetic — no
+    * transcendental), then split WITHIN its source into the lowest-
+    * surprisal third ('head'), the middle, and the highest ('tail'),
+    * with per-cell doc/token mass and the cell's mean surprisal in
+    * bits. The CCNet recipe trains on head+middle and drops or
+    * down-weights the tail; this is the report that decides the cut.
+    *
+    * Determinism: the per-doc ranking key is mb_milli =
+    * sum_bucket * 1e6 div n_tokens — an exact integer (doc_id
+    * tiebreak), and tercile = (3 * (rank-1)) div source_size, exact
+    * integer arithmetic in both engines. The only doubles are the
+    * final per-cell divisions. The corpus-total bits enter ONLY the
+    * reported mean (a 1-row broadcast, the t05/t08 scalar pattern —
+    * allowlisted with the query); the RANKING needs no scalar because
+    * bits(n_total) is a constant offset shared by every doc.
+    *
+    * 100 TB posture: one explode + one vocab hash agg + one token-keyed
+    * join (t08's plan), one per-doc hash agg, then windows partitioned
+    * by SOURCE over the doc-population-sized frame (never the corpus's
+    * token instances); cells are <= 3 x sources rows.
+    */
+  def t27SurprisalTerciles(spark: SparkSession, dir: String): DataFrame =
+    surprisalTercilesFrom(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"))
+
+  /** The t27 core over any (doc_id, source, text) frame — exposed so
+    * the spec can pin hand-computed terciles on a planted corpus.
+    */
+  private[graft] def surprisalTercilesFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val cf = tok.groupBy("token").agg(count(lit(1)).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n_total"))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    val perDoc = tok.join(cf, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(bits(col("cf"))).as("sum_bucket"))
+    val scored = perDoc
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("mb_milli", expr("sum_bucket * 1000000 div n_tokens"))
+    // commonest-token docs first = lowest surprisal first = 'head'
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("mb_milli").desc, col("doc_id").asc)
+    val wSrc = Window.partitionBy(col("source"))
+    val cells = scored
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      .withColumn("tercile", expr("(3 * (rk - 1)) div n_src"))
+      .groupBy("source", "tercile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_bucket")).as("sumb"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("tercile"),
+        when(col("tercile") === 0L, "head")
+          .when(col("tercile") === 1L, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("n_tokens"),
+        ((bits(col("n_total")) * col("n_tokens") - col("sumb"))
+          .cast("double") / col("n_tokens")).as("mean_surprisal_bits"))
+      .orderBy("source", "tercile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_surprisal_terciles" -> (t27SurprisalTerciles _),
     "t26_simpson_diversity" -> (t26SimpsonDiversity _),
     "t25_hapax_report" -> (t25HapaxReport _),
     "t24_vocab_churn" -> (t24VocabChurn _),
@@ -1103,6 +1172,50 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t27: t08's bit-bucket surprisal per doc, ranked within source
+    // (mb_milli DESC, doc_id), tercile = (3*(rank-1)) // source size —
+    // exact integer arithmetic end to end; the cell mean is the one
+    // double division against the corpus-total bits
+    "t27_surprisal_terciles" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |),
+        |cf AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM cf),
+        |pd AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(format('{:b}', cf)) - 1) AS BIGINT)
+        |      AS sum_bucket
+        |  FROM tok t JOIN cf USING (token) GROUP BY t.doc_id
+        |),
+        |sc AS (
+        |  SELECT pd.*, d.source,
+        |    sum_bucket * 1000000 // n_tokens AS mb_milli
+        |  FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+        |),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY mb_milli DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM sc
+        |),
+        |cells AS (
+        |  SELECT source, CAST((3 * (rk - 1)) // n_src AS BIGINT)
+        |      AS tercile,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(sum_bucket) AS BIGINT) AS sumb
+        |  FROM rk GROUP BY 1, 2
+        |)
+        |SELECT source, tercile,
+        |  CASE tercile WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  n_docs, n_tokens,
+        |  CAST((length(format('{:b}', t.n_total)) - 1) * n_tokens - sumb
+        |    AS DOUBLE) / n_tokens AS mean_surprisal_bits
+        |FROM cells CROSS JOIN tot t
+        |ORDER BY source, tercile""".stripMargin,
     // t25: per-source token-frequency table folded to hapax/dis/vocab
     // t26: head-side concentration — repeat_pairs = sum tf*(tf-1),
     // simpson/inv_simpson each one NULL-guarded division of exact ints

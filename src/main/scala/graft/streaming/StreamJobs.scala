@@ -1147,3 +1147,109 @@ object LtvJobs {
       .orderBy("cohort_month", "age_months")
   }
 }
+
+/** Typed rows for the streaming decontamination twin (d08 — E238). */
+case class DocEvent(doc_id: Long, text: String)
+case class GramHit(doc_id: Long, gram: String, bench_id: Long)
+case class ContamUpdate(
+    doc_id: Long, n_shared_ngrams: Long, first_bench_id: Long)
+
+/** StatefulProcessor for [[DecontamJobs.decontamTws]]: per incoming doc,
+  * a MapState over the bench 4-grams ALREADY COUNTED (a gram matching
+  * several bench docs, or re-arriving in a later micro-batch, must not
+  * inflate the distinct count) plus running (n_shared, min bench_id).
+  * Emits one update per micro-batch that changed the doc's tallies, so
+  * a downstream max/min fold is the exact batch d08 row.
+  */
+class DecontamProcessor
+    extends StatefulProcessor[Long, GramHit, ContamUpdate] {
+  @transient private var seen: MapState[String, Boolean] = _
+  @transient private var nGrams: ValueState[Long] = _
+  @transient private var minBench: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    seen = getHandle.getMapState[String, Boolean]("seen",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    nGrams = getHandle.getValueState[Long]("n_grams",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    minBench = getHandle.getValueState[Long]("min_bench",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      docId: Long,
+      rows: Iterator[GramHit],
+      timerValues: TimerValues): Iterator[ContamUpdate] = {
+    val oldMb = if (minBench.exists()) minBench.get() else Long.MaxValue
+    var mb = oldMb
+    var newGrams = 0L
+    rows.foreach { r =>
+      if (!seen.containsKey(r.gram)) {
+        seen.updateValue(r.gram, true)
+        newGrams += 1
+      }
+      if (r.bench_id < mb) mb = r.bench_id
+    }
+    if (newGrams == 0 && mb == oldMb) Iterator.empty
+    else {
+      val tot = Option(nGrams.get()).getOrElse(0L) + newGrams
+      nGrams.update(tot)
+      minBench.update(mb)
+      Iterator.single(ContamUpdate(docId, tot, mb))
+    }
+  }
+}
+
+/** Streaming decontamination entrypoint (d08's continual-ingest twin —
+  * the contamination check moved to WHERE DOCS ARRIVE, so a poisoned
+  * crawl batch is flagged before it lands in the corpus).
+  */
+object DecontamJobs {
+  /** d08's distinct word 4-grams (projected-toks form — a lambda
+    * restating split(text) evaluates it per element).
+    */
+  private val grams =
+    "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+      " i -> array_join(slice(toks, i, 4), ' ')))"
+
+  /** The static bench-gram frame d08 joins (eval members, doc_id % 97
+    * == 0) — built ONCE from the batch corpus; eval suites are tiny, so
+    * it broadcasts.
+    */
+  def benchGrams(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"),
+        split(col("text"), " ").as("toks"))
+      .select(explode(expr(grams)).as("gram"), col("bench_id"))
+
+  /** Stream-static decontamination: each micro-batch of incoming docs
+    * explodes to its distinct 4-grams, inner-joins the BROADCAST static
+    * bench grams (stateless — only matched rows survive, which
+    * contamination keeps rare), then a per-doc `transformWithState`
+    * accumulates distinct matched grams and the min bench id across
+    * micro-batches. [[decontamBoard]] folds the update stream to the
+    * exact batch d08 report (the spec pins value identity).
+    */
+  def decontamTws(docs: DataFrame, bench: DataFrame): Dataset[ContamUpdate] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .select(col("doc_id"), col("gram"), col("bench_id"))
+      .as[GramHit]
+      .groupByKey(_.doc_id)
+      .transformWithState(new DecontamProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to d08's report: latest (= max,
+    * the tallies are monotone) distinct-gram count and the min bench id
+    * per contaminated doc.
+    */
+  def decontamBoard(updates: DataFrame): DataFrame =
+    updates.groupBy(col("doc_id"))
+      .agg(max(col("n_shared_ngrams")).as("n_shared_ngrams"),
+        min(col("first_bench_id")).as("first_bench_id"))
+      .orderBy("doc_id")
+}
