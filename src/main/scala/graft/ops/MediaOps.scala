@@ -529,8 +529,56 @@ object MediaOps {
     "m04_resize" -> (m04Resize _),
     "m05_sample_assembly" -> (m05SampleAssembly _),
     "m08_shard_pack" -> (m08ShardPack _),
-    "m09_shard_append" -> (m09ShardAppend _)
+    "m09_shard_append" -> (m09ShardAppend _),
+    "m12_release_staleness" -> (m12ReleaseStaleness _)
   )
+
+  /** Release-aware shard staleness (E239) — the compaction audit that
+    * closes the multimodal/release loop: m08's shard manifest joined to
+    * p31's release manifest, per shard: item/byte loads, the LIVE
+    * (released) slice, the stale byte share, and an exact-integer
+    * compaction flag (stale bytes x 2 >= shard bytes — the "rewrite
+    * this archive" rule). A release that drops a family turns its
+    * shards stale IN PLACE; this is the table the archive rewriter
+    * consumes (m09 appends, m12 decides what to rewrite).
+    *
+    * 100 TB posture: the pack is length-only (payload bytes never
+    * read), the manifest is write-once parquet, the join is ONE
+    * doc_id-keyed hash join of two narrow frames, and the rollup is a
+    * shard-keyed hash agg over corpus_bytes/8192 rows. stale_share is
+    * the one double division; the flag is integer arithmetic.
+    */
+  def m12ReleaseStaleness(spark: SparkSession, dir: String): DataFrame =
+    releaseStalenessFrom(
+      shardPack(mediaTable(spark, dir).select(col("doc_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes")), 8192L)
+        .select("doc_id", "n_bytes", "shard_id"),
+      PipelineOps.releaseManifest(spark, dir))
+
+  /** The m12 core over any (doc_id, n_bytes, shard_id) pack and
+    * p31-shaped manifest — exposed so the spec can pin the stale-share
+    * arithmetic and the compaction boundary directly.
+    */
+  private[graft] def releaseStalenessFrom(
+      pack: DataFrame, manifest: DataFrame): DataFrame = {
+    val released = manifest.filter(col("status") === "released")
+      .select(col("doc_id"), lit(1L).as("live"))
+    pack.join(released, Seq("doc_id"), "left")
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("live").isNotNull, 1L).otherwise(0L))
+          .as("live_items"),
+        sum(when(col("live").isNotNull, col("n_bytes")).otherwise(0L))
+          .as("live_bytes"))
+      .select(col("shard_id"), col("n_items"), col("n_bytes"),
+        col("live_items"), col("live_bytes"),
+        ((col("n_bytes") - col("live_bytes")).cast("double")
+          / col("n_bytes")).as("stale_share"),
+        when((col("n_bytes") - col("live_bytes")) * 2L >= col("n_bytes"),
+          1L).otherwise(0L).as("compact"))
+      .orderBy("shard_id")
+  }
 
   /** Codec-mix census over the opaque payloads: per (kind, 2-byte
     * header magic) item and byte counts with within-kind shares — the
@@ -753,6 +801,43 @@ object MediaOps {
         |ORDER BY 1""".stripMargin,
 
     // m08: the pack stated as ONE global window cumsum
+    // m12: m08's pack restated (the one global cumsum), the released
+    // set over the same manifest statement, one doc_id join, one
+    // shard rollup
+    "m12_release_staleness" ->
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS start
+         |  FROM mm
+         |),
+         |pk AS (
+         |  SELECT doc_id, n_bytes, start // 8192 AS shard_id FROM c
+         |),
+         |rel AS MATERIALIZED (
+         |  SELECT doc_id FROM (${PipelineOps.p31Sql})
+         |  WHERE status = 'released'
+         |)
+         |SELECT pk.shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(pk.n_bytes) AS BIGINT) AS n_bytes,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS live_items,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN pk.n_bytes
+         |    ELSE 0 END) AS BIGINT) AS live_bytes,
+         |  CAST(sum(pk.n_bytes) - sum(CASE WHEN r.doc_id IS NOT NULL
+         |    THEN pk.n_bytes ELSE 0 END) AS DOUBLE) / sum(pk.n_bytes)
+         |    AS stale_share,
+         |  CAST(CASE WHEN (sum(pk.n_bytes) - sum(CASE WHEN r.doc_id
+         |    IS NOT NULL THEN pk.n_bytes ELSE 0 END)) * 2
+         |    >= sum(pk.n_bytes) THEN 1 ELSE 0 END AS BIGINT) AS compact
+         |FROM pk LEFT JOIN rel r ON r.doc_id = pk.doc_id
+         |GROUP BY pk.shard_id ORDER BY pk.shard_id""".stripMargin,
     "m08_shard_pack" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -1835,7 +1835,9 @@ object PipelineOps {
        |LEFT JOIN spl s ON s.doc_id = m2.doc_id
        |LEFT JOIN ord o ON o.doc_id = m2.doc_id""".stripMargin
 
-  private val p31Sql: String = p31SqlWith(DedupOps.d07Sql)
+  // private[graft]: m12's oracle restates the released set over the
+  // same manifest statement
+  private[graft] val p31Sql: String = p31SqlWith(DedupOps.d07Sql)
 
   /** p31 over the pre-batch snapshot (doc_id % 10 <> 7): every `FROM
     * documents` in the composed statement reads the `docsnap` CTE

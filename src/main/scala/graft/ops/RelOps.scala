@@ -962,6 +962,46 @@ object RelOps {
       .orderBy("user_id")
   }
 
+  /** Churn hazard table (E240) — the Kaplan-Meier INPUT table over
+    * user lifetimes (churn = last observed activity, the
+    * product-analytics convention): per observed lifetime t (days
+    * between a user's first and last event), the risk set n_at_risk =
+    * users surviving >= t, the churn count n_churned = users whose
+    * lifetime is exactly t, and the discrete hazard d_t/n_t. w27
+    * answers "how many came back each week"; this answers "GIVEN you
+    * survived to day t, what's the chance you die there" — the curve a
+    * survival model or LTV forecast consumes. Lifetimes with zero
+    * churn emit no row (at-risk is unchanged there, hazard 0).
+    *
+    * Exactness: lifetimes are integer day-diffs; the risk set is a
+    * suffix sum over the lifetime histogram (exact longs); hazard the
+    * one division. Deliberately NO survival-curve column: Kaplan-Meier
+    * S(t) is a cumulative PRODUCT, and neither a float cumprod nor
+    * exp(sum(ln)) is bit-stable across engines — consumers fold the
+    * hazard table themselves (the same contract as w42's readout).
+    *
+    * 100 TB posture: one (user)-keyed agg over the event scan (map-side
+    * combinable min/max), one histogram agg over users, then the
+    * suffix-sum window on the O(distinct lifetimes)-row histogram —
+    * the single-partition window never sees users, only lifetimes.
+    */
+  def w50ChurnHazard(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(datediff(max(col("day")), min(col("day"))).cast("long")
+        .as("lifetime"))
+    val hist = life.groupBy("lifetime").agg(count(lit(1)).as("n_churned"))
+    val w = Window.orderBy(col("lifetime"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("n_at_risk", sum(col("n_churned")).over(w))
+      .select(col("lifetime").as("t_days"), col("n_at_risk"),
+        col("n_churned"),
+        (col("n_churned").cast("double") / col("n_at_risk")).as("hazard"))
+      .orderBy("t_days")
+  }
+
   /** Cohort retention triangle: users cohorted by the ISO week of
     * their FIRST event; for every (cohort_week, weeks_since) cell, the
     * distinct users still active that week and the retention rate
@@ -2138,6 +2178,7 @@ object RelOps {
     "w30_gap_quantiles" -> (w30GapQuantiles _),
     "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
+    "w50_churn_hazard" -> (w50ChurnHazard _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
     "w26_funnel" -> (w26Funnel _),
     "w25_gapfill" -> (w25GapFill _),
@@ -3025,6 +3066,28 @@ object RelOps {
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // w27: the same cohort triangle stated declaratively
+    // w50: lifetime histogram + suffix-sum risk set; hazard the one
+    // division of exact longs
+    "w50_churn_hazard" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', min(CAST(ts AS DATE)),
+        |      max(CAST(ts AS DATE))) AS BIGINT) AS lifetime
+        |  FROM events GROUP BY user_id
+        |),
+        |hist AS (
+        |  SELECT lifetime, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM life GROUP BY lifetime
+        |)
+        |SELECT lifetime AS t_days,
+        |  CAST(SUM(n_churned) OVER (ORDER BY lifetime
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS BIGINT) AS n_at_risk,
+        |  n_churned,
+        |  CAST(n_churned AS DOUBLE) / SUM(n_churned) OVER (
+        |    ORDER BY lifetime
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hazard
+        |FROM hist ORDER BY t_days""".stripMargin,
     "w27_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('week', ts) AS wk FROM events

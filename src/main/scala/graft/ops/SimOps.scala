@@ -1576,9 +1576,12 @@ object SimOps {
   def s28MutualKnn(spark: SparkSession, dir: String): DataFrame =
     mutualKnnOf(graft.Caches.cache(vectors(spark, dir)))
 
-  /** s28's body over any quantized vectors frame (probe-shared). */
-  private[graft] def mutualKnnOf(v: DataFrame): DataFrame = {
-    val k = 3
+  /** The directed banded-kNN edge list (src, dst, rank, cosine) every
+    * vector's top-k over its band candidates — s28's first half, shared
+    * with s34's label vote. Cached: s28 reads it twice (both join
+    * sides).
+    */
+  private[graft] def directedTopK(v: DataFrame, k: Int): DataFrame = {
     val bandArr = (0 until Bands)
       .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
       .mkString("array(", ", ", ")")
@@ -1607,12 +1610,17 @@ object SimOps {
     // per-source top-k via the bounded map-side heap (ties: higher
     // cosine first, then lower dst — graft_topk's order, = the oracle's
     // row_number ORDER BY cosine DESC, dst ASC)
-    val ranked = graft.Caches.cache(directed
+    graft.Caches.cache(directed
       .groupBy(col("src"))
       .agg(expr(s"graft_topk(cosine, dst, $k)").as("top"))
       .select(col("src"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("src"), col("t.id").as("dst"),
         (col("pos") + 1).cast("long").as("rank"), col("t.score").as("cosine")))
+  }
+
+  /** s28's body over any quantized vectors frame (probe-shared). */
+  private[graft] def mutualKnnOf(v: DataFrame): DataFrame = {
+    val ranked = directedTopK(v, 3)
     ranked.as("ab")
       .join(ranked.as("ba"),
         col("ab.src") === col("ba.dst") && col("ab.dst") === col("ba.src"))
@@ -1621,6 +1629,53 @@ object SimOps {
         col("ab.rank").as("rank_ab"), col("ba.rank").as("rank_ba"),
         col("ab.cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** kNN label-vote noise audit (E241) — the Confident-Learning-style
+    * mislabeled-example detector: every vector's k = 3 banded nearest
+    * neighbors vote a label (majority; ties to the smaller label id),
+    * and the corpus rolls up to (label, voted_label) confusion cells
+    * with an exact mismatch flag. Off-diagonal mass concentrated in one
+    * cell = a systematic labeling confusion; scattered off-diagonal =
+    * label noise to review (s32 flags geometric outliers against the
+    * OWN-label centroid; s34 flags votes from the NEIGHBORHOOD — the
+    * two queues overlap only on true noise). Vectors whose bands catch
+    * no candidate vote '-1' (no evidence, not noise).
+    *
+    * 100 TB posture: the band self-join is the only corpus-sized
+    * shuffle (O(n) candidates at calibrated banding); per-vector top-k
+    * is the map-side graft_topk heap; the vote is a (src, label) hash
+    * agg on the (n x k)-row edge list + a k-bounded majority window;
+    * cells are <= (labels+1) x labels rows.
+    */
+  def s34KnnLabelVote(spark: SparkSession, dir: String): DataFrame =
+    knnLabelVoteOf(graft.Caches.cache(vectors(spark, dir)))
+
+  /** s34's body over any quantized vectors frame carrying a `label`
+    * column — exposed so the spec can plant mislabeled cluster members.
+    */
+  private[graft] def knnLabelVoteOf(v: DataFrame): DataFrame = {
+    val ranked = directedTopK(v, 3)
+    val lbl = v.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = ranked
+      .join(lbl.select(col("vec_id").as("dst"),
+        col("label").as("nbr_label")), Seq("dst"))
+      .groupBy(col("src"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("n_votes").desc, col("nbr_label").asc)
+    val voted = votes.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .select(col("src").as("vec_id"), col("nbr_label").as("voted_label"))
+    lbl.join(voted, Seq("vec_id"), "left")
+      .withColumn("voted_label", coalesce(col("voted_label"), lit(-1L)))
+      .groupBy("label", "voted_label")
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("is_mismatch",
+        when(col("voted_label") >= 0L &&
+          col("voted_label") =!= col("label"), 1L).otherwise(0L))
+      .orderBy("label", "voted_label")
   }
 
   /** PQ distortion report — the quantization-error readout (FAISS's
@@ -1759,6 +1814,7 @@ object SimOps {
     "s30_cell_balance" -> (s30CellBalance _),
     "s29_pq_distortion" -> (s29PqDistortion _),
     "s28_mutual_knn" -> (s28MutualKnn _),
+    "s34_knn_label_vote" -> (s34KnnLabelVote _),
     "s27_pq_train" -> (s27PqTrain _),
     "s23_coverage_gaps" -> (s23CoverageGaps _),
     "s22_kmeans_refine" -> (s22KmeansRefine _),
@@ -3041,6 +3097,67 @@ object SimOps {
 
     // s28: same banded candidates + pair cosines as s03 (no threshold),
     // mirrored into a directed edge list, top-3 per source, reciprocal join
+    // s34: s28's banded directed top-3 with a per-source majority vote
+    // (ties to the smaller label), rolled to (label, voted) cells
+    "s34_knn_label_vote" ->
+      s"""WITH $unnestSql,
+         |bl AS (
+         |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+         |),
+         |eb AS (
+         |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
+         |         unnest(keys) AS key
+         |  FROM bl
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM eb a JOIN eb b ON b.band = a.band AND b.key = a.key
+         |  WHERE a.vec_id < b.vec_id
+         |),
+         |d AS (
+         |  SELECT c.id_a, c.id_b, SUM(ua.x * ub.x) AS dot
+         |  FROM cand c
+         |  JOIN u ua ON ua.vec_id = c.id_a
+         |  JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+         |  GROUP BY c.id_a, c.id_b
+         |),
+         |c AS (
+         |  SELECT id_a, id_b, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.normsq AS DOUBLE)) * sqrt(CAST(nb.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |),
+         |dir AS (
+         |  SELECT id_a AS src, id_b AS dst, cosine FROM c
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, cosine FROM c
+         |),
+         |r AS (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY cosine DESC, dst ASC) AS rank
+         |  FROM dir
+         |),
+         |k AS (SELECT * FROM r WHERE rank <= 3),
+         |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings),
+         |votes AS (
+         |  SELECT k.src, l.label AS nbr_label, count(*) AS n_votes
+         |  FROM k JOIN lbl l ON l.vec_id = k.dst
+         |  GROUP BY k.src, l.label
+         |),
+         |voted AS (
+         |  SELECT src, nbr_label AS voted_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY n_votes DESC, nbr_label ASC) AS rk
+         |    FROM votes) WHERE rk = 1
+         |)
+         |SELECT l.label, COALESCE(v.voted_label, -1) AS voted_label,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(CASE WHEN COALESCE(v.voted_label, -1) >= 0
+         |    AND COALESCE(v.voted_label, -1) <> l.label
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_mismatch
+         |FROM lbl l LEFT JOIN voted v ON v.src = l.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s28_mutual_knn" ->
       s"""WITH $unnestSql,
          |bl AS (
