@@ -1024,7 +1024,57 @@ object TextOps {
       .orderBy("source", "tercile")
   }
 
+  /** DSIR importance weights (E242) — Data Selection via Importance
+    * Resampling (Xie et al.), the published recipe for picking corpus
+    * docs that RESEMBLE a small target domain: tokens hash into 1024
+    * feature buckets, each bucket gets a target count (here the 'de'
+    * slice — the p19 low-resource-upsampling tie-in) and a corpus
+    * count, and every doc scores the sum over its token instances of
+    * the bucket log-ratio. Log-ratios are t08's bit-bucket form —
+    * bits(ct+1) - bits(cr+1), pure integer, no transcendental — so the
+    * per-doc weight is an exact long; the per-token mean is the one
+    * IEEE division. Higher = more target-like; the downstream sampler
+    * feeds weights to p17's exact apportionment.
+    *
+    * 100 TB posture: ONE token explode (cached — the bucket-count agg
+    * and the scoring join both read it), one 1024-row hash agg that
+    * BROADCASTS back (the scoring join is map-side), one per-doc hash
+    * agg. Nothing vocabulary- or corpus-sized is ever globally sorted.
+    */
+  def t28DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrom(
+      Tables.documents(spark, dir).select("doc_id", "lang", "text"))
+
+  /** The t28 core over any (doc_id, lang, text) frame — exposed so the
+    * spec can cross-check weights against an independent in-memory
+    * recomputation.
+    */
+  private[graft] def dsirWeightsFrom(docs: DataFrame): DataFrame = {
+    val tok = graft.Caches.cache(docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)" +
+          " % 1024")))
+    val bc = tok.groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).as("ct"))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    tok.join(broadcast(bc), Seq("bucket"))
+      .withColumn("score", bits(col("ct") + 1) - bits(col("cr") + 1))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("score")).as("dsir_weight"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("dsir_weight"),
+        (col("dsir_weight").cast("double") / col("n_tokens"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_dsir_weights" -> (t28DsirWeights _),
     "t27_surprisal_terciles" -> (t27SurprisalTerciles _),
     "t26_simpson_diversity" -> (t26SimpsonDiversity _),
     "t25_hapax_report" -> (t25HapaxReport _),
@@ -1172,6 +1222,32 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t28: hashed-bucket target/corpus counts, bit-bucket log ratios,
+    // per-doc integer sum + the one double division
+    "t28_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |),
+        |bc AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ct
+        |  FROM tok GROUP BY bucket
+        |)
+        |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum((length(format('{:b}', b.ct + 1)) - 1)
+        |    - (length(format('{:b}', b.cr + 1)) - 1)) AS BIGINT)
+        |    AS dsir_weight,
+        |  CAST(sum((length(format('{:b}', b.ct + 1)) - 1)
+        |    - (length(format('{:b}', b.cr + 1)) - 1)) AS DOUBLE)
+        |    / count(*) AS mean_bits
+        |FROM tok t JOIN bc b USING (bucket)
+        |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin,
     // t27: t08's bit-bucket surprisal per doc, ranked within source
     // (mb_milli DESC, doc_id), tercile = (3*(rank-1)) // source size —
     // exact integer arithmetic end to end; the cell mean is the one
