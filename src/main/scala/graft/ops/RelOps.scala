@@ -962,6 +962,52 @@ object RelOps {
       .orderBy("user_id")
   }
 
+  /** k-anonymity audit (E244) — the privacy-risk readout a data release
+    * runs BEFORE events leave the lakehouse: rows grouped by their
+    * quasi-identifier tuple (event_type, hour of day, value decade —
+    * the attributes an adversary can observe externally); a group with
+    * fewer than k = 5 distinct users re-identifies its members. Per
+    * event type: group counts, risky-group counts, the events exposed
+    * in risky groups, the DISTINCT users those groups expose, and the
+    * exposed-event share. Counts exact; the share one division.
+    *
+    * 100 TB posture: one (type, hour, bucket) hash agg with a
+    * countDistinct over the event scan (quasi-group cardinality is
+    * types x 24 x value-decades — tiny); the user-exposure pass is a
+    * LEFT SEMI of the cached narrow events against the risky-group
+    * keys (broadcast — risky groups are a subset of the tiny group
+    * frame) + one distinct-user agg; the rollup is |types| rows.
+    */
+  def w51KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.cache(Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb")))
+    val grp = graft.Caches.cache(ev.groupBy("event_type", "hr", "vb")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")))
+    val risky = grp.filter(col("n_users") < 5)
+      .select("event_type", "hr", "vb")
+    val exposed = ev.join(broadcast(risky),
+        Seq("event_type", "hr", "vb"), "left_semi")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exposed"))
+    grp.groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_users") < 5, 1L).otherwise(0L))
+          .as("n_risky_groups"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_users") < 5, col("n_events")).otherwise(0L))
+          .as("n_events_exposed"))
+      .join(exposed, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_groups"), col("n_risky_groups"),
+        col("n_events"), col("n_events_exposed"),
+        coalesce(col("n_users_exposed"), lit(0L)).as("n_users_exposed"),
+        (col("n_events_exposed").cast("double") / col("n_events"))
+          .as("exposed_share"))
+      .orderBy("event_type")
+  }
+
   /** Churn hazard table (E240) — the Kaplan-Meier INPUT table over
     * user lifetimes (churn = last observed activity, the
     * product-analytics convention): per observed lifetime t (days
@@ -2178,6 +2224,7 @@ object RelOps {
     "w30_gap_quantiles" -> (w30GapQuantiles _),
     "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
+    "w51_k_anonymity" -> (w51KAnonymity _),
     "w50_churn_hazard" -> (w50ChurnHazard _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
     "w26_funnel" -> (w26Funnel _),
@@ -3066,6 +3113,41 @@ object RelOps {
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // w27: the same cohort triangle stated declaratively
+    // w51: quasi-identifier groups, k = 5 risk cut, exposure rollup
+    "w51_k_anonymity" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vb
+        |  FROM events
+        |),
+        |grp AS (
+        |  SELECT event_type, hr, vb,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY 1, 2, 3
+        |),
+        |exposed AS (
+        |  SELECT e.event_type,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_exposed
+        |  FROM ev e
+        |  JOIN grp g ON g.event_type = e.event_type AND g.hr = e.hr
+        |    AND g.vb = e.vb
+        |  WHERE g.n_users < 5
+        |  GROUP BY e.event_type
+        |)
+        |SELECT g.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN g.n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  CAST(sum(g.n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN g.n_users < 5 THEN g.n_events ELSE 0 END)
+        |    AS BIGINT) AS n_events_exposed,
+        |  COALESCE(any_value(x.n_users_exposed), 0) AS n_users_exposed,
+        |  CAST(sum(CASE WHEN g.n_users < 5 THEN g.n_events ELSE 0 END)
+        |    AS DOUBLE) / sum(g.n_events) AS exposed_share
+        |FROM grp g LEFT JOIN exposed x ON x.event_type = g.event_type
+        |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin,
     // w50: lifetime histogram + suffix-sum risk set; hazard the one
     // division of exact longs
     "w50_churn_hazard" ->

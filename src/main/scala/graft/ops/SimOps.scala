@@ -1678,6 +1678,58 @@ object SimOps {
       .orderBy("label", "voted_label")
   }
 
+  /** Embedding-space decontamination (E243) — the SEMANTIC twin of
+    * d08's verbatim n-gram gate: training vectors whose embedding sits
+    * within cosine >= 0.35 of ANY eval-suite vector (vec_id % 97 == 0,
+    * d08's convention) are flagged with their hit count and nearest
+    * eval anchor. Catches the leakage n-grams can't — paraphrased or
+    * translated eval material lands nowhere near the verbatim gate but
+    * RIGHT next to its source in embedding space (the modern published
+    * recipe next to n-gram overlap).
+    *
+    * 100 TB posture: candidates come from the banded sign-LSH join
+    * RESTRICTED train x eval (both sides filter BEFORE the band join —
+    * the eval side is suite-sized, so candidate volume is bounded by
+    * eval-side bucket populations, never corpus x corpus); exact cosine
+    * only on candidates; the per-train argmax is a struct max (ties to
+    * the smaller eval id) folded map-side.
+    */
+  def s35EmbeddingDecontam(spark: SparkSession, dir: String): DataFrame =
+    embeddingDecontamFrom(graft.Caches.cache(vectors(spark, dir)))
+
+  /** s35's body over any quantized vectors frame — exposed so the spec
+    * can plant an eval vector with a known near-duplicate.
+    */
+  private[graft] def embeddingDecontamFrom(v: DataFrame): DataFrame = {
+    val bandArr = (0 until Bands)
+      .map(t => signKeyRange("embedding", t * BandBits + 1, BandBits))
+      .mkString("array(", ", ", ")")
+    val bands = graft.Caches.cache(
+      v.select(col("vec_id"), posexplode(expr(bandArr)).as(Seq("band", "key"))))
+    val evalB = bands.filter(col("vec_id") % 97 === 0)
+      .select(col("band"), col("key"), col("vec_id").as("eval_id"))
+    val trainB = bands.filter(col("vec_id") % 97 =!= 0)
+      .select(col("band"), col("key"), col("vec_id").as("train_id"))
+    val cand = trainB.join(evalB, Seq("band", "key"))
+      .select("train_id", "eval_id")
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("train_id"), col("qv").as("emb_a"),
+        col("vnorm").as("qnorm")), Seq("train_id"))
+      .join(v.select(col("vec_id").as("eval_id"), col("qv").as("emb_b"),
+        col("vnorm").as("vnorm")), Seq("eval_id"))
+      .withColumn("dot", expr(dotSq("emb_a", "emb_b")))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= 0.35)
+      .groupBy(col("train_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("cosine"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("n_eval_hits"),
+        (-col("best.neg")).as("nearest_eval_id"),
+        col("best.cosine").as("nearest_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** PQ distortion report — the quantization-error readout (FAISS's
     * reconstruction-error diagnostic) per (subspace, codeword): how
     * much the 8-byte code loses versus the real vector, cell by cell.
@@ -1815,6 +1867,7 @@ object SimOps {
     "s29_pq_distortion" -> (s29PqDistortion _),
     "s28_mutual_knn" -> (s28MutualKnn _),
     "s34_knn_label_vote" -> (s34KnnLabelVote _),
+    "s35_embedding_decontam" -> (s35EmbeddingDecontam _),
     "s27_pq_train" -> (s27PqTrain _),
     "s23_coverage_gaps" -> (s23CoverageGaps _),
     "s22_kmeans_refine" -> (s22KmeansRefine _),
@@ -3097,6 +3150,48 @@ object SimOps {
 
     // s28: same banded candidates + pair cosines as s03 (no threshold),
     // mirrored into a directed edge list, top-3 per source, reciprocal join
+    // s35: banded train x eval candidates, exact cosine, radius flag +
+    // per-train nearest eval anchor (ties to the smaller eval id)
+    "s35_embedding_decontam" ->
+      s"""WITH $unnestSql,
+         |bl AS (
+         |  SELECT vec_id, $bandKeysSql AS keys FROM embeddings
+         |),
+         |eb AS (
+         |  SELECT vec_id, generate_subscripts(keys, 1) AS band,
+         |         unnest(keys) AS key
+         |  FROM bl
+         |),
+         |cand AS (
+         |  SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+         |  FROM eb t JOIN eb e ON e.band = t.band AND e.key = t.key
+         |  WHERE t.vec_id % 97 <> 0 AND e.vec_id % 97 = 0
+         |),
+         |d AS (
+         |  SELECT c.train_id, c.eval_id, SUM(ua.x * ub.x) AS dot
+         |  FROM cand c
+         |  JOIN u ua ON ua.vec_id = c.train_id
+         |  JOIN u ub ON ub.vec_id = c.eval_id AND ub.i = ua.i
+         |  GROUP BY c.train_id, c.eval_id
+         |),
+         |c AS (
+         |  SELECT train_id, eval_id, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.normsq AS DOUBLE)) * sqrt(CAST(nb.normsq AS DOUBLE)))
+         |      AS cosine
+         |  FROM d JOIN n na ON na.vec_id = train_id
+         |    JOIN n nb ON nb.vec_id = eval_id
+         |),
+         |f AS (SELECT * FROM c WHERE cosine >= 0.35),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY train_id
+         |      ORDER BY cosine DESC, eval_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY train_id) AS n_eval_hits
+         |  FROM f
+         |)
+         |SELECT train_id AS vec_id,
+         |  CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+         |  eval_id AS nearest_eval_id, cosine AS nearest_cosine
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // s34: s28's banded directed top-3 with a per-source majority vote
     // (ties to the smaller label), rolled to (label, voted) cells
     "s34_knn_label_vote" ->
