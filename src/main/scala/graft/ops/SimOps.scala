@@ -1280,6 +1280,53 @@ object SimOps {
       .orderBy("label", "rank")
   }
 
+  /** D4 prototypicality pruning (E245) — the second half of the D4
+    * recipe (SemDeDup first, then drop the most PROTOTYPICAL points:
+    * the cluster cores a model learns from any one example of). Every
+    * vector scores cosine to its OWN-label centroid (s32's join), ranks
+    * within its label (ccos desc, vec_id tiebreak — most prototypical
+    * first), and the exact-integer cut rank*10 <= n drops the top 10%.
+    * s32 flags the label-noise TAIL of the same ranking; s36 prunes the
+    * redundant HEAD — the two ends of one curve, opposite actions.
+    *
+    * 100 TB posture: the centroid table is label-count-sized and
+    * broadcast; scoring is one equality join on the label key; the
+    * rank window partitions by label over the corpus frame (the same
+    * shuffle key as the scoring join — one exchange).
+    */
+  def s36Prototypicality(spark: SparkSession, dir: String): DataFrame =
+    prototypicalityOf(spark, Tables.embeddings(spark, dir))
+
+  /** s36 core over any (vec_id, embedding float[], label) frame. */
+  private[graft] def prototypicalityOf(
+      spark: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = emb.withColumn("qv", expr(quantize))
+      .select(col("vec_id"), col("qv"), col("label"),
+        expr(dotSq("qv", "qv")).as("vnorm"))
+    val cells = cellCentroids(v)
+    val scored = v
+      .select(col("vec_id"), col("label").cast("long").as("cell"),
+        col("qv"), col("vnorm"))
+      .join(broadcast(cells), Seq("cell"))
+      .withColumn("ccos", expr(dotSq("qv", "cvec")).cast("double") /
+        (sqrt(col("vnorm").cast("double")) *
+          sqrt(col("cnorm").cast("double"))))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+    scored
+      .withColumn("proto_rank", row_number().over(wr).cast("long"))
+      .withColumn("n_label", count(lit(1)).over(wn))
+      .select(col("vec_id"), col("cell").as("label"), col("ccos"),
+        col("proto_rank"), col("n_label"),
+        when(col("proto_rank") * 10L <= col("n_label"), 1L)
+          .otherwise(0L).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   /** Dimension-truncated adaptive retrieval (the Matryoshka/MRL
     * pattern): a coarse pass ranks candidates on the FIRST 16 of 64
     * components — a 4x cheaper integer dot against every corpus vector
@@ -1874,6 +1921,7 @@ object SimOps {
     "s21_centroid_drift" -> (s21CentroidDrift _),
     "s20_truncated_rescore" -> (s20TruncatedRescore _),
     "s32_label_outliers" -> (s32LabelOutliers _),
+    "s36_prototypicality" -> (s36Prototypicality _),
     "s25_tombstone_compact" -> (s25TombstoneCompact _),
     "s19_ivf_append" -> (s19IvfAppend _),
     "s18_margin_mining" -> (s18MarginMining _),
@@ -2339,6 +2387,40 @@ object SimOps {
 
     // s32: full-corpus label centroids, each vector scored against its
     // OWN label, bottom-3 per label by (ccos asc, vec_id)
+    // s36: s32's own-centroid scoring with the opposite ranking — most
+    // prototypical first, exact-integer 10% cut
+    "s36_prototypicality" ->
+      s"""WITH $unnestSql,
+         |cs AS (
+         |  SELECT CAST(e.label AS BIGINT) AS cell, u.i AS dim,
+         |         CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS cx
+         |  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+         |  GROUP BY e.label, u.i
+         |),
+         |cn AS (SELECT cell, SUM(cx * cx) AS cnormsq FROM cs GROUP BY cell),
+         |sc AS (
+         |  SELECT u.vec_id, CAST(e.label AS BIGINT) AS cell,
+         |         CAST(SUM(u.x * cs.cx) AS DOUBLE) /
+         |           (sqrt(CAST(nv.normsq AS DOUBLE)) *
+         |            sqrt(CAST(cn.cnormsq AS DOUBLE))) AS ccos
+         |  FROM u
+         |  JOIN embeddings e ON e.vec_id = u.vec_id
+         |  JOIN cs ON cs.cell = CAST(e.label AS BIGINT) AND cs.dim = u.i
+         |  JOIN n nv ON nv.vec_id = u.vec_id
+         |  JOIN cn ON cn.cell = CAST(e.label AS BIGINT)
+         |  GROUP BY u.vec_id, e.label, nv.normsq, cn.cnormsq
+         |),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY ccos DESC, vec_id ASC) AS BIGINT) AS proto_rank,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_label
+         |  FROM sc
+         |)
+         |SELECT vec_id, cell AS label, ccos, proto_rank, n_label,
+         |  CAST(CASE WHEN proto_rank * 10 <= n_label THEN 1 ELSE 0 END
+         |    AS BIGINT) AS dropped
+         |FROM r ORDER BY vec_id""".stripMargin,
     "s32_label_outliers" ->
       s"""WITH $unnestSql,
          |cs AS (
