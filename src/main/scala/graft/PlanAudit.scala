@@ -210,7 +210,12 @@ object PlanAudit {
     // q26: the d23 1-row released-token-total broadcast scaling the
     // per-source serving shares (allowlisted with the query, not after
     // the snapshot — the p32 lesson)
-    "q26_release_serving" -> Set("BroadcastNestedLoopJoin")
+    "q26_release_serving" -> Set("BroadcastNestedLoopJoin"),
+    // p36: the 1-row totals x 1-row contamination-count cross join —
+    // two scalar frames (each a 1-row global agg, hence two
+    // SinglePartition exchanges) folding to the one-row sign-off card
+    "p36_release_signoff" ->
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

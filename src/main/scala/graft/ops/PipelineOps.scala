@@ -1700,7 +1700,71 @@ object PipelineOps {
       .orderBy("shard_id")
   }
 
+  /** Release sign-off gate (E246) — the ONE-ROW ship/no-ship card a
+    * release review reads last, composing the whole release suite:
+    * p31's manifest totals, the two p34 contamination hazards
+    * (eval-suite members released; released TRAIN docs sharing a
+    * 4-gram with the eval suite), and a split-mix range check
+    * (train share of released docs within [70%, 90%] — the leakage-
+    * safe split targets 80%). ship = 1 iff every hazard is zero and
+    * the mix check passes; on a corpus with planted contamination the
+    * gate correctly refuses (the spec pins both verdicts).
+    *
+    * 100 TB posture: the manifest is write-once parquet (two narrow
+    * aggregates over it); the gram hazard re-uses p34's
+    * filter-then-explode discipline on the released TRAIN slice only;
+    * every count lands in one 1-row frame — no corpus-sized shuffle
+    * beyond the gram join contamination keeps rare.
+    */
+  def p36ReleaseSignoff(spark: SparkSession, dir: String): DataFrame =
+    releaseSignoffFrom(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      releaseManifest(spark, dir))
+
+  /** The p36 core over any (doc_id, source, text) corpus and
+    * p31-shaped manifest — exposed so the spec can plant a clean and a
+    * contaminated release and pin both verdicts.
+    */
+  private[graft] def releaseSignoffFrom(
+      docs: DataFrame, manifest: DataFrame): DataFrame = {
+    val m = graft.Caches.cache(manifest)
+    val rel = m.filter(col("status") === "released")
+    val totals = rel.agg(
+      count(lit(1)).as("n_released"),
+      sum(col("n_tokens")).as("released_tokens"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("doc_id") % 97 === 0, 1L).otherwise(0L))
+        .as("n_bench_released"))
+    val grams = "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+      " i -> array_join(slice(toks, i, 4), ' ')))"
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(grams)).as("gram"))
+      .distinct()
+    val contamTrain = docs
+      .join(rel.filter(col("split") === "train").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_contam_train"))
+    totals.crossJoin(broadcast(contamTrain))
+      .select(col("n_released"), col("released_tokens"), col("n_train"),
+        col("n_bench_released"), col("n_contam_train"),
+        // exact-integer range check: 0.70 <= train/released <= 0.90
+        when(col("n_train") * 10L >= col("n_released") * 7L &&
+          col("n_train") * 10L <= col("n_released") * 9L, 1L)
+          .otherwise(0L).as("split_mix_ok"))
+      .withColumn("ship",
+        when(col("n_bench_released") === 0L &&
+          col("n_contam_train") === 0L &&
+          col("split_mix_ok") === 1L, 1L).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p36_release_signoff" -> (p36ReleaseSignoff _),
     "p34_release_decontam" -> (p34ReleaseDecontam _),
     "p35_release_shards" -> (p35ReleaseShards _),
     "q26_release_serving" -> (q26ReleaseServing _),
@@ -1854,6 +1918,51 @@ object PipelineOps {
           "(SELECT * FROM documents WHERE doc_id % 10 <> 7),\n")
 
   val oracle: Map[String, String] = Map(
+    // p36: manifest totals + the two p34 hazards folded to ONE row with
+    // the exact-integer split-mix check and the composite ship verdict
+    "p36_release_signoff" ->
+      s"""WITH m AS MATERIALIZED ($p31Sql),
+         |rel AS MATERIALIZED (SELECT * FROM m WHERE status = 'released'),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_released,
+         |    CAST(sum(n_tokens) AS BIGINT) AS released_tokens,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_bench_released
+         |  FROM rel
+         |),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+         |      AS gram
+         |    FROM documents WHERE doc_id % 97 = 0)
+         |),
+         |ct AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_contam_train FROM (
+         |    SELECT DISTINCT t.doc_id FROM (
+         |      SELECT d.doc_id, unnest(list_distinct(list_transform(
+         |        generate_series(1, greatest(len(string_split(d.text, ' '))-3, 1)),
+         |        i -> array_to_string(string_split(d.text, ' ')[i:i+3], ' '))))
+         |        AS gram
+         |      FROM documents d
+         |      JOIN rel r ON r.doc_id = d.doc_id AND r.split = 'train'
+         |      WHERE d.doc_id % 97 <> 0) t
+         |    JOIN bg USING (gram))
+         |)
+         |SELECT tot.n_released, tot.released_tokens, tot.n_train,
+         |  tot.n_bench_released, ct.n_contam_train,
+         |  CAST(CASE WHEN tot.n_train * 10 >= tot.n_released * 7
+         |    AND tot.n_train * 10 <= tot.n_released * 9
+         |    THEN 1 ELSE 0 END AS BIGINT) AS split_mix_ok,
+         |  CAST(CASE WHEN tot.n_bench_released = 0
+         |    AND ct.n_contam_train = 0
+         |    AND tot.n_train * 10 >= tot.n_released * 7
+         |    AND tot.n_train * 10 <= tot.n_released * 9
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ship
+         |FROM tot CROSS JOIN ct""".stripMargin,
     // p34: the released slice joined back to text, the eval suite's
     // distinct 4-grams (d08's recipe), the contaminated-id set, and the
     // (split, source) rollup with both hazard counts

@@ -220,6 +220,59 @@ class CorpusReleaseSpec extends SparkTestBase {
       s1.getAs[Long]("last_pos") == 4L)
   }
 
+  test("p36: a clean release ships; a bench-released doc, a " +
+      "contaminated train doc, or a broken split mix each refuse") {
+    def manifest(rows: Seq[(Long, Long, String, Option[String])]) =
+      rows.toDF("doc_id", "n_tokens", "status", "split")
+    // clean: 10 released (8 train / 1 val / 1 test), no bench member,
+    // disjoint vocabulary from the bench doc 97 (which stays filtered)
+    val cleanDocs = ((1L to 10L).map(i =>
+      (i, "s", s"c$i-a c$i-b c$i-c c$i-d c$i-e")) :+
+      (97L, "s", "evalx evaly evalz evalw tailq"))
+      .toDF("doc_id", "source", "text")
+    val cleanM = manifest((1L to 10L).map(i =>
+      (i, 10L, "released",
+        Some(if (i <= 8) "train" else if (i == 9L) "val" else "test"))) :+
+      ((97L, 9L, "filtered", None: Option[String])))
+    val clean = PipelineOps.releaseSignoffFrom(cleanDocs, cleanM)
+      .collect().head
+    assert(clean.getAs[Long]("n_released") == 10L &&
+      clean.getAs[Long]("n_train") == 8L &&
+      clean.getAs[Long]("n_bench_released") == 0L &&
+      clean.getAs[Long]("n_contam_train") == 0L &&
+      clean.getAs[Long]("split_mix_ok") == 1L &&
+      clean.getAs[Long]("ship") == 1L)
+    graft.Caches.unpersistAll()
+    // poisoned: doc 1's text now shares doc 97's 4-gram AND doc 0 (a
+    // bench member, 0 % 97 == 0) is released -> both hazards fire
+    val badDocs = (Seq(
+      (0L, "s", "b0a b0b b0c b0d b0e"),
+      (1L, "s", "pre evalx evaly evalz evalw post")) ++
+      (2L to 10L).map(i => (i, "s", s"c$i-a c$i-b c$i-c c$i-d c$i-e")) :+
+      ((97L, "s", "evalx evaly evalz evalw tailq")))
+      .toDF("doc_id", "source", "text")
+    val badM = manifest(Seq(
+      (0L, 10L, "released", Some("train"))) ++
+      (1L to 10L).map(i => (i, 10L, "released",
+        Some(if (i <= 8) "train" else if (i == 9L) "val" else "test"))) :+
+      ((97L, 9L, "filtered", None: Option[String])))
+    val bad = PipelineOps.releaseSignoffFrom(badDocs, badM)
+      .collect().head
+    assert(bad.getAs[Long]("n_bench_released") == 1L) // doc 0
+    assert(bad.getAs[Long]("n_contam_train") == 1L) // doc 1
+    assert(bad.getAs[Long]("ship") == 0L)
+    graft.Caches.unpersistAll()
+    // mix check alone refuses: 10 released, all train (share 1.0)
+    val allTrainM = manifest((1L to 10L).map(i =>
+      (i, 10L, "released", Some("train"))))
+    val mix = PipelineOps.releaseSignoffFrom(cleanDocs, allTrainM)
+      .collect().head
+    assert(mix.getAs[Long]("split_mix_ok") == 0L &&
+      mix.getAs[Long]("ship") == 0L &&
+      mix.getAs[Long]("n_contam_train") == 0L)
+    graft.Caches.unpersistAll()
+  }
+
   test("p33: transition cells partition the new corpus, new-batch docs " +
       "land in 'absent', and a cross-release split flip is counted as " +
       "a migration") {
