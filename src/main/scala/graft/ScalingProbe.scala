@@ -507,6 +507,34 @@ object ScalingProbe {
     prepared.unpersist()
   }
 
+  /** s35 shape: embedding decontamination (train x eval banded join) on
+    * a planted clustered corpus with every 97th vector an eval anchor.
+    * Claimed posture: both sides filter BEFORE the band join, so the
+    * candidate volume is bounded by eval-side bucket populations (the
+    * eval suite grows with n here — the worst case for the claim; a
+    * real eval suite is fixed-size, making large-n behavior strictly
+    * better than this probe's).
+    */
+  private def semDeconProbe(spark: SparkSession, n: Int, k: Int): Unit = {
+    val src = if (n <= 100000)
+      { import spark.implicits._
+        PlantedVectors.corpus(n, k).toDF("vec_id", "embedding") }
+    else distPlantedCorpus(spark, n, k)
+    val prepared = graft.ops.SimOps.prepareVectors(src).persist()
+    prepared.count()
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val a = graft.ops.SimOps.embeddingDecontamFrom(prepared)
+        .groupBy().count()
+      val rows = a.head().getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"s35_embedding_decontam n=$n run $i: ${dt}%.2fs " +
+        f"flagged=$rows")
+      Caches.unpersistAll()
+    }
+    prepared.unpersist()
+  }
+
   /** w48 shape: cohort LTV on n orders over n/10 customers spread
     * across a fixed 24-cohort-month span. Claimed posture: ONE orders
     * scan into the customer-cohort agg; everything after (spine,
@@ -705,6 +733,12 @@ object ScalingProbe {
     }
     if (args.headOption.contains("attribution")) {
       attributionProbe(spark, if (args.length > 1) args(1).toInt else 200000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("semdecon")) {
+      semDeconProbe(spark, if (args.length > 1) args(1).toInt else 50000,
+        if (args.length > 2) args(2).toInt else 100)
       spark.stop()
       return
     }
