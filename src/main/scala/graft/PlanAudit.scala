@@ -79,6 +79,10 @@ object PlanAudit {
     // t27: the t08 1-row corpus-total broadcast — it enters only the
     // reported cell mean; the tercile RANKING is scalar-free
     "t27_surprisal_terciles" -> Set("BroadcastNestedLoopJoin"),
+    // t28: the 1-row token-totals broadcast carrying the DSIR
+    // normalization constant bits(Nr+1)-bits(Nt+1) (ADVICE r11) — the
+    // t05/t08 scalar pattern over the per-doc aggregated frame
+    "t28_dsir_weights" -> Set("BroadcastNestedLoopJoin"),
     // t23: sources x sources zero-kept spine — a source-count-bounded
     // broadcast theta join (src_a < src_b); the overlap join itself is
     // token-keyed equality

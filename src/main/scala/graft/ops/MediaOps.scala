@@ -38,11 +38,15 @@ case class MediaFeatures(
 /** Multimodal-column operators (SURVEY.md §7 step E / builder brief):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`StubCodec`) — but the Spark-side
-  * plumbing is real: binary payload column, schema, partition-preserving
-  * `mapPartitions` with batch iteration (the Scala twin of `mapInPandas`:
-  * one iterator per partition, vectorizable batch shape), and typed
+  * The container has no external image/audio codecs. PNG and BMP
+  * payloads decode REAL pixels through the JRE's own `javax.imageio`
+  * (`RealCodec` — gated on a verified container check, spec-covered
+  * with genuine fixture images); every other payload takes the
+  * clearly-marked deterministic stub (`StubCodec`). The Spark-side
+  * plumbing is identical for both and real throughout: binary payload
+  * column, schema, partition-preserving `mapPartitions` with batch
+  * iteration (the Scala twin of `mapInPandas`: one iterator per
+  * partition, vectorizable batch shape), and typed
   * `Dataset[MediaFeatures]` output.
   *
   * m01 keeps the metadata path fully relational (oracle-checked): payload
@@ -52,9 +56,100 @@ case class MediaFeatures(
   */
 object MediaOps {
 
+  /** Pure-JRE REAL image decoder (VERDICT r11 item 4): PNG and BMP via
+    * `javax.imageio` — the two formats the stock JRE decodes with no
+    * external codec. The gate is a VERIFIED container check, not a
+    * sniff: PNG requires the full 8-byte signature (its 0x89 lead byte
+    * cannot open UTF-8 text, so the text stand-in corpus can never
+    * reach this path); BMP requires the "BM" magic AND the header's
+    * declared file size to equal the payload length. Payloads that
+    * pass the gate but fail to decode (truncated/corrupt) fall back to
+    * the stub — decode never throws on executor data.
+    */
+  object RealCodec {
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+        b(6) == 0x1a.toByte && b(7) == 0x0a
+    private def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'B' && b(1) == 'M' && {
+        val declared = (b(2) & 0xffL) | ((b(3) & 0xffL) << 8) |
+          ((b(4) & 0xffL) << 16) | ((b(5) & 0xffL) << 24)
+        declared == b.length.toLong
+      }
+
+    /** The decoded image, or None when the payload is not a verified
+      * PNG/BMP container (or fails to decode). ImageIO is called only
+      * past the magic gate, so this is cheap on non-image payloads.
+      */
+    def decodeImage(bytes: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      if (!isPng(bytes) && !isBmp(bytes)) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
+
+    /** Integer luminance in [0, 255] of a packed ARGB pixel — the one
+      * pixel rule shared by decode and resize (ITU-R 601 integer form:
+      * (299 R + 587 G + 114 B) / 1000).
+      */
+    def luma(argb: Int): Int = {
+      val r = (argb >> 16) & 0xff
+      val g = (argb >> 8) & 0xff
+      val b = argb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    /** Real feature extraction over decoded pixels: true dims, mean
+      * luminance, 4-bucket luminance histogram — the same output shape
+      * the stub fakes from bytes.
+      */
+    def features(row: MediaRow,
+        img: java.awt.image.BufferedImage): MediaFeatures = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val histo = Array.fill(4)(0L)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val l = luma(img.getRGB(x, y))
+          sum += l; histo(l / 64) += 1; x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(row.doc_id, row.kind, row.payload.length.toLong,
+        sum.toDouble / (w.toLong * h), w, h, 1, histo)
+    }
+
+    /** Real resize: sample every `factor`-th pixel on both axes
+      * (nearest-neighbor downscale), checksum = sum of sampled lumas —
+      * the same output shape the stub fakes from byte strides.
+      */
+    def resize(row: MediaRow, img: java.awt.image.BufferedImage,
+        factor: Int): ResizedMedia = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (ow, oh) = (math.max(1, w / factor), math.max(1, h / factor))
+      var sum = 0L
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          sum += luma(img.getRGB(ox * factor, oy * factor)); ox += 1
+        }
+        oy += 1
+      }
+      ResizedMedia(row.doc_id, row.kind, w, h, ow, oh,
+        row.payload.length.toLong, ow.toLong * oh, sum)
+    }
+  }
+
   /** Deterministic fake decoder: derives "decoded" properties purely from
-    * payload bytes. A real deployment swaps this object for a JNI/codec
-    * call with the same signature; everything around it is unchanged.
+    * payload bytes. Payloads that verify as a real PNG/BMP container
+    * take `RealCodec`'s pixel path instead (the container check is
+    * exact, so the text stand-in corpus always takes the stub path and
+    * oracle hashes never move); everything around the codec — batch
+    * shape, partitioning, typed output — is identical for both.
     */
   object StubCodec {
     /** Fake dimensions from the first payload bytes (stable, codec-free)
@@ -102,12 +197,17 @@ object MediaOps {
       n, kept, sum)
   }
 
-  /** Batched stub resize via mapPartitions — same narrow, partition-
-    * preserving plan shape as decodeFeatures.
+  /** Batched resize via mapPartitions — same narrow, partition-
+    * preserving plan shape as decodeFeatures. Verified PNG/BMP payloads
+    * take the real pixel downscale; everything else the byte stub.
     */
   def resizeMedia(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => stubResize(r, factor)))
+    media.mapPartitions(_.map { r =>
+      RealCodec.decodeImage(r.payload)
+        .map(img => RealCodec.resize(r, img, factor))
+        .getOrElse(stubResize(r, factor))
+    })
   }
 
   /** Driver-checkable wrapper. The mapPartitions resize itself is not
@@ -153,13 +253,19 @@ object MediaOps {
           % 1024 + 64).as("pseudo_height"))
       .orderBy("doc_id")
 
-  /** Batched stub decode + feature extraction via mapPartitions: the
+  /** Batched decode + feature extraction via mapPartitions: the
     * partition-preserving narrow transform a real decoder would run in
-    * (no shuffle; each task decodes its own split's rows).
+    * (no shuffle; each task decodes its own split's rows). Verified
+    * PNG/BMP payloads decode REAL pixels via `RealCodec` (pure JRE);
+    * everything else takes the deterministic stub.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubCodec.decode))
+    media.mapPartitions(_.map { r =>
+      RealCodec.decodeImage(r.payload)
+        .map(img => RealCodec.features(r, img))
+        .getOrElse(StubCodec.decode(r))
+    })
   }
 
   /** Driver-checkable wrapper. Like m04: the mapPartitions decode keeps
@@ -573,9 +679,15 @@ object MediaOps {
           .as("live_bytes"))
       .select(col("shard_id"), col("n_items"), col("n_bytes"),
         col("live_items"), col("live_bytes"),
-        ((col("n_bytes") - col("live_bytes")).cast("double")
-          / col("n_bytes")).as("stale_share"),
-        when((col("n_bytes") - col("live_bytes")) * 2L >= col("n_bytes"),
+        // empty-shard semantics (ADVICE r11): a shard of zero total
+        // bytes has nothing stale and nothing to rewrite — stale_share
+        // 0.0 (not NULL) and compact 0, consistently. Real shards take
+        // the one double division; the flag stays exact-integer.
+        when(col("n_bytes") > 0L,
+          (col("n_bytes") - col("live_bytes")).cast("double")
+            / col("n_bytes")).otherwise(lit(0.0)).as("stale_share"),
+        when(col("n_bytes") > 0L &&
+          (col("n_bytes") - col("live_bytes")) * 2L >= col("n_bytes"),
           1L).otherwise(0L).as("compact"))
       .orderBy("shard_id")
   }
@@ -830,10 +942,12 @@ object MediaOps {
          |    AS BIGINT) AS live_items,
          |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN pk.n_bytes
          |    ELSE 0 END) AS BIGINT) AS live_bytes,
-         |  CAST(sum(pk.n_bytes) - sum(CASE WHEN r.doc_id IS NOT NULL
-         |    THEN pk.n_bytes ELSE 0 END) AS DOUBLE) / sum(pk.n_bytes)
-         |    AS stale_share,
-         |  CAST(CASE WHEN (sum(pk.n_bytes) - sum(CASE WHEN r.doc_id
+         |  CASE WHEN sum(pk.n_bytes) > 0 THEN
+         |    CAST(sum(pk.n_bytes) - sum(CASE WHEN r.doc_id IS NOT NULL
+         |      THEN pk.n_bytes ELSE 0 END) AS DOUBLE) / sum(pk.n_bytes)
+         |    ELSE 0.0 END AS stale_share,
+         |  CAST(CASE WHEN sum(pk.n_bytes) > 0
+         |    AND (sum(pk.n_bytes) - sum(CASE WHEN r.doc_id
          |    IS NOT NULL THEN pk.n_bytes ELSE 0 END)) * 2
          |    >= sum(pk.n_bytes) THEN 1 ELSE 0 END AS BIGINT) AS compact
          |FROM pk LEFT JOIN rel r ON r.doc_id = pk.doc_id

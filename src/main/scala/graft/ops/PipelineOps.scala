@@ -1529,8 +1529,14 @@ object PipelineOps {
     * card is a complete partition of the corpus (counts sum to totals,
     * shares to 1 — spec-pinned).
     */
-  def p32ReleaseCard(spark: SparkSession, dir: String): DataFrame = {
-    val m = graft.Caches.cache(releaseManifest(spark, dir))
+  def p32ReleaseCard(spark: SparkSession, dir: String): DataFrame =
+    releaseCardFrom(graft.Caches.cache(releaseManifest(spark, dir)))
+
+  /** The p32 core over any p31-shaped manifest — exposed for the
+    * release-chain scaling probe (identical plan to the inline form it
+    * replaced: one rollup agg + the 1-row totals broadcast).
+    */
+  private[graft] def releaseCardFrom(m: DataFrame): DataFrame = {
     val tot = m.agg(count(lit(1)).as("td"), sum(col("n_tokens")).as("tt"))
     m.groupBy(col("status"), coalesce(col("split"), lit("-")).as("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
@@ -1703,8 +1709,10 @@ object PipelineOps {
   /** Release sign-off gate (E246) — the ONE-ROW ship/no-ship card a
     * release review reads last, composing the whole release suite:
     * p31's manifest totals, the two p34 contamination hazards
-    * (eval-suite members released; released TRAIN docs sharing a
-    * 4-gram with the eval suite), and a split-mix range check
+    * (eval-suite members released; released docs of ANY split sharing
+    * a 4-gram with the eval suite — p34's hazard definition exactly; a
+    * released val/test doc overlapping the eval suite blocks ship the
+    * same as a train doc, ADVICE r11), and a split-mix range check
     * (train share of released docs within [70%, 90%] — the leakage-
     * safe split targets 80%). ship = 1 iff every hazard is zero and
     * the mix check passes; on a corpus with planted contamination the
@@ -1741,25 +1749,24 @@ object PipelineOps {
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(grams)).as("gram"))
       .distinct()
-    val contamTrain = docs
-      .join(rel.filter(col("split") === "train").select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    val contamReleased = docs
+      .join(rel.select("doc_id"), Seq("doc_id"), "left_semi")
       .filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(grams)).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left_semi")
       .select("doc_id").distinct()
-      .agg(count(lit(1)).as("n_contam_train"))
-    totals.crossJoin(broadcast(contamTrain))
+      .agg(count(lit(1)).as("n_contam_released"))
+    totals.crossJoin(broadcast(contamReleased))
       .select(col("n_released"), col("released_tokens"), col("n_train"),
-        col("n_bench_released"), col("n_contam_train"),
+        col("n_bench_released"), col("n_contam_released"),
         // exact-integer range check: 0.70 <= train/released <= 0.90
         when(col("n_train") * 10L >= col("n_released") * 7L &&
           col("n_train") * 10L <= col("n_released") * 9L, 1L)
           .otherwise(0L).as("split_mix_ok"))
       .withColumn("ship",
         when(col("n_bench_released") === 0L &&
-          col("n_contam_train") === 0L &&
+          col("n_contam_released") === 0L &&
           col("split_mix_ok") === 1L, 1L).otherwise(0L))
   }
 
@@ -1941,24 +1948,24 @@ object PipelineOps {
          |    FROM documents WHERE doc_id % 97 = 0)
          |),
          |ct AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_contam_train FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_contam_released FROM (
          |    SELECT DISTINCT t.doc_id FROM (
          |      SELECT d.doc_id, unnest(list_distinct(list_transform(
          |        generate_series(1, greatest(len(string_split(d.text, ' '))-3, 1)),
          |        i -> array_to_string(string_split(d.text, ' ')[i:i+3], ' '))))
          |        AS gram
          |      FROM documents d
-         |      JOIN rel r ON r.doc_id = d.doc_id AND r.split = 'train'
+         |      JOIN rel r ON r.doc_id = d.doc_id
          |      WHERE d.doc_id % 97 <> 0) t
          |    JOIN bg USING (gram))
          |)
          |SELECT tot.n_released, tot.released_tokens, tot.n_train,
-         |  tot.n_bench_released, ct.n_contam_train,
+         |  tot.n_bench_released, ct.n_contam_released,
          |  CAST(CASE WHEN tot.n_train * 10 >= tot.n_released * 7
          |    AND tot.n_train * 10 <= tot.n_released * 9
          |    THEN 1 ELSE 0 END AS BIGINT) AS split_mix_ok,
          |  CAST(CASE WHEN tot.n_bench_released = 0
-         |    AND ct.n_contam_train = 0
+         |    AND ct.n_contam_released = 0
          |    AND tot.n_train * 10 >= tot.n_released * 7
          |    AND tot.n_train * 10 <= tot.n_released * 9
          |    THEN 1 ELSE 0 END AS BIGINT) AS ship

@@ -306,9 +306,16 @@ object RelOps {
   }
 
   /** Distinct-cardinality sketch (HLL++): the shuffle-light scale path for
-    * A4's COUNT(DISTINCT) (SURVEY.md §2.4). No oracle — sketch estimates
-    * are engine-specific, so the driver records a rows-only check; the
-    * exact answer rides along for in-result sanity comparison.
+    * A4's COUNT(DISTINCT) (SURVEY.md §2.4). The raw estimate is
+    * engine-specific (no cross-engine oracle can state it), so the
+    * OUTPUT ships the exact count plus a deterministic exact-integer
+    * in-band CHECK of the estimate — |approx - exact| * 20 <= exact,
+    * i.e. relative error within 5% at rsd = 0.02 — which a DuckDB
+    * oracle CAN state (the flag must be 1 for every group). An HLL
+    * drift out of band now fails the hash gate instead of hiding in a
+    * rows-only row (VERDICT r11 item 3); the estimate itself is
+    * additionally pinned against exact counts at both dev SFs in
+    * OpsSpec.
     */
   def w06ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -317,6 +324,10 @@ object RelOps {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        when(abs(col("approx_users") - col("exact_users")) * 20L
+          <= col("exact_users"), 1L).otherwise(0L)
+          .as("hll_within_5pct"))
       .orderBy("event_type")
 
   /** Skew-salted aggregation: the manual two-stage plan for a hot
@@ -3461,6 +3472,16 @@ object RelOps {
         |WHERE c.event_type = 'click'
         |GROUP BY c.event_id, c.user_id, c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // w06: the exact side is plain SQL; the estimate enters only
+    // through the in-band flag, which the oracle states as the
+    // constant 1 — an out-of-band HLL estimate hash-mismatches
+    "w06_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "w07_salted_agg" ->
       """SELECT event_type, count(*) AS n,

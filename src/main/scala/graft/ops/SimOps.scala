@@ -1680,8 +1680,11 @@ object SimOps {
 
   /** kNN label-vote noise audit (E241) — the Confident-Learning-style
     * mislabeled-example detector: every vector's k = 3 banded nearest
-    * neighbors vote a label (majority; ties to the smaller label id),
-    * and the corpus rolls up to (label, voted_label) confusion cells
+    * neighbors vote a label (majority; ties break FOR the vector's own
+    * label first, then to the smaller label id — a 1-1-1 tie is no
+    * evidence of mislabeling, so it must not out-vote the own label;
+    * ADVICE r11), and the corpus rolls up to (label, voted_label)
+    * confusion cells
     * with an exact mismatch flag. Off-diagonal mass concentrated in one
     * cell = a systematic labeling confusion; scattered off-diagonal =
     * label noise to review (s32 flags geometric outliers against the
@@ -1709,10 +1712,19 @@ object SimOps {
         col("label").as("nbr_label")), Seq("dst"))
       .groupBy(col("src"), col("nbr_label"))
       .agg(count(lit(1)).as("n_votes"))
+    // tie-break order: vote count, then OWN label (a plurality tie must
+    // never flag a correctly-labeled vector), then smaller label id.
+    // The own-label join is vec_id-keyed on the (n x k)-bounded votes
+    // frame — never corpus x corpus.
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
-      .orderBy(col("n_votes").desc, col("nbr_label").asc)
-    val voted = votes.withColumn("rk", row_number().over(wv))
+      .orderBy(col("n_votes").desc,
+        when(col("nbr_label") === col("own_label"), 0L).otherwise(1L).asc,
+        col("nbr_label").asc)
+    val voted = votes
+      .join(lbl.select(col("vec_id").as("src"),
+        col("label").as("own_label")), Seq("src"))
+      .withColumn("rk", row_number().over(wv))
       .filter(col("rk") === 1)
       .select(col("src").as("vec_id"), col("nbr_label").as("voted_label"))
     lbl.join(voted, Seq("vec_id"), "left")
@@ -3275,7 +3287,8 @@ object SimOps {
          |  eval_id AS nearest_eval_id, cosine AS nearest_cosine
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // s34: s28's banded directed top-3 with a per-source majority vote
-    // (ties to the smaller label), rolled to (label, voted) cells
+    // (ties break for the own label, then the smaller label id), rolled
+    // to (label, voted) cells
     "s34_knn_label_vote" ->
       s"""WITH $unnestSql,
          |bl AS (
@@ -3324,9 +3337,12 @@ object SimOps {
          |),
          |voted AS (
          |  SELECT src, nbr_label AS voted_label FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY src
-         |      ORDER BY n_votes DESC, nbr_label ASC) AS rk
-         |    FROM votes) WHERE rk = 1
+         |    SELECT vt.*, row_number() OVER (PARTITION BY vt.src
+         |      ORDER BY vt.n_votes DESC,
+         |        CASE WHEN vt.nbr_label = ol.label THEN 0 ELSE 1 END ASC,
+         |        vt.nbr_label ASC) AS rk
+         |    FROM votes vt JOIN lbl ol ON ol.vec_id = vt.src)
+         |  WHERE rk = 1
          |)
          |SELECT l.label, COALESCE(v.voted_label, -1) AS voted_label,
          |  CAST(count(*) AS BIGINT) AS n_vectors,

@@ -1031,15 +1031,21 @@ object TextOps {
     * slice — the p19 low-resource-upsampling tie-in) and a corpus
     * count, and every doc scores the sum over its token instances of
     * the bucket log-ratio. Log-ratios are t08's bit-bucket form —
-    * bits(ct+1) - bits(cr+1), pure integer, no transcendental — so the
-    * per-doc weight is an exact long; the per-token mean is the one
-    * IEEE division. Higher = more target-like; the downstream sampler
-    * feeds weights to p17's exact apportionment.
+    * bits(ct+1) - bits(cr+1), pure integer, no transcendental — plus
+    * the published recipe's normalization constant bits(Nr+1) -
+    * bits(Nt+1) per token (log(Nr/Nt), Nr/Nt = corpus/target token
+    * totals; ADVICE r11 — without it, raw weights carry a length bias
+    * across docs of different sizes), so the per-doc weight is an
+    * exact long; the per-token mean is the one IEEE division. Higher =
+    * more target-like; the downstream sampler feeds weights to p17's
+    * exact apportionment.
     *
     * 100 TB posture: ONE token explode (cached — the bucket-count agg
     * and the scoring join both read it), one 1024-row hash agg that
     * BROADCASTS back (the scoring join is map-side), one per-doc hash
-    * agg. Nothing vocabulary- or corpus-sized is ever globally sorted.
+    * agg, and the 1-row token-totals broadcast (the t05/t08 scalar
+    * pattern — allowlisted). Nothing vocabulary- or corpus-sized is
+    * ever globally sorted.
     */
   def t28DsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsFrom(
@@ -1061,15 +1067,21 @@ object TextOps {
         sum(when(col("lang") === "de", 1L).otherwise(0L)).as("ct"))
     def bits(c: Column): Column =
       (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    // the per-token normalization constant log(Nr/Nt) in the same
+    // bit-bucket arithmetic: Nr = corpus tokens, Nt = target tokens
+    // (1-row frame off the 1024-row bucket counts — broadcast scalar)
+    val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val norm = bits(col("nr") + 1) - bits(col("nt") + 1)
     tok.join(broadcast(bc), Seq("bucket"))
       .withColumn("score", bits(col("ct") + 1) - bits(col("cr") + 1))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("score")).as("dsir_weight"))
+        sum(col("score")).as("raw_bits"))
+      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("dsir_weight"),
-        (col("dsir_weight").cast("double") / col("n_tokens"))
-          .as("mean_bits"))
+        (col("raw_bits") + col("n_tokens") * norm).as("dsir_weight"),
+        ((col("raw_bits") + col("n_tokens") * norm).cast("double")
+          / col("n_tokens")).as("mean_bits"))
       .orderBy("doc_id")
   }
 
@@ -1222,7 +1234,8 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // t28: hashed-bucket target/corpus counts, bit-bucket log ratios,
+    // t28: hashed-bucket target/corpus counts, bit-bucket log ratios
+    // + the per-token bits(Nr+1)-bits(Nt+1) normalization constant,
     // per-doc integer sum + the one double division
     "t28_dsir_weights" ->
       """WITH tok AS (
@@ -1238,16 +1251,26 @@ object TextOps {
         |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
         |      AS ct
         |  FROM tok GROUP BY bucket
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(ct) AS BIGINT) AS nt
+        |  FROM bc
         |)
         |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum((length(format('{:b}', b.ct + 1)) - 1)
-        |    - (length(format('{:b}', b.cr + 1)) - 1)) AS BIGINT)
+        |    - (length(format('{:b}', b.cr + 1)) - 1))
+        |    + count(*) * ((length(format('{:b}', tot.nr + 1)) - 1)
+        |    - (length(format('{:b}', tot.nt + 1)) - 1)) AS BIGINT)
         |    AS dsir_weight,
         |  CAST(sum((length(format('{:b}', b.ct + 1)) - 1)
-        |    - (length(format('{:b}', b.cr + 1)) - 1)) AS DOUBLE)
+        |    - (length(format('{:b}', b.cr + 1)) - 1))
+        |    + count(*) * ((length(format('{:b}', tot.nr + 1)) - 1)
+        |    - (length(format('{:b}', tot.nt + 1)) - 1)) AS DOUBLE)
         |    / count(*) AS mean_bits
-        |FROM tok t JOIN bc b USING (bucket)
-        |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin,
+        |FROM tok t JOIN bc b USING (bucket) CROSS JOIN tot
+        |GROUP BY t.doc_id, t.lang, tot.nr, tot.nt
+        |ORDER BY t.doc_id""".stripMargin,
     // t27: t08's bit-bucket surprisal per doc, ranked within source
     // (mb_milli DESC, doc_id), tercile = (3*(rank-1)) // source size —
     // exact integer arithmetic end to end; the cell mean is the one

@@ -21,12 +21,13 @@ class EntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only set is exactly the documented one (w06, estimate-valued)") {
+  test("rows-only set is empty: every registered query is oracle-checked") {
     // a typo'd oracle key would silently demote a query to rows-only —
     // pin the intentional set so any drift fails loudly. m02/m04 gained
-    // DuckDB oracles in r4; w06's HLL estimate legitimately has none.
+    // DuckDB oracles in r4; w06 gained its in-band-flag oracle in r12
+    // (the estimate enters only through a check the oracle can state).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("w06_approx_distinct"),
+    assert(rowsOnly == Set.empty[String],
       s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -221,7 +221,8 @@ class CorpusReleaseSpec extends SparkTestBase {
   }
 
   test("p36: a clean release ships; a bench-released doc, a " +
-      "contaminated train doc, or a broken split mix each refuse") {
+      "contaminated released doc of ANY split, or a broken split mix " +
+      "each refuse") {
     def manifest(rows: Seq[(Long, Long, String, Option[String])]) =
       rows.toDF("doc_id", "n_tokens", "status", "split")
     // clean: 10 released (8 train / 1 val / 1 test), no bench member,
@@ -239,7 +240,7 @@ class CorpusReleaseSpec extends SparkTestBase {
     assert(clean.getAs[Long]("n_released") == 10L &&
       clean.getAs[Long]("n_train") == 8L &&
       clean.getAs[Long]("n_bench_released") == 0L &&
-      clean.getAs[Long]("n_contam_train") == 0L &&
+      clean.getAs[Long]("n_contam_released") == 0L &&
       clean.getAs[Long]("split_mix_ok") == 1L &&
       clean.getAs[Long]("ship") == 1L)
     graft.Caches.unpersistAll()
@@ -259,8 +260,23 @@ class CorpusReleaseSpec extends SparkTestBase {
     val bad = PipelineOps.releaseSignoffFrom(badDocs, badM)
       .collect().head
     assert(bad.getAs[Long]("n_bench_released") == 1L) // doc 0
-    assert(bad.getAs[Long]("n_contam_train") == 1L) // doc 1
+    assert(bad.getAs[Long]("n_contam_released") == 1L) // doc 1
     assert(bad.getAs[Long]("ship") == 0L)
+    graft.Caches.unpersistAll()
+    // a released VAL doc overlapping the eval suite blocks ship too —
+    // the hazard covers every released split, matching p34 (ADVICE r11)
+    val valDocs = (Seq(
+      (9L, "s", "pre evalx evaly evalz evalw post")) ++
+      ((1L to 8L) ++ Seq(10L)).map(i =>
+        (i, "s", s"c$i-a c$i-b c$i-c c$i-d c$i-e")) :+
+      ((97L, "s", "evalx evaly evalz evalw tailq")))
+      .toDF("doc_id", "source", "text")
+    val valBad = PipelineOps.releaseSignoffFrom(valDocs, cleanM)
+      .collect().head
+    assert(valBad.getAs[Long]("n_contam_released") == 1L) // doc 9 (val)
+    assert(valBad.getAs[Long]("n_bench_released") == 0L &&
+      valBad.getAs[Long]("split_mix_ok") == 1L)
+    assert(valBad.getAs[Long]("ship") == 0L)
     graft.Caches.unpersistAll()
     // mix check alone refuses: 10 released, all train (share 1.0)
     val allTrainM = manifest((1L to 10L).map(i =>
@@ -269,7 +285,7 @@ class CorpusReleaseSpec extends SparkTestBase {
       .collect().head
     assert(mix.getAs[Long]("split_mix_ok") == 0L &&
       mix.getAs[Long]("ship") == 0L &&
-      mix.getAs[Long]("n_contam_train") == 0L)
+      mix.getAs[Long]("n_contam_released") == 0L)
     graft.Caches.unpersistAll()
   }
 

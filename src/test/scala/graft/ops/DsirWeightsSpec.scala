@@ -41,10 +41,15 @@ class DsirWeightsSpec extends SparkTestBase {
     val cr = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val ct = all.filter(_._1 == "de").groupBy(_._2).view
       .mapValues(_.size.toLong).toMap
+    // the published recipe's per-token normalization constant
+    // log(Nr/Nt) in the same bit-bucket form (ADVICE r11)
+    val nr = all.size.toLong
+    val nt = all.count(_._1 == "de").toLong
+    val norm = bits(nr + 1) - bits(nt + 1)
     val expected = rows.map { case (id, _, ts) =>
       id -> ts.map { t =>
         val b = bucketOf(t)
-        bits(ct.getOrElse(b, 0L) + 1) - bits(cr(b) + 1)
+        bits(ct.getOrElse(b, 0L) + 1) - bits(cr(b) + 1) + norm
       }.sum
     }.toMap
     val out = TextOps.dsirWeightsFrom(docs).collect()

@@ -43,4 +43,28 @@ class KnnLabelVoteSpec extends SparkTestBase {
     assert(diag0 >= 15L, s"cluster 0 diagonal only $diag0")
     graft.Caches.unpersistAll()
   }
+
+  test("s34: a 1-1-1 plurality tie breaks FOR the vector's own label " +
+      "and does not flag it (ADVICE r11)") {
+    // one tight cluster of 4 (all pairs band together); labels: v0=2,
+    // v1=1, v2=2, v3=3. v0's top-3 neighbors carry labels {1, 2, 3} —
+    // a three-way tie. Old rule (smallest id) voted 1 and flagged a
+    // correctly-labeled vector; the own-label tie-break votes 2.
+    // v2 faces the same {1, 2, 3} tie -> 2. v1 sees {2, 2, 3} -> 2
+    // (genuine majority, flagged); v3 sees {1, 2, 2} -> 2 (flagged).
+    val vecs = graft.PlantedVectors.corpus(4, 1)
+    val labels = Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val v = SimOps.prepareVectors(emb)
+      .withColumn("label",
+        element_at(typedLit(labels), col("vec_id")))
+    val out = SimOps.knnLabelVoteOf(v).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("voted_label")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("is_mismatch"))).toMap
+    assert(out((2L, 2L)) == (2L, 0L), s"own-label tie cell: $out")
+    assert(!out.contains((2L, 1L)), s"tie leaked to smallest id: $out")
+    assert(out((1L, 2L)) == (1L, 1L) && out((3L, 2L)) == (1L, 1L),
+      s"genuine majorities must still flag: $out")
+    graft.Caches.unpersistAll()
+  }
 }

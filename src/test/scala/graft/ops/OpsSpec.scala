@@ -921,17 +921,26 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("w06: HLL estimate stays within the 5% rsd band of the exact count") {
-    // w06 is the suite's one rows-only oracle entry (HLL estimates are
-    // engine-specific); this bounds it: Spark's approx_count_distinct
-    // at rsd=0.02 must sit within a 5% relative-error band of the exact
-    // countDistinct computed in the same aggregation, at both dev SFs.
+    // w06 now SHIPS the band check (hll_within_5pct, oracle-stated as
+    // the constant 1 — VERDICT r11 item 3); this spec keeps the direct
+    // estimate-vs-exact comparison too, independently recomputing the
+    // raw approx_count_distinct the flag folds away, at both dev SFs.
     Seq(sf0001, sf001).foreach { sf =>
       val rows = RelOps.w06ApproxDistinct(spark, sf).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
-        val approx = r.getAs[Long]("approx_users").toDouble
-        val exact = r.getAs[Long]("exact_users").toDouble
-        assert(exact > 0)
+        assert(r.getAs[Long]("exact_users") > 0)
+        assert(r.getAs[Long]("hll_within_5pct") == 1L,
+          s"$sf ${r.getAs[String]("event_type")} flag 0")
+      }
+      val raw = graft.Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .collect()
+      raw.foreach { r =>
+        val (approx, exact) =
+          (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
         assert(math.abs(approx - exact) / exact < 0.05,
           s"$sf ${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
       }

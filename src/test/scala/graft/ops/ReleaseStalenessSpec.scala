@@ -40,4 +40,21 @@ class ReleaseStalenessSpec extends SparkTestBase {
     assert(math.abs(s2.getAs[Double]("stale_share") - 0.5) < 1e-12)
     assert(s2.getAs[Long]("compact") == 1L) // boundary: 30*2 == 60
   }
+
+  test("m12: an all-zero-byte shard is consistent — stale_share 0.0 " +
+      "(never NULL) and compact 0 (ADVICE r11)") {
+    val pack = Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 10L, 1L))
+      .toDF("doc_id", "n_bytes", "shard_id")
+    val manifest = Seq((1L, "filtered"), (2L, "filtered"),
+      (3L, "released")).toDF("doc_id", "status")
+    val out = MediaOps.releaseStalenessFrom(pack, manifest).collect()
+      .map(r => r.getAs[Long]("shard_id") -> r).toMap
+    val s0 = out(0L)
+    assert(!s0.isNullAt(s0.fieldIndex("stale_share")))
+    assert(s0.getAs[Double]("stale_share") == 0.0)
+    assert(s0.getAs[Long]("compact") == 0L)
+    val s1 = out(1L) // fully-live real shard unaffected by the guard
+    assert(s1.getAs[Double]("stale_share") == 0.0 &&
+      s1.getAs[Long]("compact") == 0L)
+  }
 }
