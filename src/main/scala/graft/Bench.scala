@@ -155,6 +155,33 @@ object Bench {
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
     val selected = SparkEntry.queries.toSeq.filter { case (n, _) =>
       nameFilter.isEmpty || n.matches(nameFilter) }
+    // Pre-sweep warm of Materialized entries (VERDICT r11 item 1): every
+    // query is CONSTRUCTED once before any timed span, so each shared
+    // write-once build (pair graph, release manifests, mad stats, ...)
+    // executes HERE — no cold row pays another query's build, the
+    // `built` marker should never fire in the timed sweep, and
+    // round-over-round colds compare plan-for-plan (r11's 162 s p33
+    // cold outlier was a build's driver fixpoint landing inside one
+    // query's cold span). Build-plan flags still face the runtime
+    // gate: drained per constructing query, merged into its flag set.
+    // SPARK_GRAFT_PREWARM=0 restores the r11 behavior for A/B runs.
+    val prewarmT0 = System.nanoTime()
+    val prewarmSec: Double =
+      if (sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1") == "0") -1.0
+      else {
+        selected.foreach { case (name, fn) =>
+          // construction only — builds and any in-body scalar reads run;
+          // the query's own action does not. Errors are NOT swallowed
+          // into silence: the timed sweep re-raises them per query.
+          try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+          val bf = Materialized.drainBuildFlags().values.flatten.toSeq
+          if (bf.nonEmpty)
+            runtimeFlags(name) =
+              (runtimeFlags.getOrElse(name, Nil) ++ bf).distinct
+          Caches.unpersistAll()
+        }
+        (System.nanoTime() - prewarmT0) / 1e9
+      }
     def pass(): Seq[(String, Double, Double)] = {
       calibrate(0)
       val out = selected.zipWithIndex.map { case ((name, fn), i) =>
@@ -233,11 +260,19 @@ object Bench {
       calSamples.map(_._2).max / calSamples.map(_._2).min else -1.0
     val fullJson = both.zipWithIndex.map { case ((n, c, w), i) =>
       // cal = the nearest PRECEDING sentinel sample (the host state the
-      // row was timed under); built marks the row that paid a shared
-      // write-once build inside its timed span (ADVICE r10)
-      val cal = calSamples.filter(_._1 <= i).lastOption
-        .map { case (_, s) => f""","cal":$s%.3f""" }.getOrElse("")
-      val extras = cal +
+      // row was timed under); warm_norm = effective warm / cal — the
+      // contention-normalized per-query metric (VERDICT r11 item 1: a
+      // noisy-host row reads high on warm but flat on warm_norm, so
+      // round-over-round diffs need no solo re-profiling); built marks
+      // the row that paid a shared write-once build inside its timed
+      // span (ADVICE r10 — with the pre-sweep warm it should never
+      // appear; if it does, a build escaped the prewarm).
+      val calOpt = calSamples.filter(_._1 <= i).lastOption.map(_._2)
+      val cal = calOpt.map(s => f""","cal":$s%.3f""").getOrElse("")
+      val wEff = effWarm(n, w)
+      val wNorm = calOpt.filter(s => s > 0 && wEff >= 0)
+        .map(s => f""","warm_norm":${wEff / s}%.3f""").getOrElse("")
+      val extras = cal + wNorm +
         (if (builtDuring(n)) s""","built":true""" else "") +
         (if (contaminated(n)) s""","contaminated":true""" else "") +
         rerun.get(n).map(r => s""","warm_rerun":$r""").getOrElse("")
@@ -245,7 +280,9 @@ object Bench {
         errors.get(n).map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
     }.mkString(
       s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"queries":{""", ",",
-      s"""},"cold_total":${f3(coldTotal)}${extra},"calibration":$calJson,""" +
+      s"""},"cold_total":${f3(coldTotal)}${extra},""" +
+      (if (prewarmSec >= 0) s""""prewarm_sec":${f3(prewarmSec)},""" else "") +
+      s""""calibration":$calJson,""" +
       s""""calibration_drift":${f3(calDrift)},""" +
       s""""errors":[${errors.keys.map(jstr).mkString(",")}]}\n""")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
