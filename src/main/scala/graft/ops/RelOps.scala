@@ -1019,6 +1019,56 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** l-diversity audit (E248) — w51's companion on the SECOND privacy
+    * failure mode (Machanavajjhala et al., ICDE 2006): a
+    * quasi-identifier group can be k-anonymous — many users — yet
+    * still leak every member's SENSITIVE attribute if all of them
+    * share it (the homogeneity attack k-anonymity cannot see). Here
+    * the adversary-observable QI tuple is (hour of day, value decade)
+    * and the protected attribute is event_type: per QI group, the
+    * count of DISTINCT sensitive values; fewer than l = 3 is weak,
+    * exactly 1 is homogeneous (the pure attack case). Rolled up per
+    * hour: group counts, homogeneous/weak counts, events and DISTINCT
+    * users inside weak groups, and the weak-event share. Counts
+    * exact; the share one division.
+    *
+    * 100 TB posture: one (hr, vb) hash agg with a countDistinct over
+    * the narrow cached event scan (QI-group cardinality is 24 x
+    * value-decades — tiny at any corpus size); the user-exposure pass
+    * is a LEFT SEMI of the same cached events against the broadcast
+    * weak-group keys (a subset of the tiny group frame) + one
+    * distinct-user agg; the rollup is <= 24 rows.
+    */
+  def w52LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.cache(Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb")))
+    val grp = graft.Caches.cache(ev.groupBy("hr", "vb")
+      .agg(countDistinct(col("event_type")).as("n_sens"),
+        count(lit(1)).as("n_events")))
+    val weak = grp.filter(col("n_sens") < 3).select("hr", "vb")
+    val exposed = ev.join(broadcast(weak), Seq("hr", "vb"), "left_semi")
+      .groupBy("hr")
+      .agg(countDistinct(col("user_id")).as("n_users_weak"))
+    grp.groupBy("hr")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_sens") === 1, 1L).otherwise(0L))
+          .as("n_homogeneous"),
+        sum(when(col("n_sens") < 3, 1L).otherwise(0L))
+          .as("n_weak_groups"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_sens") < 3, col("n_events")).otherwise(0L))
+          .as("n_events_weak"))
+      .join(exposed, Seq("hr"), "left")
+      .select(col("hr"), col("n_groups"), col("n_homogeneous"),
+        col("n_weak_groups"), col("n_events"), col("n_events_weak"),
+        coalesce(col("n_users_weak"), lit(0L)).as("n_users_weak"),
+        (col("n_events_weak").cast("double") / col("n_events"))
+          .as("weak_share"))
+      .orderBy("hr")
+  }
+
   /** Churn hazard table (E240) — the Kaplan-Meier INPUT table over
     * user lifetimes (churn = last observed activity, the
     * product-analytics convention): per observed lifetime t (days
@@ -2235,6 +2285,7 @@ object RelOps {
     "w30_gap_quantiles" -> (w30GapQuantiles _),
     "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
+    "w52_l_diversity" -> (w52LDiversity _),
     "w51_k_anonymity" -> (w51KAnonymity _),
     "w50_churn_hazard" -> (w50ChurnHazard _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
@@ -3124,6 +3175,43 @@ object RelOps {
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // w27: the same cohort triangle stated declaratively
+    // w52: distinct-l-diversity cut at l = 3 over (hr, vb) QI groups
+    // with event_type sensitive; homogeneous = the n_sens = 1 attack
+    "w52_l_diversity" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vb
+        |  FROM events
+        |),
+        |grp AS (
+        |  SELECT hr, vb,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_sens,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |weaku AS (
+        |  SELECT e.hr,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_weak
+        |  FROM ev e
+        |  JOIN grp g ON g.hr = e.hr AND g.vb = e.vb
+        |  WHERE g.n_sens < 3
+        |  GROUP BY e.hr
+        |)
+        |SELECT g.hr,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN g.n_sens = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_homogeneous,
+        |  CAST(sum(CASE WHEN g.n_sens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_weak_groups,
+        |  CAST(sum(g.n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN g.n_sens < 3 THEN g.n_events ELSE 0 END)
+        |    AS BIGINT) AS n_events_weak,
+        |  COALESCE(any_value(w.n_users_weak), 0) AS n_users_weak,
+        |  CAST(sum(CASE WHEN g.n_sens < 3 THEN g.n_events ELSE 0 END)
+        |    AS DOUBLE) / sum(g.n_events) AS weak_share
+        |FROM grp g LEFT JOIN weaku w ON w.hr = g.hr
+        |GROUP BY g.hr ORDER BY g.hr""".stripMargin,
     // w51: quasi-identifier groups, k = 5 risk cut, exposure rollup
     "w51_k_anonymity" ->
       """WITH ev AS (

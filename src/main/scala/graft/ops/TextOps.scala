@@ -1085,7 +1085,72 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t29: Moving-Average Type-Token Ratio (MATTR — Covington & McFall,
+    * Journal of Quantitative Linguistics 2010), the standard windowed
+    * lexical-diversity measure: plain TTR (t25's readout) shrinks with
+    * document length by Heaps' law, so long documents read as
+    * artificially repetitive; MATTR slides a fixed W = 20-token window
+    * and averages the per-window TTR, making diversity comparable
+    * ACROSS lengths — the quality-filter feature that separates
+    * genuinely repetitive spam from merely long documents (t26 reads
+    * the same failure corpus-wide; this is the per-document gate).
+    *
+    * Exact-integer formulation (no per-window loop): a token instance
+    * at position p whose previous same-type position is prev (0 at
+    * first occurrence) counts as "distinct" in window i iff
+    * i <= p <= i+W-1 and prev < i, so its total contribution over ALL
+    * windows is the size of the integer interval
+    * [max(1, p-W+1, prev+1), min(p, max(1, n-W+1))], and
+    * Σ contributions = Σ_i distinct(window i) exactly. Documents
+    * shorter than W degrade to the single clamped window (MATTR =
+    * plain TTR there — the published boundary behavior). n_windows,
+    * vocab and sum_distinct stay exact longs; mattr = sum_distinct /
+    * (n_windows * min(W, n)) is the ONE IEEE division, matching the
+    * oracle's arithmetic step-for-step.
+    *
+    * 100 TB posture: one posexplode scan; the lag window's shuffle key
+    * is (doc_id, token) — the instance frame's natural key, skew-free
+    * (a document's instances split across its types, and no window
+    * partition outgrows a single document); the per-doc fold is a
+    * map-side-combinable hash agg. Nothing corpus-sized sorts
+    * globally; output is one row per document.
+    */
+  def t29Mattr(spark: SparkSession, dir: String): DataFrame =
+    mattrFrom(Tables.documents(spark, dir))
+
+  /** t29's body over any documents frame (spec-shared). */
+  private[graft] def mattrFrom(docs: DataFrame): DataFrame = {
+    val W = 20
+    val nWin = greatest(lit(1L), col("n") - (W - 1))
+    val toks = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("n"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("token"))
+    val wPrev = Window.partitionBy("doc_id", "token").orderBy("p")
+    // interval [lo, hi] of window starts that see THIS instance as the
+    // first of its type — all exact long arithmetic
+    val hi = least(col("p"), nWin)
+    val lo = greatest(greatest(lit(1L), col("p") - (W - 1)),
+      col("prev") + 1)
+    toks
+      .withColumn("prev",
+        coalesce(lag(col("p"), 1).over(wPrev), lit(0L)))
+      .withColumn("contrib", greatest(lit(0L), hi - lo + 1))
+      .groupBy("doc_id", "n")
+      .agg(sum(when(col("prev") === 0, 1L).otherwise(0L)).as("vocab"),
+        sum(col("contrib")).as("sum_distinct"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        nWin.as("n_windows"), col("vocab"), col("sum_distinct"),
+        (col("sum_distinct").cast("double") /
+          (nWin * least(lit(W.toLong), col("n"))).cast("double"))
+          .as("mattr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_mattr" -> (t29Mattr _),
     "t28_dsir_weights" -> (t28DsirWeights _),
     "t27_surprisal_terciles" -> (t27SurprisalTerciles _),
     "t26_simpson_diversity" -> (t26SimpsonDiversity _),
@@ -1234,6 +1299,46 @@ object TextOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t29: the interval-contribution MATTR — lag over (doc, token),
+    // exact interval sizes summed per doc, one double division
+    "t29_mattr" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ls,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, n, ls,
+        |    CAST(unnest(generate_series(1, CAST(n AS INT))) AS BIGINT)
+        |      AS p
+        |  FROM base
+        |),
+        |inst AS (
+        |  SELECT doc_id, n, p, ls[CAST(p AS INT)] AS token FROM toks
+        |),
+        |pv AS (
+        |  SELECT doc_id, n, p,
+        |    COALESCE(lag(p) OVER (PARTITION BY doc_id, token ORDER BY p),
+        |      CAST(0 AS BIGINT)) AS prev
+        |  FROM inst
+        |),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(p, GREATEST(CAST(1 AS BIGINT), n - 19))
+        |      - GREATEST(CAST(1 AS BIGINT), p - 19, prev + 1) + 1)
+        |      AS contrib,
+        |    CASE WHEN prev = 0 THEN 1 ELSE 0 END AS first_occ
+        |  FROM pv
+        |)
+        |SELECT doc_id, n AS n_tokens,
+        |  GREATEST(CAST(1 AS BIGINT), n - 19) AS n_windows,
+        |  CAST(SUM(first_occ) AS BIGINT) AS vocab,
+        |  CAST(SUM(contrib) AS BIGINT) AS sum_distinct,
+        |  CAST(SUM(contrib) AS DOUBLE)
+        |    / (GREATEST(CAST(1 AS BIGINT), n - 19)
+        |       * LEAST(CAST(20 AS BIGINT), n)) AS mattr
+        |FROM c GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // t28: hashed-bucket target/corpus counts, bit-bucket log ratios
     // + the per-token bits(Nr+1)-bits(Nt+1) normalization constant,
     // per-doc integer sum + the one double division
