@@ -224,6 +224,22 @@ object ScalingProbe {
     }
   }
 
+  /** t29 shape: MATTR on n docs x 120 tokens from a 5000-word vocab.
+    * Claimed posture: one posexplode scan, one (doc_id, token)-keyed
+    * lag window, one per-doc hash agg — token-instance-linear work on
+    * skew-free keys, so 10x docs => ~linear runtime.
+    */
+  private def mattrProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 119), j -> concat('w', " +
+        "CAST(conv(substring(md5(concat(CAST(id AS STRING), '-', " +
+        "CAST(j AS STRING))), 1, 4), 16, 10) AS BIGINT) % 5000)), ' ')")
+        .as("text"))
+    time("t29_mattr", n) {
+      graft.ops.TextOps.mattrFrom(docs).count()
+    }
+  }
+
   /** w34 shape: in-session funnel on n users, each with 24 events in 4
     * sessions of 6 (view/click/purchase/noise mix, 10-minute gaps
     * in-session, 2-day gaps between). Claimed posture: ONE user-keyed
@@ -865,6 +881,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("vocab")) {
       vocabProbe(spark, if (args.length > 1) args(1).toInt else 50000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("mattr")) {
+      mattrProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

@@ -1253,3 +1253,124 @@ object DecontamJobs {
         min(col("first_bench_id")).as("first_bench_id"))
       .orderBy("doc_id")
 }
+
+/** Typed rows for the streaming k-anonymity twin (w51 — E249). */
+case class PrivEvent(
+    event_type: String, user_id: Long, hr: Long, vb: Long)
+case class PrivacyUpdate(
+    event_type: String, hr: Long, vb: Long,
+    user_id: Long, // -1 on a count-only update (no new user this batch)
+    n_events: Long)
+
+/** StatefulProcessor for [[PrivacyJobs.privacyTws]]: keyed by the
+  * quasi-identifier tuple, a MapState of users ALREADY SEEN (each user
+  * must enter a group's anonymity count exactly once no matter how many
+  * events they produce) plus the running event count. Emits one row per
+  * NEW user (carrying the post-batch event total) or a single
+  * count-only row when a batch adds events but no users, so the update
+  * stream stays O(new users + touched groups) per micro-batch.
+  */
+class KAnonymityProcessor
+    extends StatefulProcessor[(String, Long, Long), PrivEvent,
+      PrivacyUpdate] {
+  @transient private var users: MapState[Long, Boolean] = _
+  @transient private var nEvents: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    users = getHandle.getMapState[Long, Boolean]("users",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    nEvents = getHandle.getValueState[Long]("n_events",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: (String, Long, Long),
+      rows: Iterator[PrivEvent],
+      timerValues: TimerValues): Iterator[PrivacyUpdate] = {
+    var added = List.empty[Long]
+    var cnt = 0L
+    rows.foreach { r =>
+      cnt += 1
+      if (!users.containsKey(r.user_id)) {
+        users.updateValue(r.user_id, true)
+        added ::= r.user_id
+      }
+    }
+    if (cnt == 0) Iterator.empty
+    else {
+      val tot = (if (nEvents.exists()) nEvents.get() else 0L) + cnt
+      nEvents.update(tot)
+      val (et, hr, vb) = key
+      if (added.isEmpty)
+        Iterator.single(PrivacyUpdate(et, hr, vb, -1L, tot))
+      else added.reverseIterator
+        .map(u => PrivacyUpdate(et, hr, vb, u, tot))
+    }
+  }
+}
+
+/** Streaming k-anonymity entrypoint (w51's continual-ingest twin — the
+  * privacy audit moved to WHERE EVENTS ARRIVE, so a release pipeline
+  * reads the current re-identification risk instead of re-scanning the
+  * lakehouse). Input follows the checkpointed-source exactly-once
+  * contract (proved by the silver restart specs): each event arrives
+  * once — users re-arriving across batches are absorbed by state, but
+  * the event COUNT deliberately trusts the source's delivery semantics,
+  * the same trust the batch scan places in the lakehouse files.
+  */
+object PrivacyJobs {
+  /** Stream of per-group privacy updates: project each event to its
+    * QI tuple (w51's (event_type, hour, value decade)) and fold per
+    * group with [[KAnonymityProcessor]].
+    */
+  def privacyTws(events: DataFrame): Dataset[PrivacyUpdate] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb"))
+      .as[PrivEvent]
+      .groupByKey(e => (e.event_type, e.hr, e.vb))
+      .transformWithState(new KAnonymityProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to w51's exact report: distinct
+    * users per group are the emitted user rows (state guarantees one
+    * per user), event totals the monotone max; then w51's risk cut,
+    * exposure semi-join and per-type rollup — column- and
+    * value-identical to `RelOps.w51KAnonymity` (the spec pins it).
+    */
+  def privacyBoard(updates: DataFrame): DataFrame = {
+    val grp = graft.Caches.cache(updates
+      .groupBy("event_type", "hr", "vb")
+      .agg(countDistinct(when(col("user_id") >= 0, col("user_id")))
+        .as("n_users"),
+        max(col("n_events")).as("n_events")))
+    // NOTE: this board self-joins `updates`; feed it a SINK-READ frame
+    // (parquet/Delta), not the in-memory MemorySink view — that leaf
+    // cannot mint fresh attribute ids for DeduplicateRelations and the
+    // self-join fails analysis (the spec round-trips through parquet,
+    // which is what a production checkpointed sink yields anyway).
+    val risky = grp.filter(col("n_users") < 5)
+      .select("event_type", "hr", "vb")
+    val exposed = updates.filter(col("user_id") >= 0)
+      .join(broadcast(risky), Seq("event_type", "hr", "vb"), "left_semi")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exposed"))
+    grp.groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_users") < 5, 1L).otherwise(0L))
+          .as("n_risky_groups"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_users") < 5, col("n_events")).otherwise(0L))
+          .as("n_events_exposed"))
+      .join(exposed, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_groups"), col("n_risky_groups"),
+        col("n_events"), col("n_events_exposed"),
+        coalesce(col("n_users_exposed"), lit(0L)).as("n_users_exposed"),
+        (col("n_events_exposed").cast("double") / col("n_events"))
+          .as("exposed_share"))
+      .orderBy("event_type")
+  }
+}
