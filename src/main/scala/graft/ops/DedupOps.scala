@@ -743,6 +743,55 @@ object DedupOps {
   def d08Decontamination(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir).select("doc_id", "text"))
 
+  /** d30: per-document duplicated-gram share — the corpus-wide
+    * "commonness" signal soft-dedup weighting consumes (RefinedWeb /
+    * FineWeb-style pipelines report a document's duplicate-n-gram
+    * fraction; soft-dedup recipes DOWN-WEIGHT common documents instead
+    * of dropping them, preserving tail knowledge hard dedup destroys).
+    * Distinct from the whole repertoire around it: t06 measures
+    * repetition WITHIN one document, d08/d10 overlap against a tiny
+    * benchmark suite, d28 forecasts corpus-LEVEL savings — this is the
+    * per-doc cross-corpus readout. Per document: its distinct word
+    * 4-grams (d08's convention), how many occur in >= 2 documents
+    * (grams are distinct per doc, so gram df = containing-doc count),
+    * the one-division dup_share, and the exact-integer majority flag
+    * 2*n_dup >= n_grams. n_grams >= 1 by the greatest(..., 1) clamp —
+    * the division is never 0/0.
+    *
+    * 100 TB posture: ONE cached distinct-gram explode feeds both the
+    * gram-df hash agg (map-side combinable) and the score join; the
+    * join back is equality on gram — the exchange the df agg already
+    * produced, the d05/d20 posting shape — and the per-doc fold is a
+    * second map-side-combinable agg. Never all-pairs; the df frame is
+    * gram-vocabulary-sized, not corpus-pair-sized.
+    */
+  def d30DupGramShare(spark: SparkSession, dir: String): DataFrame =
+    dupGramShare(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** d30's body over any (doc_id, text) frame (spec-shared). */
+  private[graft] def dupGramShare(docs: DataFrame): DataFrame = {
+    // projected-toks form (TextOps.t06): a lambda re-stating
+    // split(text) evaluates it per ELEMENT — O(tokens^2) per doc
+    val grams =
+      "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
+        " i -> array_join(slice(toks, i, 4), ' ')))"
+    // cached: the df agg and the score join both read this explode
+    val g = graft.Caches.cache(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(grams)).as("gram")))
+    val gdf = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(gdf, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams"))
+          .as("dup_share"),
+        (col("n_dup_grams") * 2 >= col("n_grams")).cast("long")
+          .as("mostly_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental (continual-ingest) dedup: an incoming batch
     * (doc_id >= 400 stands in for today's crawl) dedups against BOTH the
     * existing corpus and itself in one pass — the shape every daily
@@ -1606,6 +1655,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_dup_gram_share" -> (d30DupGramShare _),
     "d26_dup_burst" -> (d26DupBurst _),
     "d29_cross_lang_families" -> (d29CrossLangFamilies _),
     "d28_dedup_savings" -> (d28DedupSavings _),
@@ -2367,6 +2417,30 @@ object DedupOps {
         |FROM p
         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d30: distinct 4-grams per doc, gram df by count (distinct per
+    // doc => df = containing docs), one division + exact majority flag
+    "d30_dup_gram_share" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+        |    AS gram
+        |  FROM documents
+        |),
+        |d AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram
+        |)
+        |SELECT g.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_grams,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_share,
+        |  CAST(CASE WHEN 2 * sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+        |    >= count(*) THEN 1 ELSE 0 END AS BIGINT) AS mostly_dup
+        |FROM g JOIN d USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "d08_decontamination" ->
       """WITH g AS (
