@@ -625,6 +625,7 @@ object MediaOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_shard_fingerprint" -> (m13ShardFingerprint _),
     "m10_manifest_diff" -> (m10ManifestDiff _),
     "m07_media_dedup_report" -> (m07MediaDedupReport _),
     "m06_phash_neardup" -> (m06PhashNeardup _),
@@ -795,6 +796,46 @@ object MediaOps {
       .drop("bucket", "off")
   }
 
+  /** m13: per-shard content fingerprints — the transfer-verification
+    * checksum a release consumer recomputes after download (the
+    * checksum-manifest convention public dataset hubs publish next to
+    * every shard; m10 diffs shard MEMBERSHIP between manifests, this
+    * certifies shard CONTENT byte-for-byte). Per m08 shard: member
+    * count, byte total, id range, and an order-canonical fingerprint =
+    * md5 over the comma-joined "doc_id:payload_md5" member list.
+    * Member order inside the fingerprint is doc_id ascending via the
+    * lpad-to-12 trick (lexicographic == numeric for padded ids — d21's
+    * comparable-string device), so BOTH engines hash identical bytes
+    * with a plain sorted aggregate, no argmin/ordered-agg construct.
+    *
+    * 100 TB posture: payload hashing is per-row scan work; the shard
+    * fold reuses m08's two-phase prefix-sum start assignment (the one
+    * bucket-count-sized offsets window) and the per-shard collect is
+    * bounded by cap/min-payload members — shard-sized by construction,
+    * never corpus-sized. One hash agg keyed by shard_id.
+    */
+  def m13ShardFingerprint(spark: SparkSession, dir: String): DataFrame =
+    shardFingerprintOf(mediaTable(spark, dir), 8192L)
+
+  /** m13's body over any (doc_id, payload) frame (spec-shared). */
+  private[graft] def shardFingerprintOf(
+      media: DataFrame, cap: Long): DataFrame = {
+    val sized = media.select(col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"))
+    packStarts(sized)
+      .withColumn("shard_id", expr(s"start div $cap"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",", sort_array(collect_list(
+          concat(lpad(col("doc_id").cast("string"), 12, "0"),
+            lit(":"), col("payload_md5")))))).as("fingerprint"))
+      .orderBy("shard_id")
+  }
+
   /** Incremental shard append — m08's maintenance half (the m-side twin
     * of s19's frozen-codebook IVF append): the corpus slice
     * (doc_id % 10 != 7) is packed exactly as m08 would pack it, and
@@ -952,6 +993,33 @@ object MediaOps {
          |    >= sum(pk.n_bytes) THEN 1 ELSE 0 END AS BIGINT) AS compact
          |FROM pk LEFT JOIN rel r ON r.doc_id = pk.doc_id
          |GROUP BY pk.shard_id ORDER BY pk.shard_id""".stripMargin,
+    // m13: m08's start assignment + one shard-keyed fold; the
+    // fingerprint hashes the lpad-canonical member list (ORDER BY
+    // doc_id == lexicographic on the padded form)
+    "m13_shard_fingerprint" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         md5(text) AS payload_md5
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start
+        |  FROM m
+        |),
+        |s AS (SELECT *, start // 8192 AS shard_id FROM c)
+        |SELECT shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+        |  md5(string_agg(
+        |    lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || payload_md5,
+        |    ',' ORDER BY doc_id)) AS fingerprint
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
     "m08_shard_pack" ->
       """WITH m AS (
         |  SELECT doc_id,
