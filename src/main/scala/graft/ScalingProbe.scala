@@ -240,6 +240,29 @@ object ScalingProbe {
     }
   }
 
+  /** d30 shape: dup-gram share on n docs x 60 tokens, with every third
+    * doc sharing verbatim text inside its 30-id block (10-copy families
+    * -> real df >= 2 grams; the rest unique). Claimed posture: one
+    * cached gram explode, one map-side-combinable df agg, one equality
+    * join back, one per-doc fold — gram-instance-linear, so 10x docs
+    * => ~linear runtime.
+    */
+  private def dupShareProbe(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        expr("CASE WHEN id % 3 = 0 THEN (id div 30) * 30 ELSE id END")
+          .as("seed"))
+      .select(col("doc_id"),
+        expr("array_join(transform(sequence(0, 59), j -> concat('w', " +
+          "CAST(conv(substring(md5(concat(CAST(seed AS STRING), '-', " +
+          "CAST(j AS STRING))), 1, 4), 16, 10) AS BIGINT) % 5000)), ' ')")
+          .as("text"))
+    time("d30_dup_gram_share", n) {
+      graft.ops.DedupOps.dupGramShare(docs).count()
+    }
+    graft.Caches.unpersistAll()
+  }
+
   /** w34 shape: in-session funnel on n users, each with 24 events in 4
     * sessions of 6 (view/click/purchase/noise mix, 10-minute gaps
     * in-session, 2-day gaps between). Claimed posture: ONE user-keyed
@@ -886,6 +909,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("mattr")) {
       mattrProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("dupshare")) {
+      dupShareProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }
