@@ -38,6 +38,37 @@ object Bench {
     s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec"$warm$errs,"sf":"$sfDir"}"""
   }
 
+  /** Parse per-query `warm_norm` values out of a committed BENCH_FULL.json
+    * body (the format `main` writes: flat one-level query objects, no
+    * nesting). Pure, regex-based — the artifact is machine-written by this
+    * file, so the shape is stable; on any parse surprise the result is
+    * simply missing entries, which disables history adjudication for those
+    * rows rather than failing the run. Pinned by `BenchLineSpec`.
+    */
+  def historyNorms(json: String): Map[String, Double] = {
+    val re = """"([A-Za-z0-9_]+)":\{[^{}]*?"warm_norm":(-?[0-9][0-9.eE+-]*)""".r
+    re.findAllMatchIn(json).flatMap { m =>
+      scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+    }.toMap
+  }
+
+  /** History-outlier policy (VERDICT r12 item 1): a sweep row is re-run
+    * once, solo, when its contention-normalized warm (`warm / cal`) reads
+    * more than `HistFactor`x its committed-history `warm_norm` AND its warm
+    * time clears an absolute floor (sub-100ms rows are timer/GC noise, and
+    * a 3x blip on 30ms costs nothing to trust). This closes the gap the
+    * sentinel policy left: a contention burst that starts after a sentinel
+    * sample and ends before the next one inflates the rows between them
+    * with zero `contaminated` flags (r12's d22 read warm_norm 70 vs a
+    * committed ~2, unflagged). Pure, for `BenchLineSpec`.
+    */
+  val HistFactor = 3.0
+  val HistWarmFloorSec = 0.1
+  def isHistOutlier(sweepNorm: Double, warmSec: Double,
+      committedNorm: Option[Double]): Boolean =
+    committedNorm.exists(h => h > 0 && sweepNorm > HistFactor * h) &&
+      warmSec >= HistWarmFloorSec
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +76,19 @@ object Bench {
     // one-shot Janino/JIT codegen (NOTES: 3-6x steady state), so the
     // warm pass is the throughput number. SPARK_GRAFT_WARM=0 disables.
     val warmPass = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
+    // Committed-history norms, read BEFORE this run overwrites the file:
+    // the adjudication baseline is the last COMMITTED quiet run — always
+    // the repo-cwd BENCH_FULL.json by default, even when this run's
+    // output is redirected via SPARK_GRAFT_BENCH_OUT (an A/B run to a
+    // temp path must still adjudicate against the committed history).
+    // Missing/unreadable history just disables the outlier policy
+    // (first run, renamed query) — never fails the bench.
+    val histPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_FULL.json")
+    val histNorm: Map[String, Double] =
+      try historyNorms(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(histPath)), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -171,9 +215,13 @@ object Bench {
       else {
         selected.foreach { case (name, fn) =>
           // construction only — builds and any in-body scalar reads run;
-          // the query's own action does not. Errors are NOT swallowed
-          // into silence: the timed sweep re-raises them per query.
-          try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+          // the query's own action does not. A construction error is
+          // printed here (so a silently-skipped build-flag drain is
+          // visible) and re-raised by the timed sweep per query.
+          try { fn(spark, sfDir); () } catch { case e: Throwable =>
+            println(s"# bench-prewarm-construct-error $name " +
+              e.getClass.getSimpleName)
+          }
           val bf = Materialized.drainBuildFlags().values.flatten.toSeq
           if (bf.nonEmpty)
             runtimeFlags(name) =
@@ -229,8 +277,24 @@ object Bench {
           hotIdx.contains(lo) || hotIdx.contains(hi)
         } => n
       }.toSet
+    // History adjudication (VERDICT r12 item 1): re-run — once, solo, on
+    // the now-quiet-or-not host but with a fresh timed span — every row
+    // whose sweep warm_norm exceeds HistFactor x its committed-history
+    // warm_norm. The sentinel policy above catches bursts that straddle a
+    // sample; this catches the ones that land entirely between samples
+    // (r12's d22: warm_norm 70, zero contamination flags). min(warm,
+    // rerun) then feeds warm_total and the per-row effective warm, so a
+    // burst row self-heals in the artifact instead of needing judge-side
+    // solo profiling.
+    def sweepCal(i: Int): Option[Double] =
+      calSamples.filter(_._1 <= i).lastOption.map(_._2).filter(_ > 0)
+    val histOutliers: Set[String] = both.zipWithIndex.collect {
+      case ((n, _, w), i) if w >= 0 && sweepCal(i).exists(s =>
+        isHistOutlier(w / s, w, histNorm.get(n))) => n
+    }.toSet
     val rerun: Map[String, Double] = selected.collect {
-      case (n, fn) if contaminated(n) => n -> benchOne(n, fn)
+      case (n, fn) if contaminated(n) || histOutliers(n) =>
+        n -> benchOne(n, fn)
     }.toMap
     def effWarm(n: String, w: Double): Double =
       rerun.get(n).filter(r => r >= 0 && w >= 0).map(math.min(w, _))
@@ -275,6 +339,9 @@ object Bench {
       val extras = cal + wNorm +
         (if (builtDuring(n)) s""","built":true""" else "") +
         (if (contaminated(n)) s""","contaminated":true""" else "") +
+        (if (histOutliers(n))
+          f""","hist_outlier":true,"hist_norm":${histNorm(n)}%.3f"""
+         else "") +
         rerun.get(n).map(r => s""","warm_rerun":$r""").getOrElse("")
       s"${jstr(n)}:{" + s""""cold":$c,"warm":$w""" + extras +
         errors.get(n).map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
@@ -303,6 +370,9 @@ object Bench {
       s"${jstr(n)}:[${fs.map(jstr).mkString(",")}]"
     }.mkString("{", ",", "}") + s" listener_hits=${planGuard.flagged.size}")
     println(f"# bench-calibration drift=$calDrift%.2f samples=$calJson")
+    println(s"# bench-history path=$histPath norms=${histNorm.size} " +
+      s"outliers=${histOutliers.size} " +
+      s"[${histOutliers.toSeq.sorted.take(20).mkString(",")}]")
     println(line)
     spark.stop()
     // After the artifact is printed AND persisted: a broken query fails

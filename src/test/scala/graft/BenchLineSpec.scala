@@ -32,4 +32,35 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("warm_total"))
     assert(line == """{"metric":"total","value":1.500,"unit":"sec","sf":"sf"}""")
   }
+
+  test("historyNorms parses warm_norm per query from a BENCH_FULL body") {
+    // shape is exactly what Bench.main writes: flat one-level query objects
+    val body =
+      """{"sf":"/root/testdata/sf0.1","cpus":32,"queries":{""" +
+      """"q01_latest":{"cold":1.2,"warm":0.4,"cal":0.3,"warm_norm":1.333},""" +
+      """"d22_family":{"cold":3.0,"warm":2.0,"cal":0.3,"warm_norm":6.667,""" +
+      """"contaminated":true,"warm_rerun":1.9},""" +
+      """"t01_tokens":{"cold":0.5,"warm":0.1}}""" +  // no cal -> no warm_norm
+      ""","cold_total":4.7,"warm_total":2.5,"errors":[]}"""
+    val norms = Bench.historyNorms(body)
+    assert(norms == Map("q01_latest" -> 1.333, "d22_family" -> 6.667))
+  }
+
+  test("historyNorms is total on garbage input") {
+    assert(Bench.historyNorms("").isEmpty)
+    assert(Bench.historyNorms("not json at all { } [").isEmpty)
+  }
+
+  test("history outlier policy: 3x committed norm AND the absolute floor") {
+    // committed norm 2.0 -> threshold 6.0
+    assert(Bench.isHistOutlier(sweepNorm = 70.0, warmSec = 9.75,
+      committedNorm = Some(2.0)), "the r12 d22 shape must flag")
+    assert(!Bench.isHistOutlier(5.9, 2.0, Some(2.0)), "below 3x: quiet")
+    assert(!Bench.isHistOutlier(70.0, 0.05, Some(2.0)),
+      "sub-100ms rows are timer noise, never re-run")
+    assert(!Bench.isHistOutlier(70.0, 9.75, None),
+      "no committed history (new query): policy disabled for the row")
+    assert(!Bench.isHistOutlier(70.0, 9.75, Some(-1.0)),
+      "non-positive committed norm: disabled")
+  }
 }
