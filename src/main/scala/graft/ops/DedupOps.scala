@@ -1029,10 +1029,15 @@ object DedupOps {
     * reviews before a training run: how much of each source survives
     * the dedup pipeline, split by REMOVAL CAUSE. A doc is
     * exact-removed if a smaller doc_id carries identical text (d01's
-    * keeper rule), else near-removed if its d07 family label is a
-    * smaller id (d11's removal rule), else kept. Causes are disjoint
-    * by that order, so the three counts sum to n_docs — a property the
-    * spec pins. Rates are one exact integer division each.
+    * keeper rule), else near-removed if its CONVERGED family label is
+    * a smaller id, else kept. Labels come from the fixpoint
+    * propagation (VERDICT r12: the 4-round unroll under-counts
+    * near-removals on a diameter->4 edit chain whose component minimum
+    * sits more than 4 hops away — exactly the number a team signs off
+    * on; the spec plants that chain and pins the divergence). Causes
+    * are disjoint by that order, so the three counts sum to n_docs — a
+    * property the spec pins. Rates are one exact integer division
+    * each.
     *
     * 100 TB posture: one hash shuffle on md5 (exact channel, hash-only
     * projection), the near channel scans the materialized pair graph's
@@ -1094,8 +1099,8 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
     val exactKeeper = docs.groupBy("h").agg(min(col("doc_id")).as("keeper"))
-    val near = neardupLabels(spark, dir)
-      .filter(col("label") < col("doc_id"))
+    val near = convergedComponents(spark, dir)
+      .filter(col("component") < col("doc_id"))
       .select(col("doc_id"), lit(1L).as("is_near"))
     docs.join(exactKeeper, Seq("h"))
       .join(near, Seq("doc_id"), "left")
@@ -1422,8 +1427,13 @@ object DedupOps {
     * no cross join.
     */
   def d25FamilyCensus(spark: SparkSession, dir: String): DataFrame = {
+    // CONVERGED labels (VERDICT r12): the 4-round unroll splits a
+    // diameter->4 family into several labels, inflating n_families and
+    // deflating the fat tail this census exists to expose; the spec
+    // plants that chain and pins the converged histogram.
     val labeled = graft.Caches.cache(
-      neardupLabels(spark, dir).select(col("doc_id"), col("label")))
+      convergedComponents(spark, dir)
+        .select(col("doc_id"), col("component").as("label")))
     val hist = labeled.groupBy("label")
       .agg(count(lit(1)).as("family_size"))
       .groupBy("family_size").agg(count(lit(1)).as("n_families"))
@@ -1432,9 +1442,10 @@ object DedupOps {
       .agg(count(lit(1)).as("n_families"))
       .filter(col("n_families") > 0)
       .select(lit(1L).as("family_size"), col("n_families"))
-    // re-aggregate the union: under-merged labelings (possible beyond
-    // the fixed propagation depth) could emit a labeled size-1 bucket
-    // next to the singleton row — one row per size, deterministically
+    // re-aggregate the union: converged labels can't emit a labeled
+    // size-1 bucket (every labeled doc has a pair-graph partner), but
+    // the merge stays total so a future label source that can is still
+    // one row per size, deterministically
     hist.unionByName(singletons)
       .groupBy("family_size")
       .agg(sum(col("n_families")).as("n_families"))
@@ -1495,7 +1506,10 @@ object DedupOps {
 
   /** Dedup savings forecast — the headline governance number a team
     * reads BEFORE running a dedup pass: for each strategy (exact
-    * md5-equal groups; d07 near-dup families), how many documents and
+    * md5-equal groups; CONVERGED near-dup families — VERDICT r12: the
+    * 4-round unroll under-forecasts removable docs on deep edit
+    * chains, and a savings forecast that understates is the one that
+    * misleads), how many documents and
     * tokens beyond each group's keeper (min doc_id) would be removed,
     * and what share of the corpus that is. Near-dup families are a
     * superset of exact groups (identical text collides in every LSH
@@ -1536,7 +1550,8 @@ object DedupOps {
     // near-dup families: keeper = min doc_id, so its token count is
     // min_by/arg_min on the unique doc_id (deterministic both engines);
     // unlabeled docs are size-1 families contributing zero savings
-    val near = neardupLabels(spark, dir)
+    val near = convergedComponents(spark, dir)
+      .select(col("doc_id"), col("component").as("label"))
       .join(toks, Seq("doc_id"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("tt"),
@@ -1750,6 +1765,32 @@ object DedupOps {
   /** 4 unrolled min-label-propagation rounds over d03's pair graph. */
   private[graft] val d07Sql: String = d07SqlRounds(4)
 
+  /** CONVERGED (doc_id, component) labels as a DuckDB CTE prelude — the
+    * oracle-side twin of [[convergedComponents]], stated as min
+    * reachable id over the symmetric closure of d03's pair graph (the
+    * d17/d22 recursive-CTE precedent; the recursive UNION dedups the
+    * frontier against all seen (a, b) rows, so clique-heavy families
+    * stay pair-bounded). Callers must open their statement with
+    * `WITH RECURSIVE` and then reference `lab(doc_id, component)`.
+    * Unlike the fixed 4-round `d07Sql`, this labeling merges families
+    * of ANY diameter — the form the governance reports (d18/d25/d28/
+    * d29) consume since VERDICT r12.
+    */
+  private[graft] val convergedLabCtes: String =
+    s"""pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($d03Sql)),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS v, doc_b AS u FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+       |  UNION
+       |  SELECT r.a, e.u FROM reach r JOIN edges e ON e.v = r.b
+       |),
+       |lab AS MATERIALIZED (
+       |  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+       |)""".stripMargin
+
   /** d04's oracle body, shared with the d06 cluster grouping. */
   private val simhashSql: String = {
     def bitSql(j: Int): String =
@@ -1807,14 +1848,14 @@ object DedupOps {
          |FROM spine s LEFT JOIN cells c ON c.decile = s.decile
          |ORDER BY s.decile""".stripMargin,
 
-    // d29: d07's component labels joined with lang, two family aggs,
-    // dominant lang by (count desc, lang asc)
+    // d29: converged component labels joined with lang, two family
+    // aggs, dominant lang by (count desc, lang asc)
     "d29_cross_lang_families" ->
-      s"""WITH comp AS (SELECT doc_id, component FROM ($d07Sql)),
+      s"""WITH RECURSIVE $convergedLabCtes,
          |pl AS (
          |  SELECT c.component AS family, d.lang,
          |         CAST(count(*) AS BIGINT) AS n
-         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+         |  FROM lab c JOIN documents d ON d.doc_id = c.doc_id
          |  GROUP BY 1, 2
          |),
          |top AS (
@@ -1835,10 +1876,11 @@ object DedupOps {
          |GROUP BY p.family ORDER BY p.family""".stripMargin,
 
     // d27: fixed 11-bin quality histogram per split + TVD terms
-    // d28: exact md5 groups + d07 component families -> per-strategy
-    // removable docs/tokens beyond the min-doc_id keeper
+    // d28: exact md5 groups + converged component families ->
+    // per-strategy removable docs/tokens beyond the min-doc_id keeper
     "d28_dedup_savings" ->
-      s"""WITH toks AS (
+      s"""WITH RECURSIVE $convergedLabCtes,
+         |toks AS (
          |  SELECT doc_id, text,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
          |  FROM documents
@@ -1861,7 +1903,6 @@ object DedupOps {
          |      AS n_removable_tokens
          |  FROM ex
          |),
-         |lab AS (SELECT * FROM ($d07Sql)),
          |nd AS (
          |  SELECT count(*) AS n, sum(t.n_toks) AS tt,
          |    arg_min(t.n_toks, t.doc_id) AS kt
@@ -1926,10 +1967,10 @@ object DedupOps {
         |FROM cells c CROSS JOIN tot t
         |ORDER BY c.bin""".stripMargin,
 
-    // d25: d07's labels -> per-family sizes -> size histogram, with the
-    // unlabeled corpus remainder folded in as size-1 families
+    // d25: converged labels -> per-family sizes -> size histogram, with
+    // the unlabeled corpus remainder folded in as size-1 families
     "d25_family_census" ->
-      s"""WITH lab AS (SELECT * FROM ($d07Sql)),
+      s"""WITH RECURSIVE $convergedLabCtes,
          |fam AS (
          |  SELECT component, CAST(count(*) AS BIGINT) AS family_size
          |  FROM lab GROUP BY component
@@ -2332,9 +2373,9 @@ object DedupOps {
         |ORDER BY s.doc_a, s.doc_b""".stripMargin,
 
     // d18: removal causes restated declaratively — exact keeper via the
-    // md5 group min, near membership via d07's 4-round labels
+    // md5 group min, near membership via the converged labels
     "d18_dedup_report" ->
-      s"""WITH lab AS (SELECT * FROM ($d07Sql)),
+      s"""WITH RECURSIVE $convergedLabCtes,
          |d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
          |k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
          |nr AS (SELECT doc_id FROM lab WHERE component < doc_id)
@@ -2419,14 +2460,21 @@ object DedupOps {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // d30: distinct 4-grams per doc, gram df by count (distinct per
-    // doc => df = containing docs), one division + exact majority flag
+    // doc => df = containing docs), one division + exact majority flag.
+    // The split is hoisted into its own CTE and the lambda slices the
+    // projected list (ADVICE r12: restating string_split inside the
+    // lambda re-evaluated it per element — the O(tokens^2)-per-doc
+    // pitfall the Spark side's own comment warns against).
     "d30_dup_gram_share" ->
-      """WITH g AS (
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |g AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' '))-3, 1)),
-        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+        |    generate_series(1, greatest(len(toks)-3, 1)),
+        |    i -> array_to_string(toks[i:i+3], ' '))))
         |    AS gram
-        |  FROM documents
+        |  FROM tk
         |),
         |d AS (
         |  SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram

@@ -180,6 +180,55 @@ class PairGraphSpec extends SparkTestBase {
       s"got $r")
   }
 
+  /** The chain corpus with ids PERMUTED along the path: v0..v6 carry
+    * ids 106,101,102,103,104,105,100 — so v1 (id 101) is the minimum
+    * of its own 4-hop neighborhood but NOT of its component (100 sits
+    * 5 hops away). Under 4-round labels v1 reads as a keeper; under
+    * converged labels it is near-removed. The shape that makes d18's
+    * COUNTS (not just the labels) diverge between the two rules.
+    */
+  private lazy val permChainDir: String = {
+    val base = (0 until 250).map(word)
+    val ids = Seq(106L, 101L, 102L, 103L, 104L, 105L, 100L)
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      id -> base.slice(i * 10, i * 10 + 150).mkString(" ") }
+    plant(docs, "permchain")
+  }
+
+  test("d18/d25/d28/d29 use CONVERGED labels: governance counts on a " +
+      "diameter-6 chain differ from the 4-round rule (VERDICT r12)") {
+    // the divergence premise, stated inline: the 4-round labeling marks
+    // only 5 of the permuted chain's 7 docs as near-removed (v1's 4-hop
+    // neighborhood min is itself), the converged labeling 6
+    val old4 = DedupOps.d07NeardupComponents(spark, permChainDir)
+      .filter(col("component") < col("doc_id")).count()
+    assert(old4 == 5L, s"4-round near-removed count: expected 5, got $old4")
+    // d18: one source, no exact twins, converged near-removals = 6
+    val d18 = DedupOps.d18DedupReport(spark, permChainDir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(d18 == Seq(("planted", 7L, 0L, 6L, 1L, 6.0 / 7.0)),
+      s"d18 under converged labels: got $d18")
+    // d25 on the ascending chain: ONE size-7 family (4-round labels
+    // would report sizes {5,1,1} — label 100 within 4 hops of 100..104,
+    // 105 stuck at 101, 106 at 102)
+    val d25 = DedupOps.d25FamilyCensus(spark, chainDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(d25 == Seq((7L, 1L, 7L)), s"d25 census: got $d25")
+    // d28 near_dup strategy: 1 multi family, 6 removable docs, 900
+    // removable tokens (7 x 150-token docs, keeper keeps 150); the
+    // 4-round rule would forecast only 4 removable docs
+    val d28 = DedupOps.d28DedupSavings(spark, chainDir)
+      .filter(col("strategy") === "near_dup")
+      .select("n_multi_families", "n_removable_docs", "n_removable_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(d28 == Seq((1L, 6L, 900L)), s"d28 near_dup savings: got $d28")
+    // d29: the whole chain is ONE (mono-lang) family of 7
+    val d29 = DedupOps.d29CrossLangFamilies(spark, chainDir)
+      .select("family", "n_docs", "n_langs", "cross_lang")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(d29 == Seq((100L, 7L, 1L, 0L)), s"d29 families: got $d29")
+  }
+
   test("p13 uses CONVERGED labels: a diameter-6 chain is ONE family") {
     // the pair graph really is the consecutive-pair path
     val pairs = DedupOps.pairGraph(spark, chainDir)
