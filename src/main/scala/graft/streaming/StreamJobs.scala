@@ -1373,4 +1373,126 @@ object PrivacyJobs {
           .as("exposed_share"))
       .orderBy("event_type")
   }
+
+  /** Stream of per-QI-group l-diversity updates (w52's continual-ingest
+    * twin — E252): project each event to w52's QI tuple (hour, value
+    * decade) and fold per group with [[LDiversityProcessor]]. The
+    * privacy failure mode is the HOMOGENEITY attack (w52's doc), so
+    * the state tracked per group is the distinct SENSITIVE-value set
+    * (event_type), next to the seen-user set w52's weak-user exposure
+    * count needs.
+    */
+  def lDiversityTws(events: DataFrame): Dataset[LDivUpdate] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb"))
+      .as[PrivEvent]
+      .groupByKey(e => (e.hr, e.vb))
+      .transformWithState(new LDiversityProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to w52's exact report: distinct
+    * sensitive values per group are the emitted non-null event_type
+    * rows (state guarantees one per value), distinct weak-group users
+    * the emitted non-negative user_id rows, event totals the monotone
+    * max; then w52's l = 3 cut, homogeneity count, weak-exposure
+    * semi-join and per-hour rollup — column- and value-identical to
+    * `RelOps.w52LDiversity` (the spec pins it). Same sink-read caveat
+    * as [[privacyBoard]]: the self-join needs a parquet/Delta frame,
+    * not the MemorySink view.
+    */
+  def lDiversityBoard(updates: DataFrame): DataFrame = {
+    val grp = graft.Caches.cache(updates
+      .groupBy("hr", "vb")
+      .agg(countDistinct(col("event_type")).as("n_sens"),
+        max(col("n_events")).as("n_events")))
+    val weak = grp.filter(col("n_sens") < 3).select("hr", "vb")
+    val exposed = updates.filter(col("user_id") >= 0)
+      .join(broadcast(weak), Seq("hr", "vb"), "left_semi")
+      .groupBy("hr")
+      .agg(countDistinct(col("user_id")).as("n_users_weak"))
+    grp.groupBy("hr")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_sens") === 1, 1L).otherwise(0L))
+          .as("n_homogeneous"),
+        sum(when(col("n_sens") < 3, 1L).otherwise(0L))
+          .as("n_weak_groups"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_sens") < 3, col("n_events")).otherwise(0L))
+          .as("n_events_weak"))
+      .join(exposed, Seq("hr"), "left")
+      .select(col("hr"), col("n_groups"), col("n_homogeneous"),
+        col("n_weak_groups"), col("n_events"), col("n_events_weak"),
+        coalesce(col("n_users_weak"), lit(0L)).as("n_users_weak"),
+        (col("n_events_weak").cast("double") / col("n_events"))
+          .as("weak_share"))
+      .orderBy("hr")
+  }
+}
+
+/** Update rows for the streaming l-diversity twin (w52 — E252):
+  * event_type is null except on rows introducing a NEW sensitive value
+  * to the group, user_id is -1 except on rows introducing a NEW user —
+  * the two channels zip into shared rows so a batch emits
+  * max(new values, new users, 1 if touched) rows per group.
+  */
+case class LDivUpdate(hr: Long, vb: Long,
+    event_type: String, user_id: Long, n_events: Long)
+
+/** StatefulProcessor for [[PrivacyJobs.lDiversityTws]]: keyed by the
+  * QI tuple (hr, vb), a MapState of sensitive values ALREADY SEEN
+  * (each event_type enters a group's diversity count exactly once), a
+  * MapState of seen users (w52's weak-group user exposure needs
+  * distinct users), and the running event count.
+  */
+class LDiversityProcessor
+    extends StatefulProcessor[(Long, Long), PrivEvent, LDivUpdate] {
+  @transient private var sens: MapState[String, Boolean] = _
+  @transient private var users: MapState[Long, Boolean] = _
+  @transient private var nEvents: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sens = getHandle.getMapState[String, Boolean]("sens",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    users = getHandle.getMapState[Long, Boolean]("users",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    nEvents = getHandle.getValueState[Long]("n_events",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: (Long, Long),
+      rows: Iterator[PrivEvent],
+      timerValues: TimerValues): Iterator[LDivUpdate] = {
+    var newSens = List.empty[String]
+    var newUsers = List.empty[Long]
+    var cnt = 0L
+    rows.foreach { r =>
+      cnt += 1
+      if (!sens.containsKey(r.event_type)) {
+        sens.updateValue(r.event_type, true)
+        newSens ::= r.event_type
+      }
+      if (!users.containsKey(r.user_id)) {
+        users.updateValue(r.user_id, true)
+        newUsers ::= r.user_id
+      }
+    }
+    if (cnt == 0) Iterator.empty
+    else {
+      val tot = (if (nEvents.exists()) nEvents.get() else 0L) + cnt
+      nEvents.update(tot)
+      val (hr, vb) = key
+      val s = newSens.reverse
+      val u = newUsers.reverse
+      val n = math.max(math.max(s.size, u.size), 1)
+      (0 until n).iterator.map(i => LDivUpdate(hr, vb,
+        if (i < s.size) s(i) else null,
+        if (i < u.size) u(i) else -1L, tot))
+    }
+  }
 }

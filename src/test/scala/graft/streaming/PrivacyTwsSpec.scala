@@ -1,6 +1,8 @@
 package graft.streaming
 
 import graft.{SparkTestBase, Tables}
+import java.nio.file.{Files, Path}
+import java.util.Comparator
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -10,20 +12,44 @@ import org.apache.spark.sql.functions._
 case class RawEvent(event_type: String, user_id: Long,
     ts: java.sql.Timestamp, value: Double)
 
-/** privacyTws: per-QI-group anonymity state accumulated across
-  * micro-batches folds to EXACTLY the batch w51 report.
+/** privacyTws / lDiversityTws: per-QI-group privacy state accumulated
+  * across micro-batches folds to EXACTLY the batch w51 / w52 reports.
   */
 class PrivacyTwsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("privacyTws: two micro-batches fold to the exact batch w51 " +
-      "report; users spanning batches count once per group") {
-    implicit val sqlCtx = spark.sqlContext
+  /** Run `body` under the RocksDB state store (transformWithState's
+    * requirement), restoring the provider conf afterwards.
+    */
+  private def withRocksDb(body: => Unit): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    try {
+    try body
+    finally {
+      graft.Caches.unpersistAll()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Fresh temp dir, recursively deleted after `body` (ADVICE r12: the
+    * old /tmp/graft_privacy_tws_<nanotime> dirs accumulated per run).
+    */
+  private def withTempDir(body: Path => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft_privacy_tws")
+    try body(dir)
+    finally Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  test("privacyTws: two micro-batches fold to the exact batch w51 " +
+      "report; users spanning batches count once per group") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb { withTempDir { tmp =>
       val incoming = Tables.events(spark, sf0001)
         .select(col("event_type"), col("user_id"), col("ts"), col("value"))
         .as[RawEvent].collect()
@@ -42,7 +68,7 @@ class PrivacyTwsSpec extends SparkTestBase {
       // round-trip the update table through parquet: the board
       // self-joins it, and the MemorySink view cannot serve both sides
       // (production reads the checkpointed sink the same way)
-      val sinkDir = s"/tmp/graft_privacy_tws_${System.nanoTime()}"
+      val sinkDir = s"$tmp/updates"
       spark.table("privacy_updates").write.mode("overwrite")
         .parquet(sinkDir)
       val updates = spark.read.parquet(sinkDir)
@@ -59,12 +85,77 @@ class PrivacyTwsSpec extends SparkTestBase {
       assert(board == batch,
         s"streaming board != batch w51 (${board.size} vs ${batch.size})")
       assert(batch.nonEmpty) // must not pass vacuously
-    } finally {
-      graft.Caches.unpersistAll()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+    } }
+  }
+
+  test("lDiversityTws: two micro-batches fold to the exact batch w52 " +
+      "report; sensitive values spanning batches count once per group") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb { withTempDir { tmp =>
+      val incoming = Tables.events(spark, sf0001)
+        .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+        .as[RawEvent].collect()
+      val cut = incoming.length / 2
+      val mem = MemoryStream[RawEvent]
+      val q = PrivacyJobs.lDiversityTws(mem.toDF())
+        .writeStream.format("memory").queryName("ldiv_updates")
+        .outputMode("update").start()
+      mem.addData(incoming.take(cut).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(cut).toIndexedSeq)
+      q.processAllAvailable(); q.stop()
+      val sinkDir = s"$tmp/updates"
+      spark.table("ldiv_updates").write.mode("overwrite").parquet(sinkDir)
+      val updates = spark.read.parquet(sinkDir)
+      // state contracts: a sensitive value and a user each enter a
+      // group's update stream at most once
+      assert(updates.filter(col("event_type").isNotNull)
+        .groupBy("hr", "vb", "event_type").count()
+        .filter(col("count") > 1).count() == 0L)
+      assert(updates.filter(col("user_id") >= 0)
+        .groupBy("hr", "vb", "user_id").count()
+        .filter(col("count") > 1).count() == 0L)
+      val board = PrivacyJobs.lDiversityBoard(updates).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+      val batch = graft.ops.RelOps.w52LDiversity(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+      assert(board == batch,
+        s"streaming board != batch w52 (${board.size} vs ${batch.size})")
+      assert(batch.nonEmpty)
+    } }
+  }
+
+  test("lDiversityTws: a planted QI group goes weak -> strong exactly " +
+      "at the batch cut") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(tpe: String, user: Long): RawEvent = RawEvent(tpe, user,
+      java.sql.Timestamp.valueOf("2025-01-01 10:00:00"), 5.0) // hr 10, vb 0
+    withRocksDb { withTempDir { tmp =>
+      val mem = MemoryStream[RawEvent]
+      val q = PrivacyJobs.lDiversityTws(mem.toDF())
+        .writeStream.format("memory").queryName("ldiv_plant")
+        .outputMode("update").start()
+      def boardNow(tag: String): (Long, Long, Long, Long) = {
+        val dir = s"$tmp/$tag"
+        spark.table("ldiv_plant").write.mode("overwrite").parquet(dir)
+        val r = PrivacyJobs.lDiversityBoard(spark.read.parquet(dir))
+          .filter(col("hr") === 10L).collect()
+        assert(r.length == 1, s"expected one hr-10 row, got ${r.toSeq}")
+        (r(0).getAs[Long]("n_weak_groups"), r(0).getAs[Long]("n_events"),
+          r(0).getAs[Long]("n_events_weak"), r(0).getAs[Long]("n_users_weak"))
       }
-    }
+      // batch 1: two sensitive values in the group -> weak (l = 3)
+      mem.addData(ev("view", 1L), ev("click", 2L))
+      q.processAllAvailable()
+      assert(boardNow("b1") == ((1L, 2L, 2L, 2L)),
+        "two distinct sensitive values must read as ONE weak group")
+      // batch 2: a third value arrives -> the SAME group turns strong
+      mem.addData(ev("purchase", 3L))
+      q.processAllAvailable(); q.stop()
+      assert(boardNow("b2") == ((0L, 3L, 0L, 0L)),
+        "the third sensitive value must clear the weak cut at the batch cut")
+    } }
   }
 }
