@@ -496,49 +496,73 @@ object MediaOps {
     * on the MEDIA channel, per kind: every payload classified by
     * DISJOINT removal cause, exact-first. A row is exact-removed if a
     * smaller doc_id carries a byte-identical payload (md5 over the
-    * BINARY column), else near-removed if it is the larger side of an
-    * m06 perceptual-hash pair (pairs are canonical doc_a < doc_b, so
-    * "appears as doc_b" IS the smaller-partner rule), else kept;
-    * causes sum to n_media per kind (spec-pinned) and the removal
-    * rate is one exact division.
+    * BINARY column), else near-removed if a smaller doc_id carries a
+    * block-mean signature within hamming 1 (the smaller-partner rule,
+    * [[blockMeanNearIdsOf]]), else kept; causes sum to n_media per
+    * kind (spec-pinned) and the removal rate is one exact division.
     *
     * 100 TB posture: the exact channel is one md5 hash shuffle with a
     * payload-hash-only projection (bytes read once, never shipped);
-    * the near channel scans m06's banded pair output
-    * (near-dup-population-sized); the rollup is a hash agg on kind.
+    * the near channel is the distinct-signature collapse (one hash
+    * agg + a 17x explode bounded by the 16-bit signature space — see
+    * blockMeanNearIdsOf for why the former band join was quadratic);
+    * the rollup is a hash agg on kind.
     */
   /** m07's perceptual channel: block-mean ([[stubPhash]]) near-dup ids
-    * at hamming <= 1 over a 4-band join — banding LOSSLESS at this
-    * radius (one flipped bit touches one band; >= 3 stay equal), so
-    * the oracle states the channel all-pairs. This stays the cheap
-    * 16-bit governance screen after m06 moved to the 63-bit DCT hash
-    * (whose radius-16 band-screen semantics would be a different — and
-    * wider — near set than a per-kind report wants).
+    * at hamming <= 1. A doc is near-flagged iff SOME smaller doc_id
+    * carries a signature within hamming 1 — stated here through the
+    * DISTINCT-SIGNATURE collapse the 16-bit space makes possible:
+    * group docs by signature (min doc_id per signature), explode each
+    * of the <= 65536 distinct signatures to its 17-member hamming<=1
+    * neighborhood (itself + 16 one-bit flips), take the neighborhood
+    * min, and flag docs above it. Value-identical to the 4-band
+    * pair join the channel previously ran (banding is LOSSLESS at
+    * radius 1 — one flipped bit touches one band, >= 3 stay equal, so
+    * every hamming<=1 pair shares a band and the band screen is
+    * vacuous; the oracle states the channel all-pairs), but the pair
+    * join's candidate volume was Theta(n^2/8): 4-bit band keys give 64
+    * buckets TOTAL, so buckets grow with the corpus and the join work
+    * is quadratic — the r13 probe measured the old shape at 13.6x warm
+    * for 10x docs (0.77 s at 10k -> 10.5 s at 100k, heading for ~17 min
+    * at 1M) vs 1.5x for the collapse (2.0 -> 3.0 -> 4.7 s at
+    * 10k/100k/1M). The
+    * collapse is one signature hash agg (map-side combinable) + a
+    * 17x explode on the signature-space-bounded frame + one join back:
+    * corpus-linear with a hard 65536 * 17 ceiling on the join's left
+    * side. This stays the cheap 16-bit governance screen after m06
+    * moved to the 63-bit DCT hash (whose radius-16 band-screen
+    * semantics would be a different — and wider — near set than a
+    * per-kind report wants).
     */
-  private def blockMeanNearIds(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = graft.Caches.cache(mediaTable(spark, dir).as[MediaRow]
+  private[graft] def blockMeanNearIdsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = graft.Caches.cache(media
+      .select("doc_id", "kind", "payload").as[MediaRow]
       .mapPartitions(_.map(r => (r.doc_id, stubPhash(r.payload))))
       .toDF("doc_id", "sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(15L))): _*))
-        .as(Seq("band", "key")))
-    banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("band"), col("key"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("band"), col("key")), Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 1)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val perSig = sigs.groupBy("sig").agg(min(col("doc_id")).as("min_id"))
+    // f = 16 keeps the signature itself in its own neighborhood (the
+    // hamming-0 / byte-twin channel); 0..15 are the one-bit flips
+    val nbhd = perSig.select(col("sig"),
+        explode(expr("transform(sequence(0, 16), f -> CASE WHEN f = 16" +
+          " THEN sig ELSE CAST(sig ^ shiftleft(CAST(1 AS BIGINT), f)" +
+          " AS BIGINT) END)")).as("nsig"))
+      .join(perSig.select(col("sig").as("nsig"), col("min_id")), Seq("nsig"))
+      .groupBy("sig").agg(min(col("min_id")).as("nb_min"))
+    sigs.join(nbhd, Seq("sig"))
+      .filter(col("nb_min") < col("doc_id"))
+      .select(col("doc_id"))
   }
 
-  def m07MediaDedupReport(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = mediaTable(spark, dir)
+  def m07MediaDedupReport(spark: SparkSession, dir: String): DataFrame =
+    mediaDedupReportOf(mediaTable(spark, dir))
+
+  /** m07's body over any (doc_id, kind, payload) frame (probe-shared). */
+  private[graft] def mediaDedupReportOf(media: DataFrame): DataFrame = {
+    val hashed = media
       .select(col("doc_id"), col("kind"), md5(col("payload")).as("h"))
     val keeper = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
-    val near = blockMeanNearIds(spark, dir)
+    val near = blockMeanNearIdsOf(media)
       .withColumn("is_near", lit(1L))
     hashed.join(keeper, Seq("h"))
       .join(near, Seq("doc_id"), "left")
@@ -830,6 +854,12 @@ object MediaOps {
         sum(col("n_bytes")).as("n_bytes"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
+        // lpad-to-12 bound (ADVICE r12): lexicographic == numeric only
+        // for 0 <= doc_id < 10^12. Beyond that (or negative) BOTH
+        // engines still hash the same bytes — the fingerprint stays
+        // transfer-verifiable — but the documented doc_id-ascending
+        // member ORDER inside the hash input no longer holds. The spec's
+        // brute force asserts the fixture ids sit inside the bound.
         md5(concat_ws(",", sort_array(collect_list(
           concat(lpad(col("doc_id").cast("string"), 12, "0"),
             lit(":"), col("payload_md5")))))).as("fingerprint"))

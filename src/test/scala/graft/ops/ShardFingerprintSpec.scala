@@ -16,6 +16,11 @@ class ShardFingerprintSpec extends SparkTestBase {
 
   private def brute(docs: Seq[(Long, Array[Byte])], cap: Long)
       : Map[Long, (Long, Long, Long, Long, String)] = {
+    // the lpad-to-12 member-order contract holds for 0 <= id < 10^12
+    // (documented next to the lpad, ADVICE r12) — pin the fixture in it
+    docs.foreach { case (id, _) =>
+      assert(id >= 0L && id < 1000000000000L,
+        s"fixture doc_id $id outside the lpad-to-12 order bound") }
     var start = 0L
     val rows = docs.sortBy(_._1).map { case (id, payload) =>
       val s = start; start += payload.length
