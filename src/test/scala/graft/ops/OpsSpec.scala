@@ -924,8 +924,10 @@ class OpsSpec extends SparkTestBase {
     // w06 now SHIPS the band check (hll_within_5pct, oracle-stated as
     // the constant 1 — VERDICT r11 item 3); this spec keeps the direct
     // estimate-vs-exact comparison too, independently recomputing the
-    // raw approx_count_distinct the flag folds away, at both dev SFs.
-    Seq(sf0001, sf001).foreach { sf =>
+    // raw approx_count_distinct the flag folds away, at every SF the
+    // driver touches — sf0.1 included (VERDICT r12 item 5: a Spark HLL
+    // implementation change must surface HERE before the driver gate).
+    Seq(sf0001, sf001, sf01).foreach { sf =>
       val rows = RelOps.w06ApproxDistinct(spark, sf).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
