@@ -644,16 +644,18 @@ object DedupOps {
     * any scoring column drops in), keeper = top quality with doc_id as
     * the total-order tiebreak.
     *
-    * 100 TB posture: families come from d07's propagation (one join +
-    * agg per round); the keeper rank is a window over FAMILY members
-    * only (families are near-dup-population-sized, never corpus-sized),
+    * 100 TB posture: families come from the converged fixpoint over
+    * the materialized pair graph (r13: an under-merged labeling elects
+    * MULTIPLE keepers for one true family — exactly the duplication
+    * this operator exists to prevent; the spec plants the divergent
+    * chain); the keeper rank is a window over FAMILY members only
+    * (families are near-dup-population-sized, never corpus-sized),
     * and the quality join touches just those members.
     */
   def d15QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
     val quality = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
       " * 1000000 div size(split(text, ' '))"
-    val members = neardupLabels(spark, dir)
-      .select(col("doc_id"), col("label").as("component"))
+    val members = convergedComponents(spark, dir)
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), expr(quality).as("quality")), Seq("doc_id"))
     val w = Window.partitionBy(col("component"))
@@ -669,13 +671,19 @@ object DedupOps {
   }
 
   /** End-to-end fuzzy-dedup pipeline — the operator a training-data run
-    * actually calls, composing the stages d02/d03/d07 expose one at a
-    * time: MinHash -> banded LSH candidates -> exact-Jaccard verify ->
-    * 4-round min-label components -> keep the smallest doc_id per
-    * family -> emit the deduplicated corpus (doc_id, text_hash).
+    * actually calls: MinHash -> banded LSH candidates -> exact-Jaccard
+    * verify (the d02/d03 stages) -> CONVERGED min-label components ->
+    * keep the smallest doc_id per family -> emit the deduplicated
+    * corpus (doc_id, text_hash). Labels converged since r13: the
+    * 4-round unroll KEPT extra members of any family whose minimum sat
+    * more than 4 hops away — and the keep-set is the corpus an actual
+    * training run reads, so it must agree with the d18 report's
+    * converged removal accounting (the spec pins both on the planted
+    * divergent chain).
     *
-    * 100 TB posture: nothing new executes beyond d07's stages — the
-    * composition anti-joins the corpus against the REMOVED id set
+    * 100 TB posture: nothing new executes beyond the d02/d03 stages
+    * plus the fixpoint propagation over the materialized pair graph —
+    * the composition anti-joins the corpus against the REMOVED id set
     * (labels where label < doc_id), which is near-dup-population-sized
     * (far smaller than the corpus), so it broadcasts; the corpus itself
     * is scanned once and never shuffled by the final stage. This is the
@@ -691,8 +699,8 @@ object DedupOps {
     // set ever outgrows broadcast range (degrades to a shuffled hash
     // anti join instead of OOMing on a forced hint).
     val removed = graft.Caches.cache(
-      neardupLabels(spark, dir)
-        .filter(col("label") < col("doc_id"))
+      convergedComponents(spark, dir)
+        .filter(col("component") < col("doc_id"))
         .select("doc_id"))
     Tables.documents(spark, dir)
       .join(removed, Seq("doc_id"), "left_anti")
@@ -2018,10 +2026,10 @@ object DedupOps {
          |LEFT JOIN nr ON nr.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
 
+    // d15: keeper election over the CONVERGED families (r13 — an
+    // under-merged labeling elects multiple keepers per true family)
     "d15_quality_keeper" ->
-      s"""WITH comp AS (
-         |  SELECT doc_id, component FROM ($d07Sql)
-         |),
+      s"""WITH RECURSIVE $convergedLabCtes,
          |q AS (
          |  SELECT doc_id,
          |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
@@ -2030,7 +2038,7 @@ object DedupOps {
          |),
          |j AS (
          |  SELECT c.doc_id, c.component, q.quality
-         |  FROM comp c JOIN q ON q.doc_id = c.doc_id
+         |  FROM lab c JOIN q ON q.doc_id = c.doc_id
          |),
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY component
@@ -2416,10 +2424,11 @@ object DedupOps {
          |SELECT a AS doc_id, min(b) AS component
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
-    // d11 = documents minus the non-minimal-label members of d07's
-    // families; md5 re-stated so the kept rows are self-verifying.
+    // d11 = documents minus the non-minimal-label members of the
+    // CONVERGED families; md5 re-stated so the kept rows are
+    // self-verifying.
     "d11_dedup_pipeline" ->
-      s"""WITH lab AS (SELECT * FROM ($d07Sql))
+      s"""WITH RECURSIVE $convergedLabCtes
          |SELECT d.doc_id, md5(d.text) AS text_hash
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM lab l

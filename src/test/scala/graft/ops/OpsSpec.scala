@@ -1046,7 +1046,10 @@ class OpsSpec extends SparkTestBase {
   test("d15: keeper is the family member with the best (quality, -id)") {
     val keepers = DedupOps.d15QualityKeeper(spark, sf0001).collect()
     assert(keepers.nonEmpty)
-    val members = DedupOps.d07NeardupComponents(spark, sf0001)
+    // recompute against the CONVERGED labels d15 consumes since r13
+    // (d17 states the same fixpoint; on this fixture 4 rounds agree,
+    // but the recomputation must not silently depend on that)
+    val members = DedupOps.d17StarComponents(spark, sf0001)
       .join(graft.Tables.documents(spark, sf0001).select(col("doc_id"),
         expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)" +
           " * 1000000 div size(split(text, ' '))").as("q")), Seq("doc_id"))

@@ -229,6 +229,25 @@ class PairGraphSpec extends SparkTestBase {
     assert(d29 == Seq((100L, 7L, 1L, 0L)), s"d29 families: got $d29")
   }
 
+  test("d11/d15 act on the SAME converged labels d18 reports: the " +
+      "keep-set keeps exactly one chain member, one keeper is elected") {
+    // d11 on the permuted chain: the 4-round rule would ALSO keep v1
+    // (id 101, its own 4-hop minimum) — the doc the d18 report counts
+    // as near-removed. Report and pipeline must agree.
+    val kept = DedupOps.d11DedupPipeline(spark, permChainDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(100L),
+      s"keep-set must keep exactly the family minimum: got $kept")
+    // d15 on the permuted chain: ONE keeper row for the ONE family
+    // (4-round labels split it into {106,101} and {100,102..105},
+    // electing two keepers). All docs tie on quality (150 distinct
+    // tokens of 150), so the keeper is the doc_id tiebreak: 100.
+    val keepers = DedupOps.d15QualityKeeper(spark, permChainDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(keepers == Seq((100L, 7L, 100L, 1000000L)),
+      s"expected one keeper for the one converged family: got $keepers")
+  }
+
   test("p13 uses CONVERGED labels: a diameter-6 chain is ONE family") {
     // the pair graph really is the consecutive-pair path
     val pairs = DedupOps.pairGraph(spark, chainDir)
