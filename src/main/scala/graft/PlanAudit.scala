@@ -219,7 +219,12 @@ object PlanAudit {
     // two scalar frames (each a 1-row global agg, hence two
     // SinglePartition exchanges) folding to the one-row sign-off card
     "p36_release_signoff" ->
-      Set("BroadcastNestedLoopJoin", "multi-SinglePartition")
+      Set("BroadcastNestedLoopJoin", "multi-SinglePartition"),
+    // w53: the global type-roster broadcast over the QI-group spine
+    // (|types| rows — the full-roster TVD needs every group x every
+    // type) + the d23 1-row grand-total broadcast; both frames are
+    // type-cardinality- or 1-row-sized at any corpus scale
+    "w53_t_closeness" -> Set("BroadcastNestedLoopJoin")
   )
 
   /** The allowlist flags that are STRUCTURAL (a join shape the query

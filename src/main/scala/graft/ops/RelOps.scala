@@ -1069,6 +1069,77 @@ object RelOps {
       .orderBy("hr")
   }
 
+  /** t-closeness audit (E253) — the third privacy failure mode after
+    * w51's k-anonymity and w52's l-diversity (Li, Li &
+    * Venkatasubramanian, ICDE 2007): a QI group can be k-anonymous AND
+    * l-diverse yet still leak by SKEW — when its sensitive-value
+    * distribution differs sharply from the corpus-wide one, observing
+    * the group updates an adversary's posterior (the skewness attack).
+    * Per QI group (hour, value decade) with event_type as the
+    * sensitive attribute: the group's distance to the global
+    * distribution, flagged when it exceeds t = 0.2. For a categorical
+    * attribute the EMD under uniform ground distance IS the total
+    * variation distance, and d27's discipline makes it exact: over the
+    * FULL type roster (absent types contribute their global mass),
+    * tvd_num = sum_t |n_gt*N - N_t*n_g| is an exact integer, tvd the
+    * ONE division tvd_num / (2*n_g*N), and the t-flag the exact cross
+    * multiplication 5*tvd_num >= 2*n_g*N — no per-term float sum whose
+    * order could drift between engines.
+    *
+    * Long-arithmetic bound: n_gt*N needs n_g*N < 2^63 — fine to ~3e9
+    * events at this fixture shape; a 100 TB corpus upgrades the
+    * numerator column to DECIMAL(38,0) on both engines (the d21/m13
+    * widen-the-representation convention), changing no semantics.
+    *
+    * 100 TB posture: ONE (hr, vb, event_type) hash agg over the narrow
+    * event scan (cell cardinality = 24 x decades x |types| — tiny at
+    * any corpus size); the global roster and the 1-row total ride
+    * broadcasts; the roster cross join is cell-spine-sized. Nothing
+    * corpus-sized shuffles twice.
+    */
+  def w53TCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.events(spark, dir)
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb")))
+
+  /** w53's body over any (event_type, hr, vb) frame (spec-shared). */
+  private[graft] def tClosenessOf(ev: DataFrame): DataFrame =
+    tClosenessFromCells(ev.groupBy("hr", "vb", "event_type")
+      .agg(count(lit(1)).as("n_gt")))
+
+  /** w53's fold from pre-counted (hr, vb, event_type, n_gt) cells —
+    * shared with the streaming twin's board (E254), whose update table
+    * folds to exactly these cells via a monotone max.
+    */
+  private[graft] def tClosenessFromCells(cellRaw: DataFrame): DataFrame = {
+    val cell = graft.Caches.cache(cellRaw)
+    val glob = graft.Caches.cache(
+      cell.groupBy("event_type").agg(sum(col("n_gt")).as("n_t")))
+    val grp = cell.groupBy("hr", "vb")
+      .agg(sum(col("n_gt")).as("n_g"),
+        count(lit(1)).as("n_types"))
+    val total = glob.agg(sum(col("n_t")).as("n_total"))
+    // full roster per group: a type absent from the group contributes
+    // |0*N - N_t*n_g| — skipping it would under-state the distance
+    grp.crossJoin(broadcast(glob))
+      .join(cell, Seq("hr", "vb", "event_type"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("hr"), col("vb"), col("n_g"), col("n_types"),
+        col("n_total"))
+      .agg(sum(abs(coalesce(col("n_gt"), lit(0L)) * col("n_total") -
+        col("n_t") * col("n_g"))).as("tvd_num"))
+      .select(col("hr"), col("vb"),
+        col("n_g").as("n_events"), col("n_types"), col("tvd_num"),
+        (col("tvd_num").cast("double") /
+          (lit(2L) * col("n_g") * col("n_total")).cast("double"))
+          .as("tvd"),
+        when(lit(5L) * col("tvd_num") >=
+          lit(2L) * col("n_g") * col("n_total"), 1L).otherwise(0L)
+          .as("t_fail"))
+      .orderBy("hr", "vb")
+  }
+
   /** Churn hazard table (E240) — the Kaplan-Meier INPUT table over
     * user lifetimes (churn = last observed activity, the
     * product-analytics convention): per observed lifetime t (days
@@ -2286,6 +2357,7 @@ object RelOps {
     "w29_robust_outliers" -> (w29RobustOutliers _),
     "w28_transition_matrix" -> (w28TransitionMatrix _),
     "w52_l_diversity" -> (w52LDiversity _),
+    "w53_t_closeness" -> (w53TCloseness _),
     "w51_k_anonymity" -> (w51KAnonymity _),
     "w50_churn_hazard" -> (w50ChurnHazard _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
@@ -3173,6 +3245,49 @@ object RelOps {
         |  CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM cells c JOIN tot t ON t.from_type = c.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // w53: exact-integer TVD per QI group vs the global sensitive
+    // distribution over the FULL type roster; flag = the t = 0.2 cross
+    // multiplication (the d27 discipline — no per-term float sums)
+    "w53_t_closeness" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vb
+        |  FROM events
+        |),
+        |cell AS (
+        |  SELECT hr, vb, event_type, CAST(count(*) AS BIGINT) AS n_gt
+        |  FROM ev GROUP BY 1, 2, 3
+        |),
+        |roster AS (
+        |  SELECT event_type, CAST(SUM(n_gt) AS BIGINT) AS n_t
+        |  FROM cell GROUP BY event_type
+        |),
+        |grp AS (
+        |  SELECT hr, vb, CAST(SUM(n_gt) AS BIGINT) AS n_g,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM cell GROUP BY 1, 2
+        |),
+        |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM roster),
+        |folded AS (
+        |  SELECT g.hr, g.vb, g.n_g, g.n_types, t.n_total,
+        |    CAST(SUM(abs(COALESCE(c.n_gt, 0) * t.n_total
+        |      - gl.n_t * g.n_g)) AS BIGINT) AS tvd_num
+        |  FROM grp g
+        |  CROSS JOIN roster gl
+        |  CROSS JOIN tot t
+        |  LEFT JOIN cell c ON c.hr = g.hr AND c.vb = g.vb
+        |    AND c.event_type = gl.event_type
+        |  GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT hr, vb, n_g AS n_events, n_types, tvd_num,
+        |  CAST(tvd_num AS DOUBLE) / CAST(2 * n_g * n_total AS DOUBLE)
+        |    AS tvd,
+        |  CAST(CASE WHEN 5 * tvd_num >= 2 * n_g * n_total
+        |    THEN 1 ELSE 0 END AS BIGINT) AS t_fail
+        |FROM folded
+        |ORDER BY hr, vb""".stripMargin,
 
     // w27: the same cohort triangle stated declaratively
     // w52: distinct-l-diversity cut at l = 3 over (hr, vb) QI groups

@@ -1430,6 +1430,77 @@ object PrivacyJobs {
           .as("weak_share"))
       .orderBy("hr")
   }
+
+  /** Stream of per-(QI group, sensitive value) count updates (w53's
+    * continual-ingest twin — E254, completing the privacy trilogy's
+    * twins next to E249/E252): project each event to w53's QI tuple
+    * and fold per group with [[TClosenessProcessor]]. t-closeness is a
+    * DISTRIBUTIONAL audit, so the state is the per-type running count,
+    * not a seen-set — each update row carries the group's new total
+    * for its type and the board folds them back with a monotone max.
+    */
+  def tClosenessTws(events: DataFrame): Dataset[TCloseUpdate] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb"))
+      .as[PrivEvent]
+      .groupByKey(e => (e.hr, e.vb))
+      .transformWithState(new TClosenessProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to w53's exact report: the
+    * latest count per (group, type) is the monotone max over updates,
+    * and the fold from cells is w53's own
+    * (`RelOps.tClosenessFromCells` — the spec pins column- and
+    * value-identity). Same sink-read caveat as [[privacyBoard]].
+    */
+  def tClosenessBoard(updates: DataFrame): DataFrame =
+    graft.ops.RelOps.tClosenessFromCells(
+      updates.groupBy("hr", "vb", "event_type")
+        .agg(max(col("n_gt")).as("n_gt")))
+}
+
+/** Update rows for the streaming t-closeness twin (w53 — E254): one row
+  * per (group, sensitive value) TOUCHED in a micro-batch, carrying the
+  * post-batch running count for that value.
+  */
+case class TCloseUpdate(hr: Long, vb: Long, event_type: String, n_gt: Long)
+
+/** StatefulProcessor for [[PrivacyJobs.tClosenessTws]]: keyed by the QI
+  * tuple (hr, vb), a MapState of per-sensitive-value running counts.
+  * Emits O(touched values) rows per group per batch.
+  */
+class TClosenessProcessor
+    extends StatefulProcessor[(Long, Long), PrivEvent, TCloseUpdate] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: (Long, Long),
+      rows: Iterator[PrivEvent],
+      timerValues: TimerValues): Iterator[TCloseUpdate] = {
+    val batch = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach { r =>
+      batch.update(r.event_type, batch.getOrElse(r.event_type, 0L) + 1L)
+    }
+    val (hr, vb) = key
+    // materialized eagerly: the state writes must not hide inside a
+    // lazy iterator the runtime might only partially drain
+    val out = batch.map { case (tpe, add) =>
+      val tot = (if (counts.containsKey(tpe)) counts.getValue(tpe)
+        else 0L) + add
+      counts.updateValue(tpe, tot)
+      TCloseUpdate(hr, vb, tpe, tot)
+    }.toList
+    out.iterator
+  }
 }
 
 /** Update rows for the streaming l-diversity twin (w52 — E252):

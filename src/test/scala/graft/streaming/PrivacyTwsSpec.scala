@@ -127,6 +127,75 @@ class PrivacyTwsSpec extends SparkTestBase {
     } }
   }
 
+  test("tClosenessTws: two micro-batches fold to the exact batch w53 " +
+      "report; per-type counts accumulate across the cut") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb { withTempDir { tmp =>
+      val incoming = Tables.events(spark, sf0001)
+        .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+        .as[RawEvent].collect()
+      val cut = incoming.length / 2
+      val mem = MemoryStream[RawEvent]
+      val q = PrivacyJobs.tClosenessTws(mem.toDF())
+        .writeStream.format("memory").queryName("tclose_updates")
+        .outputMode("update").start()
+      mem.addData(incoming.take(cut).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(cut).toIndexedSeq)
+      q.processAllAvailable(); q.stop()
+      val sinkDir = s"$tmp/updates"
+      spark.table("tclose_updates").write.mode("overwrite").parquet(sinkDir)
+      val updates = spark.read.parquet(sinkDir)
+      // state contract: counts are strictly increasing per (group, type)
+      // across batches, so each (group, type, n_gt) row is unique
+      assert(updates.groupBy("hr", "vb", "event_type", "n_gt").count()
+        .filter(col("count") > 1).count() == 0L)
+      val board = PrivacyJobs.tClosenessBoard(updates).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+      val batch = graft.ops.RelOps.w53TCloseness(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+      assert(board == batch,
+        s"streaming board != batch w53 (${board.size} vs ${batch.size})")
+      assert(batch.nonEmpty)
+    } }
+  }
+
+  test("tClosenessTws: a planted skewed group crosses back under t " +
+      "exactly at the batch cut") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(tpe: String, hr: Long): RawEvent = RawEvent(tpe, 1L,
+      java.sql.Timestamp.valueOf(f"2025-01-01 $hr%02d:00:00"), 5.0)
+    withRocksDb { withTempDir { tmp =>
+      val mem = MemoryStream[RawEvent]
+      val q = PrivacyJobs.tClosenessTws(mem.toDF())
+        .writeStream.format("memory").queryName("tclose_plant")
+        .outputMode("update").start()
+      def failsNow(tag: String, hr: Long): Long = {
+        val dir = s"$tmp/$tag"
+        spark.table("tclose_plant").write.mode("overwrite").parquet(dir)
+        val r = PrivacyJobs.tClosenessBoard(spark.read.parquet(dir))
+          .filter(col("hr") === hr).collect()
+        assert(r.length == 1)
+        r(0).getAs[Long]("t_fail")
+      }
+      // batch 1: hr-1 balanced 4A+4B, hr-3 homogeneous 8A
+      // global A=12 B=4 N=16; hr-3 num = |8*16-12*8| + |0-4*8| = 64 ->
+      // tvd 64/(2*8*16) = 0.25 >= 0.2: FAIL
+      mem.addData((Seq.fill(4)(ev("A", 1L)) ++ Seq.fill(4)(ev("B", 1L)) ++
+        Seq.fill(8)(ev("A", 3L))).toIndexedSeq)
+      q.processAllAvailable()
+      assert(failsNow("b1", 3L) == 1L, "skewed group must fail at batch 1")
+      // batch 2: 8B arrive in hr-3 -> group now 8A+8B; global A=12 B=12
+      // N=24; hr-3 num = |8*24-12*16|*2 = 0 -> passes
+      mem.addData(Seq.fill(8)(ev("B", 3L)).toIndexedSeq)
+      q.processAllAvailable(); q.stop()
+      assert(failsNow("b2", 3L) == 0L,
+        "the balancing arrivals must clear the t cut at the batch cut")
+    } }
+  }
+
   test("lDiversityTws: a planted QI group goes weak -> strong exactly " +
       "at the batch cut") {
     implicit val sqlCtx = spark.sqlContext
