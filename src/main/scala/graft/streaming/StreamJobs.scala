@@ -1259,7 +1259,11 @@ case class PrivEvent(
     event_type: String, user_id: Long, hr: Long, vb: Long)
 case class PrivacyUpdate(
     event_type: String, hr: Long, vb: Long,
-    user_id: Long, // -1 on a count-only update (no new user this batch)
+    // null on a count-only update (no new user this batch). Boxed, NOT
+    // a -1 sentinel: the batch queries count EVERY user_id value, so a
+    // corpus with a real negative id would collide with the sentinel
+    // and silently undercount the board (r13 code review).
+    user_id: java.lang.Long,
     n_events: Long)
 
 /** StatefulProcessor for [[PrivacyJobs.privacyTws]]: keyed by the
@@ -1303,9 +1307,9 @@ class KAnonymityProcessor
       nEvents.update(tot)
       val (et, hr, vb) = key
       if (added.isEmpty)
-        Iterator.single(PrivacyUpdate(et, hr, vb, -1L, tot))
+        Iterator.single(PrivacyUpdate(et, hr, vb, null, tot))
       else added.reverseIterator
-        .map(u => PrivacyUpdate(et, hr, vb, u, tot))
+        .map(u => PrivacyUpdate(et, hr, vb, Long.box(u), tot))
     }
   }
 }
@@ -1320,16 +1324,27 @@ class KAnonymityProcessor
   * the same trust the batch scan places in the lakehouse files.
   */
 object PrivacyJobs {
+  /** The shared QI projection all three privacy twins ingest — ONE
+    * definition of the quasi-identifier tuple (hour, value decade), so
+    * a QI change cannot silently drift between the twins (or against
+    * the batch queries, whose projections the twin specs pin).
+    */
+  private def qiEvents(events: DataFrame)
+      : org.apache.spark.sql.Dataset[PrivEvent] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") / 10.0).cast("long").as("vb"))
+      .as[PrivEvent]
+  }
+
   /** Stream of per-group privacy updates: project each event to its
     * QI tuple (w51's (event_type, hour, value decade)) and fold per
     * group with [[KAnonymityProcessor]].
     */
   def privacyTws(events: DataFrame): Dataset[PrivacyUpdate] = {
     import events.sparkSession.implicits._
-    events.select(col("event_type"), col("user_id"),
-        hour(col("ts")).cast("long").as("hr"),
-        floor(col("value") / 10.0).cast("long").as("vb"))
-      .as[PrivEvent]
+    qiEvents(events)
       .groupByKey(e => (e.event_type, e.hr, e.vb))
       .transformWithState(new KAnonymityProcessor,
         TimeMode.None(), OutputMode.Update())
@@ -1344,7 +1359,7 @@ object PrivacyJobs {
   def privacyBoard(updates: DataFrame): DataFrame = {
     val grp = graft.Caches.cache(updates
       .groupBy("event_type", "hr", "vb")
-      .agg(countDistinct(when(col("user_id") >= 0, col("user_id")))
+      .agg(countDistinct(col("user_id")) // null = count-only row, ignored
         .as("n_users"),
         max(col("n_events")).as("n_events")))
     // NOTE: this board self-joins `updates`; feed it a SINK-READ frame
@@ -1354,7 +1369,7 @@ object PrivacyJobs {
     // which is what a production checkpointed sink yields anyway).
     val risky = grp.filter(col("n_users") < 5)
       .select("event_type", "hr", "vb")
-    val exposed = updates.filter(col("user_id") >= 0)
+    val exposed = updates.filter(col("user_id").isNotNull)
       .join(broadcast(risky), Seq("event_type", "hr", "vb"), "left_semi")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users_exposed"))
@@ -1384,10 +1399,7 @@ object PrivacyJobs {
     */
   def lDiversityTws(events: DataFrame): Dataset[LDivUpdate] = {
     import events.sparkSession.implicits._
-    events.select(col("event_type"), col("user_id"),
-        hour(col("ts")).cast("long").as("hr"),
-        floor(col("value") / 10.0).cast("long").as("vb"))
-      .as[PrivEvent]
+    qiEvents(events)
       .groupByKey(e => (e.hr, e.vb))
       .transformWithState(new LDiversityProcessor,
         TimeMode.None(), OutputMode.Update())
@@ -1409,7 +1421,7 @@ object PrivacyJobs {
       .agg(countDistinct(col("event_type")).as("n_sens"),
         max(col("n_events")).as("n_events")))
     val weak = grp.filter(col("n_sens") < 3).select("hr", "vb")
-    val exposed = updates.filter(col("user_id") >= 0)
+    val exposed = updates.filter(col("user_id").isNotNull)
       .join(broadcast(weak), Seq("hr", "vb"), "left_semi")
       .groupBy("hr")
       .agg(countDistinct(col("user_id")).as("n_users_weak"))
@@ -1441,10 +1453,7 @@ object PrivacyJobs {
     */
   def tClosenessTws(events: DataFrame): Dataset[TCloseUpdate] = {
     import events.sparkSession.implicits._
-    events.select(col("event_type"), col("user_id"),
-        hour(col("ts")).cast("long").as("hr"),
-        floor(col("value") / 10.0).cast("long").as("vb"))
-      .as[PrivEvent]
+    qiEvents(events)
       .groupByKey(e => (e.hr, e.vb))
       .transformWithState(new TClosenessProcessor,
         TimeMode.None(), OutputMode.Update())
@@ -1505,12 +1514,13 @@ class TClosenessProcessor
 
 /** Update rows for the streaming l-diversity twin (w52 — E252):
   * event_type is null except on rows introducing a NEW sensitive value
-  * to the group, user_id is -1 except on rows introducing a NEW user —
-  * the two channels zip into shared rows so a batch emits
+  * to the group, user_id is null except on rows introducing a NEW user
+  * (boxed, not a -1 sentinel — the PrivacyUpdate rationale) — the two
+  * channels zip into shared rows so a batch emits
   * max(new values, new users, 1 if touched) rows per group.
   */
 case class LDivUpdate(hr: Long, vb: Long,
-    event_type: String, user_id: Long, n_events: Long)
+    event_type: String, user_id: java.lang.Long, n_events: Long)
 
 /** StatefulProcessor for [[PrivacyJobs.lDiversityTws]]: keyed by the
   * QI tuple (hr, vb), a MapState of sensitive values ALREADY SEEN
@@ -1563,7 +1573,7 @@ class LDiversityProcessor
       val n = math.max(math.max(s.size, u.size), 1)
       (0 until n).iterator.map(i => LDivUpdate(hr, vb,
         if (i < s.size) s(i) else null,
-        if (i < u.size) u(i) else -1L, tot))
+        if (i < u.size) Long.box(u(i)) else null, tot))
     }
   }
 }

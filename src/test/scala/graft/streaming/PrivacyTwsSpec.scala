@@ -42,8 +42,12 @@ class PrivacyTwsSpec extends SparkTestBase {
   private def withTempDir(body: Path => Unit): Unit = {
     val dir = Files.createTempDirectory("graft_privacy_tws")
     try body(dir)
-    finally Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    finally {
+      val walk = Files.walk(dir) // close the stream: it holds dir handles
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   test("privacyTws: two micro-batches fold to the exact batch w51 " +
@@ -73,7 +77,7 @@ class PrivacyTwsSpec extends SparkTestBase {
         .parquet(sinkDir)
       val updates = spark.read.parquet(sinkDir)
       // state contract: a user enters a group's update stream at most once
-      assert(updates.filter(col("user_id") >= 0)
+      assert(updates.filter(col("user_id").isNotNull)
         .groupBy("event_type", "hr", "vb", "user_id").count()
         .filter(col("count") > 1).count() == 0L)
       val board = PrivacyJobs.privacyBoard(updates).collect()
@@ -112,7 +116,7 @@ class PrivacyTwsSpec extends SparkTestBase {
       assert(updates.filter(col("event_type").isNotNull)
         .groupBy("hr", "vb", "event_type").count()
         .filter(col("count") > 1).count() == 0L)
-      assert(updates.filter(col("user_id") >= 0)
+      assert(updates.filter(col("user_id").isNotNull)
         .groupBy("hr", "vb", "user_id").count()
         .filter(col("count") > 1).count() == 0L)
       val board = PrivacyJobs.lDiversityBoard(updates).collect()
@@ -197,8 +201,11 @@ class PrivacyTwsSpec extends SparkTestBase {
   }
 
   test("lDiversityTws: a planted QI group goes weak -> strong exactly " +
-      "at the batch cut") {
+      "at the batch cut; NEGATIVE user ids count as real users") {
     implicit val sqlCtx = spark.sqlContext
+    // users -1 and -2 on purpose: the update rows mark "no new user"
+    // with NULL, never a sentinel value a real id could collide with
+    // (r13 code review) — these two must land in n_users_weak
     def ev(tpe: String, user: Long): RawEvent = RawEvent(tpe, user,
       java.sql.Timestamp.valueOf("2025-01-01 10:00:00"), 5.0) // hr 10, vb 0
     withRocksDb { withTempDir { tmp =>
@@ -216,10 +223,11 @@ class PrivacyTwsSpec extends SparkTestBase {
           r(0).getAs[Long]("n_events_weak"), r(0).getAs[Long]("n_users_weak"))
       }
       // batch 1: two sensitive values in the group -> weak (l = 3)
-      mem.addData(ev("view", 1L), ev("click", 2L))
+      mem.addData(ev("view", -1L), ev("click", -2L))
       q.processAllAvailable()
       assert(boardNow("b1") == ((1L, 2L, 2L, 2L)),
-        "two distinct sensitive values must read as ONE weak group")
+        "two distinct sensitive values must read as ONE weak group " +
+          "(and the two negative user ids as two real weak users)")
       // batch 2: a third value arrives -> the SAME group turns strong
       mem.addData(ev("purchase", 3L))
       q.processAllAvailable(); q.stop()
