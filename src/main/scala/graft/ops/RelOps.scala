@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1086,10 +1086,14 @@ object RelOps {
     * multiplication 5*tvd_num >= 2*n_g*N — no per-term float sum whose
     * order could drift between engines.
     *
-    * Long-arithmetic bound: n_gt*N needs n_g*N < 2^63 — fine to ~3e9
-    * events at this fixture shape; a 100 TB corpus upgrades the
-    * numerator column to DECIMAL(38,0) on both engines (the d21/m13
-    * widen-the-representation convention), changing no semantics.
+    * Arithmetic width (VERDICT r13 item 3): the products n_gt*N and
+    * n_t*n_g overflow signed 64-bit near ~3e9 events, so every product
+    * and the numerator sum run in DECIMAL(38,0) — exact to 1e38, i.e.
+    * any corpus (the d21/m13/t26 widen-the-representation convention);
+    * the oracle mirrors with HUGEINT. `tvd_num` is published as
+    * DECIMAL(38,0); counts stay BIGINT (they are bounded by corpus
+    * row count, not its square). `TClosenessSpec` pins a planted
+    * ~6e9-event cell frame whose numerator exceeds Long.MaxValue.
     *
     * 100 TB posture: ONE (hr, vb, event_type) hash agg over the narrow
     * event scan (cell cardinality = 24 x decades x |types| — tiny at
@@ -1121,21 +1125,25 @@ object RelOps {
         count(lit(1)).as("n_types"))
     val total = glob.agg(sum(col("n_t")).as("n_total"))
     // full roster per group: a type absent from the group contributes
-    // |0*N - N_t*n_g| — skipping it would under-state the distance
+    // |0*N - N_t*n_g| — skipping it would under-state the distance.
+    // All products run in DECIMAL(38,0): n_gt*N overflows longs near
+    // ~3e9 events (scaladoc bound), and an overflowed-yet-wrapped
+    // numerator is the one wrong answer the twin-engine compare is
+    // blind to (both engines would wrap identically in 64-bit).
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val denom = dec(lit(2L)) * dec(col("n_g")) * dec(col("n_total"))
     grp.crossJoin(broadcast(glob))
       .join(cell, Seq("hr", "vb", "event_type"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col("hr"), col("vb"), col("n_g"), col("n_types"),
         col("n_total"))
-      .agg(sum(abs(coalesce(col("n_gt"), lit(0L)) * col("n_total") -
-        col("n_t") * col("n_g"))).as("tvd_num"))
+      .agg(sum(abs(dec(coalesce(col("n_gt"), lit(0L))) * dec(col("n_total")) -
+        dec(col("n_t")) * dec(col("n_g")))).as("tvd_num"))
       .select(col("hr"), col("vb"),
-        col("n_g").as("n_events"), col("n_types"), col("tvd_num"),
-        (col("tvd_num").cast("double") /
-          (lit(2L) * col("n_g") * col("n_total")).cast("double"))
-          .as("tvd"),
-        when(lit(5L) * col("tvd_num") >=
-          lit(2L) * col("n_g") * col("n_total"), 1L).otherwise(0L)
+        col("n_g").as("n_events"), col("n_types"),
+        dec(col("tvd_num")).as("tvd_num"),
+        (col("tvd_num").cast("double") / denom.cast("double")).as("tvd"),
+        when(dec(lit(5L)) * col("tvd_num") >= denom, 1L).otherwise(0L)
           .as("t_fail"))
       .orderBy("hr", "vb")
   }
@@ -3248,7 +3256,9 @@ object RelOps {
 
     // w53: exact-integer TVD per QI group vs the global sensitive
     // distribution over the FULL type roster; flag = the t = 0.2 cross
-    // multiplication (the d27 discipline — no per-term float sums)
+    // multiplication (the d27 discipline — no per-term float sums).
+    // Products/sum in HUGEINT mirroring Spark's DECIMAL(38,0) widen;
+    // tvd_num published as DECIMAL(38,0) on both engines.
     "w53_t_closeness" ->
       """WITH ev AS (
         |  SELECT event_type,
@@ -3272,8 +3282,8 @@ object RelOps {
         |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM roster),
         |folded AS (
         |  SELECT g.hr, g.vb, g.n_g, g.n_types, t.n_total,
-        |    CAST(SUM(abs(COALESCE(c.n_gt, 0) * t.n_total
-        |      - gl.n_t * g.n_g)) AS BIGINT) AS tvd_num
+        |    SUM(abs(CAST(COALESCE(c.n_gt, 0) AS HUGEINT) * t.n_total
+        |      - CAST(gl.n_t AS HUGEINT) * g.n_g)) AS tvd_num
         |  FROM grp g
         |  CROSS JOIN roster gl
         |  CROSS JOIN tot t
@@ -3281,10 +3291,11 @@ object RelOps {
         |    AND c.event_type = gl.event_type
         |  GROUP BY 1, 2, 3, 4, 5
         |)
-        |SELECT hr, vb, n_g AS n_events, n_types, tvd_num,
-        |  CAST(tvd_num AS DOUBLE) / CAST(2 * n_g * n_total AS DOUBLE)
-        |    AS tvd,
-        |  CAST(CASE WHEN 5 * tvd_num >= 2 * n_g * n_total
+        |SELECT hr, vb, n_g AS n_events, n_types,
+        |  CAST(tvd_num AS DECIMAL(38,0)) AS tvd_num,
+        |  CAST(tvd_num AS DOUBLE)
+        |    / CAST(2 * CAST(n_g AS HUGEINT) * n_total AS DOUBLE) AS tvd,
+        |  CAST(CASE WHEN 5 * tvd_num >= 2 * CAST(n_g AS HUGEINT) * n_total
         |    THEN 1 ELSE 0 END AS BIGINT) AS t_fail
         |FROM folded
         |ORDER BY hr, vb""".stripMargin,

@@ -34,7 +34,8 @@ class TClosenessSpec extends SparkTestBase {
       val r = out(key)
       assert(r.getAs[Long]("n_events") == ng, s"$key n_events")
       assert(r.getAs[Long]("n_types") == cnt.size.toLong, s"$key n_types")
-      assert(r.getAs[Long]("tvd_num") == num, s"$key tvd_num")
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("tvd_num")) ==
+        BigDecimal(num), s"$key tvd_num")
       assert(r.getAs[Double]("tvd") ==
         num.toDouble / (2L * ng * n).toDouble, s"$key tvd")
       assert(r.getAs[Long]("t_fail") ==
@@ -59,11 +60,32 @@ class TClosenessSpec extends SparkTestBase {
       Seq.fill(8)("A").map(t => (t, 3L, 0L))
     val rows = RelOps.tClosenessOf(
         ev.toDF("event_type", "hr", "vb"))
-      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, BigDecimal, Double, Long)].collect().toSeq
     assert(rows == Seq(
-      (1L, 0L, 8L, 2L, 64L, 0.1, 0L),
-      (2L, 0L, 24L, 2L, 192L, 0.1, 0L),
-      (3L, 0L, 8L, 1L, 256L, 0.4, 1L)), s"got $rows")
+      (1L, 0L, 8L, 2L, BigDecimal(64), 0.1, 0L),
+      (2L, 0L, 24L, 2L, BigDecimal(192), 0.1, 0L),
+      (3L, 0L, 8L, 1L, BigDecimal(256), 0.4, 1L)), s"got $rows")
+    graft.Caches.unpersistAll()
+  }
+
+  test("w53 overflow (VERDICT r13 item 3): a ~6e9-event cell frame whose " +
+      "numerator exceeds Long.MaxValue stays exact under DECIMAL(38,0)") {
+    // Two disjoint homogeneous groups of 3e9 events each: for either
+    // group, tvd_num = |3e9*6e9 - 3e9*3e9| + |0 - 3e9*3e9| = 1.8e19 —
+    // past signed-64 (9.22e18), where the pre-widen long arithmetic
+    // would wrap IDENTICALLY in both engines (the one failure mode the
+    // oracle compare is blind to). Exact: tvd = 1.8e19/3.6e19 = 0.5,
+    // over the t = 0.2 cut.
+    val c = 3000000000L
+    val cells = Seq(("X", 1L, 0L, c), ("Y", 2L, 0L, c))
+      .toDF("event_type", "hr", "vb", "n_gt")
+    val rows = RelOps.tClosenessFromCells(cells)
+      .as[(Long, Long, Long, Long, BigDecimal, Double, Long)].collect().toSeq
+    val num = BigDecimal(BigInt("18000000000000000000"))
+    assert(rows == Seq(
+      (1L, 0L, c, 1L, num, 0.5, 1L),
+      (2L, 0L, c, 1L, num, 0.5, 1L)), s"got $rows")
+    assert(num > BigDecimal(Long.MaxValue), "the probe must actually overflow")
     graft.Caches.unpersistAll()
   }
 }

@@ -154,12 +154,14 @@ class PrivacyTwsSpec extends SparkTestBase {
       // across batches, so each (group, type, n_gt) row is unique
       assert(updates.groupBy("hr", "vb", "event_type", "n_gt").count()
         .filter(col("count") > 1).count() == 0L)
+      def decode(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          BigDecimal(r.getAs[java.math.BigDecimal](4)), r.getDouble(5),
+          r.getLong(6))
       val board = PrivacyJobs.tClosenessBoard(updates).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+        .map(decode).toSeq
       val batch = graft.ops.RelOps.w53TCloseness(spark, sf0001).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+        .map(decode).toSeq
       assert(board == batch,
         s"streaming board != batch w53 (${board.size} vs ${batch.size})")
       assert(batch.nonEmpty)
