@@ -38,19 +38,65 @@ object Bench {
     s"""{"metric":"total","value":${f3(coldTotal)},"unit":"sec"$warm$errs,"sf":"$sfDir"}"""
   }
 
-  /** Parse per-query `warm_norm` values out of a committed BENCH_FULL.json
-    * body (the format `main` writes: flat one-level query objects, no
-    * nesting). Pure, regex-based — the artifact is machine-written by this
-    * file, so the shape is stable; on any parse surprise the result is
-    * simply missing entries, which disables history adjudication for those
-    * rows rather than failing the run. Pinned by `BenchLineSpec`.
+  /** Committed-history artifact, reduced to the fields adjudication
+    * needs. `cpus`/`drift` are None when the artifact predates them or
+    * the parse fails — both disable adjudication (fail-open).
     */
-  def historyNorms(json: String): Map[String, Double] = {
-    val re = """"([A-Za-z0-9_]+)":\{[^{}]*?"warm_norm":(-?[0-9][0-9.eE+-]*)""".r
-    re.findAllMatchIn(json).flatMap { m =>
-      scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
-    }.toMap
-  }
+  case class BenchHistory(cpus: Option[Int], drift: Option[Double],
+      outlierRows: Int, norms: Map[String, Double])
+
+  /** Structured parse of a committed BENCH_FULL.json body (VERDICT r13
+    * item 4: the old whole-body regex could fabricate or drop entries
+    * when an error string carried braces or an embedded `"name":{...
+    * "warm_norm":N` fragment). Jackson is already on the classpath
+    * (Spark's own JSON stack); navigation is field-by-field so a
+    * reordered or extended artifact still parses. Total: any failure
+    * returns an empty history, which disables adjudication rather than
+    * failing the run. Pinned by `BenchLineSpec`.
+    */
+  def parseHistory(json: String): BenchHistory =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val norms = Map.newBuilder[String, Double]
+      var outliers = 0
+      val it = root.path("queries").properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val wn = e.getValue.path("warm_norm")
+        if (wn.isNumber) norms += (e.getKey -> wn.asDouble())
+        if (e.getValue.path("hist_outlier").asBoolean(false)) outliers += 1
+      }
+      def num(f: String) = Option(root.path(f)).filter(_.isNumber)
+      BenchHistory(num("cpus").map(_.asInt()),
+        num("calibration_drift").map(_.asDouble()), outliers, norms.result())
+    } catch { case _: Throwable => BenchHistory(None, None, 0, Map.empty) }
+
+  /** A history artifact is quiet enough to adjudicate against iff its
+    * sweep-wide drift stayed under this (a contaminated row implies a
+    * 2x calibration sample, so drift >= 2 subsumes contamination).
+    */
+  val QuietDrift = 2.0
+
+  /** Config-aware history gate (VERDICT r13 items 1+5): the 3x
+    * `hist_norm` adjudication assumes norms are comparable, which
+    * holds only when (a) the history ran on the SAME core count (a
+    * parallelism-sensitive query's norm shifts with cores while the
+    * single-threaded sentinel's doesn't), (b) the history host was
+    * quiet (drift < 2), and (c) the history itself carries no
+    * unresolved outlier rows (its norms already reflect solo re-run
+    * minima, but an outlier-bearing sweep was noisy by definition).
+    * Left(reason) disables adjudication — fail-open, never fails the
+    * run. Pure, for `BenchLineSpec`/`BenchHistoryGateSpec`.
+    */
+  def historyUsable(h: BenchHistory, runCpus: Int): Either[String, Unit] =
+    if (h.norms.isEmpty) Left("no-norms")
+    else if (!h.cpus.contains(runCpus))
+      Left(s"cpus-mismatch hist=${h.cpus.map(_.toString).getOrElse("?")} run=$runCpus")
+    else if (!h.drift.exists(d => d > 0 && d < QuietDrift))
+      Left(f"noisy-history drift=${h.drift.getOrElse(-1.0)}%.2f")
+    else if (h.outlierRows > 0)
+      Left(s"history-has-outliers n=${h.outlierRows}")
+    else Right(())
 
   /** History-outlier policy (VERDICT r12 item 1): a sweep row is re-run
     * once, solo, when its contention-normalized warm (`warm / cal`) reads
@@ -85,10 +131,17 @@ object Bench {
     // (first run, renamed query) — never fails the bench.
     val histPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_FULL.json")
-    val histNorm: Map[String, Double] =
-      try historyNorms(new String(java.nio.file.Files.readAllBytes(
+    val hist: BenchHistory =
+      try parseHistory(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(histPath)), "UTF-8"))
-      catch { case _: Throwable => Map.empty }
+      catch { case _: Throwable => BenchHistory(None, None, 0, Map.empty) }
+    // Config-aware gate (VERDICT r13 item 1): adjudicate only against a
+    // quiet history recorded at THIS run's core count — otherwise the
+    // norms aren't comparable and the 3x gate mis-fires or misses.
+    val histUse = historyUsable(hist,
+      scala.util.Try(cpus.toInt).getOrElse(-1))
+    val histNorm: Map[String, Double] =
+      if (histUse.isRight) hist.norms else Map.empty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -356,11 +409,20 @@ object Bench {
       s"${jstr(n)}:{" + s""""cold":$c,"warm":$w""" + extras +
         errors.get(n).map(e => s""","error":${jstr(e)}""").getOrElse("") + "}"
     }.mkString(
-      s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"queries":{""", ",",
+      s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"shuffle_partitions":$cpus,""" +
+        s""""queries":{""", ",",
       s"""},"cold_total":${f3(coldTotal)}${extra},""" +
       (if (prewarmSec >= 0) s""""prewarm_sec":${f3(prewarmSec)},""" else "") +
       s""""calibration":$calJson,""" +
       s""""calibration_drift":${f3(calDrift)},""" +
+      // self-declared history eligibility (VERDICT r13 item 5): true
+      // iff this run could serve as the next round's adjudication
+      // baseline — quiet sweep, nothing contaminated, no outlier rows,
+      // zero errors. historyUsable additionally re-derives quietness
+      // from drift/outliers at load time, so the flag is a readable
+      // summary, not the trusted input.
+      s""""history_eligible":${calDrift > 0 && calDrift < QuietDrift &&
+        histOutliers.isEmpty && contaminated.isEmpty && errors.isEmpty},""" +
       s""""errors":[${errors.keys.map(jstr).mkString(",")}]}\n""")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       fullJson.getBytes("UTF-8"))
@@ -380,8 +442,12 @@ object Bench {
       s"${jstr(n)}:[${fs.map(jstr).mkString(",")}]"
     }.mkString("{", ",", "}") + s" listener_hits=${planGuard.flagged.size}")
     println(f"# bench-calibration drift=$calDrift%.2f samples=$calJson")
-    println(s"# bench-history path=$histPath norms=${histNorm.size} " +
-      s"outliers=${histOutliers.size} " +
+    println(s"# bench-history path=$histPath " +
+      s"hist_cpus=${hist.cpus.map(_.toString).getOrElse("?")} " +
+      s"hist_drift=${hist.drift.map(d => f"$d%.2f").getOrElse("?")} " +
+      s"run_cpus=$cpus " +
+      s"usable=${histUse.fold(r => s"no($r)", _ => "yes")} " +
+      s"norms=${histNorm.size} outliers=${histOutliers.size} " +
       s"[${histOutliers.toSeq.sorted.take(20).mkString(",")}]")
     println(line)
     spark.stop()

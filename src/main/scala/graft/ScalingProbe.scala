@@ -172,6 +172,77 @@ object ScalingProbe {
     }
   }
 
+  /** Planted hub-skewed + deep-chain graph for the graph-family probes
+    * (VERDICT r13 item 2) — the one op family whose posture had no
+    * measured rows. Per scale n, three disjoint id blocks:
+    *  - n/1000 hubs of 500 leaves each (~n/2 edges): degree-500 skew.
+    *    A naive neighbor self-join would enumerate C(500,2) = 124,750
+    *    wedge candidates PER HUB; degree orientation generates zero
+    *    (leaves have out-degree 1, the hub out-degree 0).
+    *  - one (n/10)-edge path (the deep chain): star contraction must
+    *    converge in O(log n) rounds where label propagation needs n/10;
+    *    orientation gives every path node out-degree <= 1 -> no wedges.
+    *  - n/40 K4 cliques (6 edges, 4 triangles each): the triangle mass
+    *    g01/g06 actually count — 4 oriented wedges per K4, all closing.
+    * Expected oriented wedge volume is therefore ~n/10 (vs the naive
+    * ~125n bound printed alongside), triangles n/10, and 10x nodes =>
+    * ~10x wedges/runtime with contraction rounds growing by ~log(10).
+    */
+  private def plantedGraph(spark: SparkSession, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val hubEdges = spark.range(n / 1000L)
+      .select(col("id").as("h"), explode(expr("sequence(1, 500)")).as("j"))
+      .select((col("h") * 501).as("doc_a"),
+        (col("h") * 501 + col("j")).as("doc_b"))
+    val chainEdges = spark.range(n / 10L)
+      .select((lit(1000000000L) + col("id")).as("doc_a"),
+        (lit(1000000000L) + col("id") + 1).as("doc_b"))
+    val k4Edges = spark.range(n / 40L)
+      .select(col("id"), explode(expr(
+        "array(array(0,1),array(0,2),array(0,3)," +
+          "array(1,2),array(1,3),array(2,3))")).as("p"))
+      .select((lit(2000000000L) + col("id") * 4 + col("p")(0)).as("doc_a"),
+        (lit(2000000000L) + col("id") * 4 + col("p")(1)).as("doc_b"))
+    hubEdges.union(chainEdges).union(k4Edges)
+  }
+
+  /** g01/g06/d17 at two scales on the planted graph: wedge volume (the
+    * O(m^1.5) claim measured directly — rows= in the printout IS the
+    * oriented wedge count), triangle stats, edge support, and converged
+    * star contraction (rounds + per-round cost on a hub-skew + deep-
+    * chain topology, complementing the pure-path `stars` probe).
+    */
+  private def wedgesProbe(spark: SparkSession, n: Int): Unit = {
+    val pairs = plantedGraph(spark, n).persist()
+    val m = pairs.count()
+    val naive = graft.ops.GraphOps.degrees(pairs)
+      .agg(sum(expr("degree * (degree - 1) div 2"))).head().getLong(0)
+    println(s"g01_wedges n=$n edges=$m naive_wedge_bound=$naive")
+    time("g01_wedge_volume", n) {
+      graft.ops.GraphOps.orientedWedges(pairs,
+        graft.Caches.cache(graft.ops.GraphOps.degrees(pairs))).count()
+    }
+    time("g01_triangle_stats", n) {
+      graft.ops.GraphOps.triangleStats(pairs).count()
+    }
+    time("g06_edge_support", n) {
+      graft.ops.GraphOps.edgeSupport(pairs).count()
+    }
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val (stars, rounds) = graft.ops.DedupOps.starContract(
+        pairs.select(col("doc_b").as("hi"), col("doc_a").as("lo")))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val mb = pinnedMb(spark)
+      val comps = stars.select(col("lo")).distinct().count()
+      println(f"d17_star_contract_planted n=$n run $i: ${dt}%.2fs " +
+        f"rounds=$rounds perRound=${dt / rounds}%.2fs pinnedMB=$mb%.1f " +
+        f"components=$comps")
+      Caches.unpersistAll()
+    }
+    pairs.unpersist()
+  }
+
   /** s27 shape: one per-subspace Lloyd step on n synthetic 64-dim
     * integer vectors with 10 labels (values md5-derived around a
     * label-offset mean, so the codebook is non-degenerate). Claimed
@@ -993,6 +1064,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("prefix")) {
       prefixProbe(spark, if (args.length > 1) args(1).toInt else 500000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("wedges")) {
+      wedgesProbe(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }

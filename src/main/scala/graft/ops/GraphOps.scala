@@ -33,7 +33,7 @@ object GraphOps {
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
 
   /** Per-node degree over the symmetric edge view: (doc_id, degree). */
-  private def degrees(pairs: DataFrame): DataFrame =
+  private[graft] def degrees(pairs: DataFrame): DataFrame =
     symmetric(pairs).groupBy(col("u").as("doc_id"))
       .agg(count(lit(1)).as("degree"))
 
@@ -62,6 +62,16 @@ object GraphOps {
     * g01's (scaladoc there).
     */
   private def orientedTriangles(pairs: DataFrame, deg: DataFrame)
+      : DataFrame =
+    orientedWedges(pairs, deg).join(
+      pairs.select(col("doc_a").as("x"), col("doc_b").as("y")), Seq("x", "y"))
+
+  /** The degree-oriented wedge set the triangle join closes over —
+    * exposed to `ScalingProbe wedges` so the O(m^1.5) wedge-volume
+    * claim is measurable directly (the bound lives here: wedge count,
+    * not triangle count, is what hub skew would blow up).
+    */
+  private[graft] def orientedWedges(pairs: DataFrame, deg: DataFrame)
       : DataFrame = {
     // Orient each edge toward the (degree, id)-larger endpoint. The
     // degree frame is near-dup-node-population-sized (same reasoning as
@@ -79,11 +89,9 @@ object GraphOps {
       when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst")))
     // Wedges at the pivot: (x, y) canonicalized x < y so the closing
     // probe hits the doc_a < doc_b edge set directly.
-    val wedges = oriented.select(col("src"), col("dst").as("x"))
+    oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
-    wedges.join(
-      pairs.select(col("doc_a").as("x"), col("doc_b").as("y")), Seq("x", "y"))
   }
 
   /** g01's body over any canonical (doc_a < doc_b) distinct edge frame —
