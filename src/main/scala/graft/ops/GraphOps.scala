@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over the materialized near-dup pair graph
   * (`DedupOps.pairGraph`): triangle counting / clustering coefficients and
@@ -330,7 +331,13 @@ object GraphOps {
     assortativityOf(pairs)
   }
 
-  /** g04's body over any canonical edge frame (spec-shared). */
+  /** g04's body over any canonical edge frame (spec-shared). The
+    * degree moments are count-products: dx*dy terms and the m*sxx /
+    * sx² cross products overflow signed 64-bit on hub-heavy graphs
+    * past ~1e9 edges, so they run in DECIMAL(38,0) / HUGEINT (the w53
+    * convention; bound m·sxx <= 2m²·max_deg² ~ 1e33 at 1e10 edges,
+    * inside decimal-38). sxy/sxx publish as DECIMAL(38,0).
+    */
   private[graft] def assortativityOf(pairs: DataFrame): DataFrame = {
     val deg = degrees(pairs)
     val sym = symmetric(pairs)
@@ -338,16 +345,20 @@ object GraphOps {
         Seq("u"))
       .join(deg.select(col("doc_id").as("v"), col("degree").as("dy")),
         Seq("v"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
     sym.agg(
         (count(lit(1)) / 2).cast("long").as("n_edges"),
         count(lit(1)).as("m"),
         sum(col("dx")).as("sx"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"))
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"))
       .select(col("n_edges"), col("m"), col("sx"), col("sxy"), col("sxx"),
-        when(col("m") * col("sxx") - col("sx") * col("sx") =!= 0,
-          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
-            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        when(dec(col("m")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+            =!= 0,
+          (dec(col("m")) * col("sxy") - dec(col("sx")) * dec(col("sx")))
+            .cast("double") /
+            (dec(col("m")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+              .cast("double"))
           .as("assortativity"))
   }
 
@@ -420,6 +431,10 @@ object GraphOps {
     * flags), Q near 1 says many balanced families. Both shares are
     * single divisions of exact integers; their difference is one IEEE
     * subtraction of those exact doubles — bit-identical cross-engine.
+    * deg_sum² and 4m² run in DECIMAL(38,0) / HUGEINT (the w53
+    * convention): at 100 TB the pair graph can carry ~1e10+ edges,
+    * where an m² in 64-bit wraps identically in both engines — the
+    * failure mode the twin compare can't see.
     *
     * 100 TB posture: labels come from the converged propagation over
     * the write-once pair graph (the p13 form); the report is two
@@ -451,8 +466,13 @@ object GraphOps {
     val tot = pairs.agg(count(lit(1)).as("m"))
     val edgeShare =
       coalesce(col("n_internal"), lit(0L)).cast("double") / col("m")
-    val degShareSq = (col("deg_sum") * col("deg_sum")).cast("double") /
-      (lit(4L) * col("m") * col("m")).cast("double")
+    // deg_sum <= 2m and m is corpus-pair-graph-sized: the squares
+    // overflow signed 64-bit past ~3e9 edges, so both run in
+    // DECIMAL(38,0) and each side casts to double exactly once
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val degShareSq = (dec(col("deg_sum")) * dec(col("deg_sum")))
+      .cast("double") /
+      (dec(lit(4L)) * dec(col("m")) * dec(col("m"))).cast("double")
     dC.join(eC, Seq("component"), "left")
       .crossJoin(broadcast(tot))
       .select(col("component"), col("n_nodes"),
@@ -650,11 +670,14 @@ object GraphOps {
          |SELECT CAST(count(*) // 2 AS BIGINT) AS n_edges,
          |  count(*) AS m,
          |  CAST(SUM(dx) AS BIGINT) AS sx,
-         |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
-         |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-         |  CASE WHEN count(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) <> 0
-         |    THEN CAST(count(*) * SUM(dx * dy) - SUM(dx) * SUM(dx) AS DOUBLE)
-         |       / CAST(count(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE)
+         |  CAST(SUM(CAST(dx AS HUGEINT) * dy) AS DECIMAL(38,0)) AS sxy,
+         |  CAST(SUM(CAST(dx AS HUGEINT) * dx) AS DECIMAL(38,0)) AS sxx,
+         |  CASE WHEN count(*) * SUM(CAST(dx AS HUGEINT) * dx)
+         |      - SUM(dx) * SUM(dx) <> 0
+         |    THEN CAST(count(*) * SUM(CAST(dx AS HUGEINT) * dy)
+         |        - SUM(dx) * SUM(dx) AS DOUBLE)
+         |       / CAST(count(*) * SUM(CAST(dx AS HUGEINT) * dx)
+         |        - SUM(dx) * SUM(dx) AS DOUBLE)
          |    END AS assortativity
          |FROM j""".stripMargin),
 
@@ -777,11 +800,13 @@ object GraphOps {
          |SELECT dc.component, dc.n_nodes,
          |  coalesce(ec.n_internal, 0) AS n_internal, dc.deg_sum,
          |  CAST(coalesce(ec.n_internal, 0) AS DOUBLE) / tot.m AS edge_share,
-         |  CAST(dc.deg_sum * dc.deg_sum AS DOUBLE) /
-         |    CAST(4 * tot.m * tot.m AS DOUBLE) AS deg_share_sq,
+         |  CAST(CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum AS DOUBLE) /
+         |    CAST(4 * CAST(tot.m AS HUGEINT) * tot.m AS DOUBLE)
+         |    AS deg_share_sq,
          |  CAST(coalesce(ec.n_internal, 0) AS DOUBLE) / tot.m -
-         |    CAST(dc.deg_sum * dc.deg_sum AS DOUBLE) /
-         |      CAST(4 * tot.m * tot.m AS DOUBLE) AS modularity_contrib
+         |    CAST(CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum AS DOUBLE) /
+         |      CAST(4 * CAST(tot.m AS HUGEINT) * tot.m AS DOUBLE)
+         |      AS modularity_contrib
          |FROM dc LEFT JOIN ec ON ec.component = dc.component
          |CROSS JOIN tot
          |ORDER BY dc.component""".stripMargin),

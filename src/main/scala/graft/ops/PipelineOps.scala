@@ -259,16 +259,23 @@ object PipelineOps {
         expr("CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT)"))
     val totals = per.agg(sum(col("src_tokens")).as("total_tokens"),
       sum(col("w")).as("total_w"))
+    // w*total_tokens is sqrt(tokens) x tokens — past ~1e13 corpus
+    // tokens it overflows signed 64-bit identically in both engines,
+    // so the products run in DECIMAL(38,0) / HUGEINT (the w53
+    // convention). planned_tokens stays BIGINT: the DIV quotient is
+    // bounded by total_tokens even though its numerator is not.
+    val decP = (c: Column) => c.cast(DecimalType(38, 0))
     per.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("src_tokens"),
         (col("src_tokens").cast("double") /
           col("total_tokens").cast("double")).as("natural_share"),
         (col("w").cast("double") / col("total_w").cast("double"))
           .as("target_share"),
-        ((col("w") * col("total_tokens")).cast("double") /
-          (col("total_w") * col("src_tokens")).cast("double"))
+        ((decP(col("w")) * decP(col("total_tokens"))).cast("double") /
+          (decP(col("total_w")) * decP(col("src_tokens"))).cast("double"))
           .as("upsample_factor"),
-        expr("(w * total_tokens) DIV total_w").as("planned_tokens"))
+        expr("(CAST(w AS DECIMAL(38,0)) * total_tokens) DIV total_w")
+          .as("planned_tokens"))
       .orderBy("source")
   }
 
@@ -362,13 +369,20 @@ object PipelineOps {
     val ranked = per.withColumn("i",
       row_number().over(Window.orderBy(col("x").asc, col("source").asc))
         .cast("long"))
+    // x = per-source token totals: x² and total² overflow signed 64-bit
+    // past ~3e9 tokens, so the HHI terms run in DECIMAL(38,0) / HUGEINT
+    // (the w53 convention). rank_mass (i*x, rank is n_sources-bounded)
+    // and the gini terms stay in longs — bounded by sources x total,
+    // not total².
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
     ranked.agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
-      sum(col("x") * col("x")).as("sum_sq"),
+      sum(dec(col("x")) * dec(col("x"))).as("sum_sq"),
       sum(col("i") * col("x")).as("rank_mass"),
       max(col("x")).as("top_tokens"))
       .select(col("n_sources"), col("total_tokens"),
         (col("sum_sq").cast("double") /
-          (col("total_tokens") * col("total_tokens")).cast("double"))
+          (dec(col("total_tokens")) * dec(col("total_tokens")))
+            .cast("double"))
           .as("hhi"),
         ((lit(2L) * col("rank_mass") -
           (col("n_sources") + 1L) * col("total_tokens")).cast("double") /
@@ -898,11 +912,17 @@ object PipelineOps {
   private[graft] def quotaSample(docs: DataFrame, N: Long): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val tot = counts.agg(sum(col("n_s")).as("total"))
+    // eff_n*n_s is bounded by total² (corpus docs squared): past ~3e9
+    // docs it overflows signed 64-bit identically in both engines, so
+    // the apportionment products run in DECIMAL(38,0) / HUGEINT (the
+    // w53 convention); base_q (a quotient <= n_s) and rem (< total)
+    // stay long-safe
     val base = counts.crossJoin(broadcast(tot))
       .withColumn("eff_n", least(lit(N), col("total")))
       .select(col("source"), col("n_s"), col("eff_n"),
-        expr("(eff_n * n_s) div total").as("base_q"),
-        (col("eff_n") * col("n_s") % col("total")).as("rem"))
+        expr("(CAST(eff_n AS DECIMAL(38,0)) * n_s) div total").as("base_q"),
+        (col("eff_n").cast(DecimalType(38, 0)) * col("n_s") % col("total"))
+          .cast("long").as("rem"))
     val seats = base.agg((max(col("eff_n")) - sum(col("base_q"))).as("extra"))
     val wOrd = Window.orderBy(col("rem").desc, col("n_s").desc,
       col("source").asc)
@@ -2358,14 +2378,15 @@ object PipelineOps {
         |agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
         |    CAST(SUM(x) AS BIGINT) AS total_tokens,
-        |    CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sum_sq,
         |    CAST(SUM(i * x) AS BIGINT) AS rank_mass,
         |    CAST(MAX(x) AS BIGINT) AS top_tokens
         |  FROM rk
         |)
         |SELECT n_sources, total_tokens,
         |  CAST(sum_sq AS DOUBLE) /
-        |    CAST(total_tokens * total_tokens AS DOUBLE) AS hhi,
+        |    CAST(CAST(total_tokens AS HUGEINT) * total_tokens AS DOUBLE)
+        |    AS hhi,
         |  CAST(2 * rank_mass - (n_sources + 1) * total_tokens AS DOUBLE) /
         |    CAST(n_sources * total_tokens AS DOUBLE) AS gini,
         |  CAST(top_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
@@ -2394,9 +2415,11 @@ object PipelineOps {
         |  CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
         |    AS natural_share,
         |  CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE) AS target_share,
-        |  CAST(w * total_tokens AS DOUBLE) /
-        |    CAST(total_w * src_tokens AS DOUBLE) AS upsample_factor,
-        |  (w * total_tokens) // total_w AS planned_tokens
+        |  CAST(CAST(w AS HUGEINT) * total_tokens AS DOUBLE) /
+        |    CAST(CAST(total_w AS HUGEINT) * src_tokens AS DOUBLE)
+        |    AS upsample_factor,
+        |  CAST((CAST(w AS HUGEINT) * total_tokens) // total_w AS BIGINT)
+        |    AS planned_tokens
         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // p21: p04's assignment re-grouped by shard
@@ -2537,8 +2560,10 @@ object PipelineOps {
         |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total FROM counts),
         |base AS (
         |  SELECT source, n_s, least(207, t.total) AS eff_n,
-        |    (least(207, t.total) * n_s) // t.total AS base_q,
-        |    (least(207, t.total) * n_s) % t.total AS rem
+        |    (CAST(least(207, t.total) AS HUGEINT) * n_s) // t.total
+        |      AS base_q,
+        |    CAST((CAST(least(207, t.total) AS HUGEINT) * n_s) % t.total
+        |      AS BIGINT) AS rem
         |  FROM counts, tot t
         |),
         |seats AS (

@@ -1408,14 +1408,22 @@ object RelOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val wPick = Window.partitionBy(col("event_type"))
       .orderBy(abs(col("s")).desc, col("h").asc)
+    // the CUSUM terms are x*n_hours (count x span): past ~3e9 events
+    // over ~1e5 hourly slots the running sum overflows signed 64-bit
+    // identically in both engines, so it runs in DECIMAL(38,0) /
+    // HUGEINT (the w53 convention); cp_score publishes as
+    // DECIMAL(38,0). direction compares the exact decimal to zero.
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
     cells.join(tot, Seq("event_type"))
       .withColumn("s",
-        sum(col("x") * col("n_hours") - col("total")).over(wCum))
+        sum(dec(col("x")) * dec(col("n_hours")) - dec(col("total")))
+          .over(wCum))
       .withColumn("rk", row_number().over(wPick))
       .filter(col("rk") === 1)
       .select(col("event_type"), col("n_hours"), col("total"),
         col("h").as("cp_hour"), abs(col("s")).as("cp_score"),
-        signum(col("s")).cast("long").as("direction"))
+        when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L)
+          .as("direction"))
       .orderBy("event_type")
   }
 
@@ -1870,12 +1878,16 @@ object RelOps {
     */
   private[graft] def ewmaOfCells(cells: DataFrame): DataFrame = {
     // cell at hour h contributes x * 2^(23-k) to hours h .. h+23
+    // wx = x * 2^(23-k): a per-hour count times up to 2^23 — past ~1e12
+    // hourly events the weighted sum overflows signed 64-bit in both
+    // engines, so wx runs in DECIMAL(38,0) / HUGEINT (the w53
+    // convention); the weight denominator (< 2^24 per hour) stays long
     val contrib = cells
       .select(col("event_type"), col("h"), col("x"),
         explode(expr("sequence(0, 23)")).as("k"))
       .select(col("event_type"),
         expr("h + k * interval 1 hour").as("hour"),
-        expr("x * shiftleft(1L, 23 - k)").as("wx"),
+        expr("CAST(x AS DECIMAL(38,0)) * shiftleft(1L, 23 - k)").as("wx"),
         expr("shiftleft(1L, 23 - k)").as("w"))
     contrib
       // clip to the observed spine: hours past each type's last cell
@@ -1929,17 +1941,24 @@ object RelOps {
         "stack(2, CAST(1 AS BIGINT), y1, CAST(24 AS BIGINT), y24)")
         .as(Seq("lag", "y")))
       .filter(col("y").isNotNull)
+    // moment arithmetic in DECIMAL(38,0) / HUGEINT (the w53
+    // convention): x,y are per-hour counts, so the x*y/x²/y² sums and
+    // the n_pairs*sxx − sx² cross products overflow signed 64-bit at
+    // corpus scale while both engines would wrap identically. sxy
+    // publishes as DECIMAL(38,0).
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
     val m = pairs.groupBy("event_type", "lag")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    val varX = col("n_pairs") * col("sxx") - col("sx") * col("sx")
-    val varY = col("n_pairs") * col("syy") - col("sy") * col("sy")
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val varX = dec(col("n_pairs")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val varY = dec(col("n_pairs")) * col("syy") - dec(col("sy")) * dec(col("sy"))
     m.select(col("event_type"), col("lag"), col("n_pairs"), col("sxy"),
       when(varX > 0 && varY > 0,
-        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (dec(col("n_pairs")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("double") /
           (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
         .as("autocorr"))
       .orderBy("event_type", "lag")
@@ -2154,8 +2173,15 @@ object RelOps {
         col("n_b"), col("n_orders"),
         (col("n_co").cast("double") / col("n_orders")).as("support"),
         (col("n_co").cast("double") / col("n_a")).as("confidence"),
-        ((col("n_co") * col("n_orders")).cast("double") /
-          (col("n_a") * col("n_b"))).as("lift"))
+        // lift's cross products (n_co*n_orders, n_a*n_b) are counts x
+        // counts — past ~3e9 baskets they overflow signed 64-bit
+        // identically in both engines, so they run in DECIMAL(38,0) /
+        // HUGEINT (the w53 convention), one double cast per side
+        {
+          val dec = (c: Column) => c.cast(DecimalType(38, 0))
+          ((dec(col("n_co")) * dec(col("n_orders"))).cast("double") /
+            (dec(col("n_a")) * dec(col("n_b"))).cast("double")).as("lift")
+        })
       .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
   }
 
@@ -2522,8 +2548,9 @@ object RelOps {
         |  ia.n_item AS n_a, ib.n_item AS n_b, tot.n_orders,
         |  CAST(t.n_co AS DOUBLE) / tot.n_orders AS support,
         |  CAST(t.n_co AS DOUBLE) / ia.n_item AS confidence,
-        |  CAST(t.n_co * tot.n_orders AS DOUBLE)
-        |    / (ia.n_item * ib.n_item) AS lift
+        |  CAST(CAST(t.n_co AS HUGEINT) * tot.n_orders AS DOUBLE)
+        |    / CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item AS DOUBLE)
+        |    AS lift
         |FROM top t
         |JOIN ic ia ON ia.l_partkey = t.part_a
         |JOIN ic ib ON ib.l_partkey = t.part_b
@@ -2793,17 +2820,20 @@ object RelOps {
         |m AS (
         |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
         |  FROM lf GROUP BY 1, 2
         |)
-        |SELECT event_type, lag, n_pairs, sxy,
-        |  CASE WHEN n_pairs * sxx - sx * sx > 0
-        |        AND n_pairs * syy - sy * sy > 0
-        |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
-        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
-        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+        |SELECT event_type, lag, n_pairs,
+        |  CAST(sxy AS DECIMAL(38,0)) AS sxy,
+        |  CASE WHEN n_pairs * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |        AND n_pairs * syy - CAST(sy AS HUGEINT) * sy > 0
+        |    THEN CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - CAST(sx AS HUGEINT) * sx
+        |         AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - CAST(sy AS HUGEINT) * sy
+        |         AS DOUBLE)))
         |  END AS autocorr
         |FROM m ORDER BY event_type, lag""".stripMargin,
 
@@ -2832,7 +2862,7 @@ object RelOps {
         |),
         |contrib AS (
         |  SELECT c.event_type, c.h + t.k * (INTERVAL 1 HOUR) AS hour,
-        |    c.x * (CAST(1 AS BIGINT) << (23 - t.k)) AS wx,
+        |    CAST(c.x AS HUGEINT) * (CAST(1 AS BIGINT) << (23 - t.k)) AS wx,
         |    CAST(1 AS BIGINT) << (23 - t.k) AS w
         |  FROM cells c, unnest(generate_series(0, 23)) AS t(k)
         |)
@@ -3186,14 +3216,13 @@ object RelOps {
         |),
         |cum AS (
         |  SELECT c.event_type, c.h, t.n_hours, t.total,
-        |    CAST(SUM(c.x * t.n_hours - t.total) OVER (
+        |    SUM(CAST(c.x AS HUGEINT) * t.n_hours - t.total) OVER (
         |      PARTITION BY c.event_type ORDER BY c.h
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
         |  FROM cells c JOIN tot t ON t.event_type = c.event_type
         |)
         |SELECT event_type, n_hours, total, h AS cp_hour,
-        |  abs(s) AS cp_score,
+        |  CAST(abs(s) AS DECIMAL(38,0)) AS cp_score,
         |  CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
         |    AS BIGINT) AS direction
         |FROM (

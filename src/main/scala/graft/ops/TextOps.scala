@@ -263,6 +263,12 @@ object TextOps {
       .withColumn("rank", col("offset") + row_number().over(wr))
       .select(bits(col("rank")).as("x"), bits(col("cf")).as("y"),
         col("cf"), col("rank"))
+    // the slope's n*sxy / n*sxx cross products multiply the VOCAB size
+    // into the bit-length moment sums — past ~1e9 distinct tokens that
+    // overflows signed 64-bit in both engines, so the cross products
+    // run in DECIMAL(38,0) (the w53 convention; the sums themselves
+    // are bit-length-bounded, <= 64² per row, and stay long)
+    val decZ = (c: Column) => c.cast(DecimalType(38, 0))
     ranked.agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
@@ -270,8 +276,10 @@ object TextOps {
         sum(when(col("rank") <= 10, col("cf")).otherwise(0L)).as("cov10"))
       .select(
         col("n").as("n_vocab"), col("n_tokens"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"),
+        ((decZ(col("n")) * decZ(col("sxy")) - decZ(col("sx")) * decZ(col("sy")))
+          .cast("double") /
+          (decZ(col("n")) * decZ(col("sxx")) - decZ(col("sx")) * decZ(col("sx")))
+            .cast("double")).as("zipf_slope"),
         (col("cov10").cast("double") / col("n_tokens")).as("coverage_top10"))
   }
 
@@ -946,8 +954,12 @@ object TextOps {
         sum(col("tf")).as("n_tokens"),
         sum((col("tf") * (col("tf") - 1)).cast(DecimalType(38, 0)))
           .as("rp"))
+      // repeat_pairs publishes AS DECIMAL(38,0) (the w53 convention): a
+      // 1e10-occurrence token alone contributes ~1e20 pairs, where the
+      // old cast-back-to-long would throw under ANSI at exactly the
+      // corpus sizes the statistic exists for
       .select(col("source"), col("vocab"), col("n_tokens"),
-        col("rp").cast("long").as("repeat_pairs"),
+        col("rp").as("repeat_pairs"),
         when(col("n_tokens") >= 2,
           col("rp").cast("double") / nn1.cast("double")).as("simpson"),
         when(col("rp") > 0,
@@ -1433,13 +1445,15 @@ object TextOps {
         |SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS vocab,
         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(tf * (tf - 1)) AS BIGINT) AS repeat_pairs,
+        |  CAST(SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS DECIMAL(38,0))
+        |    AS repeat_pairs,
         |  CASE WHEN SUM(tf) >= 2 THEN
-        |    CAST(SUM(tf * (tf - 1)) AS DOUBLE)
+        |    CAST(SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS DOUBLE)
         |      / CAST(SUM(tf) * (SUM(tf) - 1) AS DOUBLE) END AS simpson,
-        |  CASE WHEN SUM(tf * (tf - 1)) > 0 THEN
+        |  CASE WHEN SUM(CAST(tf AS HUGEINT) * (tf - 1)) > 0 THEN
         |    CAST(SUM(tf) * (SUM(tf) - 1) AS DOUBLE)
-        |      / CAST(SUM(tf * (tf - 1)) AS DOUBLE) END AS inv_simpson
+        |      / CAST(SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS DOUBLE)
+        |      END AS inv_simpson
         |FROM tf GROUP BY source ORDER BY source""".stripMargin,
 
     "t25_hapax_report" ->

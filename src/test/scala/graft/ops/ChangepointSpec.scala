@@ -38,7 +38,8 @@ class ChangepointSpec extends SparkTestBase {
     assert(v.getAs[Long]("n_hours") == 20L && v.getAs[Long]("total") == 60L)
     assert(v.getAs[Timestamp]("cp_hour") ==
       Timestamp.valueOf("2024-08-01 09:00:00"))
-    assert(v.getAs[Long]("cp_score") == 400L)
+    assert(BigDecimal(v.getAs[java.math.BigDecimal]("cp_score")) ==
+      BigDecimal(400))
     assert(v.getAs[Long]("direction") == -1L)
     // the click spine zero-fills the 18 empty hours
     assert(m("click").getAs[Long]("n_hours") == 20L)
@@ -49,7 +50,8 @@ class ChangepointSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("event_type")).distinct.length ==
       rows.length)
     rows.foreach { r =>
-      assert(r.getAs[Long]("cp_score") > 0L)
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("cp_score")) >
+        BigDecimal(0))
       assert(Set(-1L, 1L).contains(r.getAs[Long]("direction")))
     }
   }
