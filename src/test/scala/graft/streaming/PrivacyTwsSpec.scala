@@ -237,4 +237,94 @@ class PrivacyTwsSpec extends SparkTestBase {
         "the third sensitive value must clear the weak cut at the batch cut")
     } }
   }
+
+  /** Drive a privacy twin from a FILE source through two separate
+    * query instances sharing one checkpoint: write half the events,
+    * drain with Trigger.AvailableNow, STOP the query, write the rest,
+    * start a FRESH query on the same checkpoint, drain again. The
+    * RocksDB state must survive the restart: for every (group, type)
+    * straddling the cut, the post-restart count must include the
+    * pre-restart events — a reset-to-zero state would make the board's
+    * monotone-max fold under-count exactly those keys, so board ==
+    * batch IS the survival proof (plus an explicit strictly-increased
+    * probe below). This is the checkpoint-restart coverage the
+    * MemoryStream twins above cannot express (a MemoryStream dies with
+    * its query).
+    */
+  private def drainTwice[U](tmp: Path,
+      job: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[U]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+    val incoming = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+      .as[RawEvent].collect()
+    val cut = incoming.length / 2
+    val sch = implicitly[org.apache.spark.sql.Encoder[RawEvent]].schema
+    def feed(rows: Seq[RawEvent]): Unit =
+      spark.createDataset(rows.toIndexedSeq).toDF()
+        .coalesce(1).write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val q = job(spark.readStream.schema(sch).parquet(in))
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[U], _: Long) => {
+          b.write.mode("append").parquet(out); ()
+        })
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    feed(incoming.take(cut)); drain()   // query instance 1
+    feed(incoming.drop(cut)); drain()   // FRESH instance, same checkpoint
+    spark.read.parquet(out)
+  }
+
+  test("tClosenessTws: RocksDB state survives a checkpointed restart — " +
+      "a fresh query resumes the counts and the board equals batch w53") {
+    withRocksDb { withTempDir { tmp =>
+      val updates = drainTwice(tmp, PrivacyJobs.tClosenessTws)
+      // at least one straddling (group, type) must have been emitted
+      // with a LARGER count after the restart than before it — the
+      // direct signature of restored (not reset) state
+      val grew = updates.groupBy("hr", "vb", "event_type")
+        .agg(countDistinct(col("n_gt")).as("n_versions"),
+          count(lit(1)).as("n_rows"))
+      assert(grew.filter(col("n_versions") >= 2).count() > 0L,
+        "no (group, type) count ever grew across the restart — the " +
+          "fixture split must straddle at least one key")
+      // the at-most-once contract holds across instances too: a count
+      // value is emitted once per (group, type)
+      assert(grew.filter(col("n_versions") =!= col("n_rows")).count() == 0L,
+        "duplicate (group, type, n_gt) emissions across the restart")
+      def decode(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          BigDecimal(r.getAs[java.math.BigDecimal](4)), r.getDouble(5),
+          r.getLong(6))
+      val board = PrivacyJobs.tClosenessBoard(updates).collect()
+        .map(decode).toSeq
+      val batch = graft.ops.RelOps.w53TCloseness(spark, sf0001).collect()
+        .map(decode).toSeq
+      assert(board == batch,
+        s"post-restart board != batch w53 (${board.size} vs ${batch.size})")
+      assert(batch.nonEmpty)
+    } }
+  }
+
+  test("lDiversityTws: RocksDB state survives a checkpointed restart — " +
+      "a fresh query resumes the sets and the board equals batch w52") {
+    withRocksDb { withTempDir { tmp =>
+      val updates = drainTwice(tmp, PrivacyJobs.lDiversityTws)
+      val board = PrivacyJobs.lDiversityBoard(updates).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+      val batch = graft.ops.RelOps.w52LDiversity(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+      assert(board == batch,
+        s"post-restart board != batch w52 (${board.size} vs ${batch.size})")
+      assert(batch.nonEmpty)
+    } }
+  }
 }
