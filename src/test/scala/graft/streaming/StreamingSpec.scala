@@ -5,6 +5,7 @@ import graft.velib.SilverJob
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
@@ -524,6 +525,76 @@ class StreamingSpec extends SparkTestBase {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+  }
+
+  test("sessionCloseTws: an armed event-time timer survives a " +
+      "checkpointed restart and fires in a later query instance") {
+    // The 10:35 close-timer is armed by query instance 1 and must fire
+    // in a LATER instance once the restored watermark passes it — lost
+    // timers (or a lost watermark) mean the session never emits. The
+    // emission must also happen exactly once across instances.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_restart")
+    try {
+      val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+      val sch = implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema
+      def feed(rows: SessionEvent*): Unit =
+        spark.createDataset(rows.toIndexedSeq).toDF()
+          .coalesce(1).write.mode("append").parquet(in)
+      def drain(): Unit = {
+        // append mode -> the parquet FILE sink works directly, no
+        // foreachBatch needed (the emission is final on append)
+        val q = StreamJobs.sessionCloseTws(
+            spark.readStream.schema(sch).parquet(in).as[SessionEvent],
+            gapMs = 30L * 60 * 1000)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // instance 1: user 1's session [10:00, 10:05] arms a 10:35 timer;
+      // the watermark is still below it, so nothing emits
+      feed(SessionEvent(1, ts("2024-01-01 10:00:00")),
+        SessionEvent(1, ts("2024-01-01 10:05:00")))
+      drain()
+      assert(spark.read.schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("t_first", TimestampType),
+          StructField("t_last", TimestampType), StructField("n_events", LongType))))
+        .parquet(out).isEmpty, "no emission before the watermark passes the timer")
+      // instance 2: an 11:30 event advances the watermark past 10:35 at
+      // batch end; instance 3's data batch (12:30) then runs UNDER the
+      // restored 11:30 watermark, so the restored timer must fire there
+      // at the latest (AvailableNow stops after data, so the
+      // watermark-change no-data batch may or may not run per instance
+      // — spanning two instances makes the assert scheduler-proof)
+      feed(SessionEvent(2, ts("2024-01-01 11:30:00")))
+      drain()
+      feed(SessionEvent(3, ts("2024-01-01 12:30:00")))
+      drain()
+      val got = spark.read.parquet(out)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSeq
+      assert(got.count(_._1 == 1L) == 1,
+        s"user 1's session must emit EXACTLY once across instances: $got")
+      assert(got.filter(_._1 == 1L).head ==
+        ((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
