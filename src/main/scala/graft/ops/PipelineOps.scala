@@ -1744,6 +1744,67 @@ object PipelineOps {
     * every count lands in one 1-row frame — no corpus-sized shuffle
     * beyond the gram join contamination keeps rare.
     */
+  /** Functional-dependency audit (E255) — the pre-join data-quality
+    * gate p30's declarative checks stop short of: for each candidate
+    * FD "determinant → dependent" over a fixed registry, does one
+    * determinant value ever map to MORE than one dependent value? A
+    * violated FD on a column you're about to join on is silent row
+    * multiplication (the double-ingested dimension bug); a violated FD
+    * in training metadata (doc_id → source) is label noise at corpus
+    * scale. Per FD: distinct determinant values, violating
+    * determinants (>1 distinct dependent), excess pairs
+    * Σ(n_dep − 1) — the exact row-inflation a join on that key would
+    * suffer — and the holds flag. All counts exact integers; the
+    * registry mixes KEY-like FDs that must hold (nation key → name,
+    * doc_id → source) with known-violated ones so both verdicts are
+    * exercised against real data.
+    *
+    * 100 TB posture: deliberately NOT seven 1-row aggregates (the p03
+    * unioned shape needs a multi-SinglePartition allowlist): every
+    * FD's two narrow columns are tagged with literal FD keys and
+    * unioned BEFORE aggregation, so the whole audit is ONE two-level
+    * hash agg — (fd, det) distinct-dependent counts, then the fd-keyed
+    * fold — shuffled on the fd+det key, map-side combined, zero
+    * single-partition stages; adding an FD adds a scan leg, never a
+    * new shuffle shape.
+    */
+  def p37FdAudit(spark: SparkSession, dir: String): DataFrame =
+    fdAuditOf(Seq(
+      ("nation", Tables.nation(spark, dir), "n_nationkey", "n_name"),
+      ("customer", Tables.customer(spark, dir), "c_custkey", "c_nationkey"),
+      ("orders", Tables.orders(spark, dir), "o_custkey", "o_orderpriority"),
+      ("lineitem", Tables.lineitem(spark, dir), "l_orderkey", "l_suppkey"),
+      ("events", Tables.events(spark, dir), "user_id", "event_type"),
+      ("documents", Tables.documents(spark, dir), "doc_id", "source"),
+      ("documents", Tables.documents(spark, dir), "lang", "source")))
+
+  /** p37's body over any (table, frame, determinant, dependent)
+    * registry — exposed for the planted-FD spec. Determinant/dependent
+    * are cast to string so heterogeneous column types union into the
+    * one aggregation (integer→string is injective, so distinct counts
+    * are unchanged).
+    */
+  private[graft] def fdAuditOf(
+      cands: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    val per = cands.map { case (tbl, df, det, dep) =>
+      df.select(lit(tbl).as("table_name"), lit(det).as("determinant"),
+        lit(dep).as("dependent"),
+        col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
+    }.reduce(_.unionAll(_))
+    per.groupBy("table_name", "determinant", "dependent", "det")
+      .agg(countDistinct(col("dep")).as("n_dep"))
+      .groupBy("table_name", "determinant", "dependent")
+      .agg(count(lit(1)).as("n_det"),
+        sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"),
+        // an all-null dependent group has n_dep = 0: clamp its excess
+        // at 0 instead of crediting −1 against real violations
+        sum(greatest(col("n_dep") - 1L, lit(0L))).as("n_excess"))
+      .select(col("table_name"), col("determinant"), col("dependent"),
+        col("n_det"), col("n_violating"), col("n_excess"),
+        when(col("n_violating") === 0L, 1L).otherwise(0L).as("fd_holds"))
+      .orderBy("table_name", "determinant", "dependent")
+  }
+
   def p36ReleaseSignoff(spark: SparkSession, dir: String): DataFrame =
     releaseSignoffFrom(
       Tables.documents(spark, dir).select("doc_id", "source", "text"),
@@ -1791,6 +1852,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p37_fd_audit" -> (p37FdAudit _),
     "p36_release_signoff" -> (p36ReleaseSignoff _),
     "p34_release_decontam" -> (p34ReleaseDecontam _),
     "p35_release_shards" -> (p35ReleaseShards _),
@@ -1945,6 +2007,55 @@ object PipelineOps {
           "(SELECT * FROM documents WHERE doc_id % 10 <> 7),\n")
 
   val oracle: Map[String, String] = Map(
+    // p37: candidate FDs unioned into ONE two-level agg (the Spark
+    // side's exact shape); determinant/dependent stringified so
+    // heterogeneous types share the aggregation
+    "p37_fd_audit" ->
+      """WITH per AS (
+        |  SELECT 'nation' AS table_name, 'n_nationkey' AS determinant,
+        |    'n_name' AS dependent, CAST(n_nationkey AS VARCHAR) AS det,
+        |    CAST(n_name AS VARCHAR) AS dep FROM nation
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', 'c_nationkey',
+        |    CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'o_orderpriority',
+        |    CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', 'l_suppkey',
+        |    CAST(l_orderkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', 'event_type',
+        |    CAST(user_id AS VARCHAR), CAST(event_type AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents', 'doc_id', 'source',
+        |    CAST(doc_id AS VARCHAR), CAST(source AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'lang', 'source',
+        |    CAST(lang AS VARCHAR), CAST(source AS VARCHAR)
+        |  FROM documents
+        |),
+        |grp AS (
+        |  SELECT table_name, determinant, dependent, det,
+        |    CAST(count(DISTINCT dep) AS BIGINT) AS n_dep
+        |  FROM per GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT table_name, determinant, dependent,
+        |  CAST(count(*) AS BIGINT) AS n_det,
+        |  CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(SUM(GREATEST(n_dep - 1, 0)) AS BIGINT) AS n_excess,
+        |  CAST(CASE WHEN SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+        |FROM grp
+        |GROUP BY 1, 2, 3
+        |ORDER BY table_name, determinant, dependent""".stripMargin,
+
     // p36: manifest totals + the two p34 hazards folded to ONE row with
     // the exact-integer split-mix check and the composite ship verdict
     "p36_release_signoff" ->
