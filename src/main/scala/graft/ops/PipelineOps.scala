@@ -1791,9 +1791,17 @@ object PipelineOps {
         lit(dep).as("dependent"),
         col(det).cast("string").as("det"), col(dep).cast("string").as("dep"))
     }.reduce(_.unionAll(_))
-    per.groupBy("table_name", "determinant", "dependent", "det")
-      .agg(countDistinct(col("dep")).as("n_dep"))
-      .groupBy("table_name", "determinant", "dependent")
+    fdFoldOf(per.groupBy("table_name", "determinant", "dependent", "det")
+      .agg(countDistinct(col("dep")).as("n_dep")))
+  }
+
+  /** p37's fold from per-determinant distinct-dependent counts
+    * (table_name, determinant, dependent, det, n_dep) — shared with
+    * the streaming twin's board (E256), whose update table collapses
+    * to exactly these rows via a monotone max.
+    */
+  private[graft] def fdFoldOf(grp: DataFrame): DataFrame =
+    grp.groupBy("table_name", "determinant", "dependent")
       .agg(count(lit(1)).as("n_det"),
         sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"),
         // an all-null dependent group has n_dep = 0: clamp its excess
@@ -1803,7 +1811,6 @@ object PipelineOps {
         col("n_det"), col("n_violating"), col("n_excess"),
         when(col("n_violating") === 0L, 1L).otherwise(0L).as("fd_holds"))
       .orderBy("table_name", "determinant", "dependent")
-  }
 
   def p36ReleaseSignoff(spark: SparkSession, dir: String): DataFrame =
     releaseSignoffFrom(

@@ -1577,3 +1577,88 @@ class LDiversityProcessor
     }
   }
 }
+
+/** Streaming functional-dependency drift (E256) — p37's
+  * continual-ingest twin for its events registry entry: detect a key
+  * that starts MULTIPLYING while data is still arriving, before any
+  * join consumes it (batch p37 only ever sees the damage after the
+  * fact). Keyed by the determinant value; state = the seen
+  * dependent-value set (MapState — each dependent enters the distinct
+  * count exactly once) plus the running distinct count (ValueState —
+  * O(1) reads, never an O(state) key scan); a batch emits ONE update
+  * row per determinant whose count GREW, carrying the post-batch
+  * count (monotone, so the board folds with max — the E254 shape).
+  *
+  * 100 TB posture: state is O(live determinants x distinct dependents
+  * per determinant) point lookups — for a healthy FD that is one
+  * entry per determinant; update volume is bounded by NEW (det, dep)
+  * pairs per batch, not events.
+  */
+object FdJobs {
+  /** Per-determinant distinct-dependent updates for p37's events FD
+    * (user_id → event_type). Strings for both sides — p37's own
+    * normalization, so the board's fold is value-identical to batch.
+    */
+  def fdTws(events: DataFrame): Dataset[FdUpdate] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("string").as("det"),
+        col("event_type").cast("string").as("dep"))
+      .as[FdEvent]
+      .groupByKey(_.det)
+      .transformWithState(new FdProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to p37's exact row for the
+    * events FD: latest count per determinant = monotone max, then
+    * `PipelineOps.fdFoldOf` — shared code, not a restatement (the
+    * spec pins value identity). Same sink-read caveat as
+    * [[PrivacyJobs.privacyBoard]].
+    */
+  def fdBoard(updates: DataFrame): DataFrame =
+    graft.ops.PipelineOps.fdFoldOf(updates
+      .groupBy("det").agg(max(col("n_dep")).as("n_dep"))
+      .select(lit("events").as("table_name"),
+        lit("user_id").as("determinant"),
+        lit("event_type").as("dependent"),
+        col("det"), col("n_dep")))
+}
+
+/** Input/update rows for the streaming FD twin (E256). */
+case class FdEvent(det: String, dep: String)
+case class FdUpdate(det: String, n_dep: Long)
+
+/** StatefulProcessor for [[FdJobs.fdTws]]: keyed by the determinant
+  * value; emits only when the distinct-dependent count grows.
+  */
+class FdProcessor extends StatefulProcessor[String, FdEvent, FdUpdate] {
+  @transient private var seen: MapState[String, Boolean] = _
+  @transient private var nDep: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    seen = getHandle.getMapState[String, Boolean]("seen",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    nDep = getHandle.getValueState[Long]("n_dep",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[FdEvent],
+      timerValues: TimerValues): Iterator[FdUpdate] = {
+    var added = 0L
+    rows.foreach { r =>
+      if (!seen.containsKey(r.dep)) {
+        seen.updateValue(r.dep, true)
+        added += 1
+      }
+    }
+    if (added == 0) Iterator.empty
+    else {
+      val n = (if (nDep.exists()) nDep.get() else 0L) + added
+      nDep.update(n)
+      Iterator.single(FdUpdate(key, n))
+    }
+  }
+}
