@@ -1812,6 +1812,99 @@ object PipelineOps {
         when(col("n_violating") === 0L, 1L).otherwise(0L).as("fd_holds"))
       .orderBy("table_name", "determinant", "dependent")
 
+  /** Inclusion-dependency audit (E257) — p37's referential twin and
+    * Metanome's other data-quality primitive: for each candidate IND
+    * "fk_table.fk_column ⊆ pk_table.pk_column", does every foreign-key
+    * value actually exist on the primary side? An orphan fk value is a
+    * row an inner join silently DROPS (the complement of p37's row
+    * multiplication) and a left join turns into a null-enriched
+    * record — both corrupt a training table without ever throwing. Per
+    * IND: non-null fk rows, null fk rows (SQL FK semantics: a null
+    * never violates — counted, not blamed), distinct fk values, orphan
+    * VALUES and orphan ROWS (the exact row loss an inner join would
+    * suffer), and the holds flag. The registry mixes must-hold
+    * key links (lineitem→orders, embeddings.vec_id→documents.doc_id —
+    * the training-data join) with the reverse direction
+    * orders.o_orderkey ⊆ lineitem.l_orderkey, genuinely violated on
+    * the fixture (childless orders), so both verdicts run against real
+    * data.
+    *
+    * 100 TB posture: fk legs are literal-tagged and unioned BEFORE
+    * aggregation (the p37 discipline — zero single-partition stages,
+    * adding an IND adds a scan leg, never a shuffle shape); the fk
+    * side collapses to (ind, value, n_rows) in ONE map-side-combined
+    * hash agg — a heavy-hitter fk value is one row before the join, so
+    * value skew never reaches it; the pk side collapses to distinct
+    * (ind, value); the probe is ONE equality hash join whose both
+    * inputs are already partitioned on the join key by their own aggs
+    * (the exchanges reuse), and the fold re-aggregates to |registry|
+    * rows. Nothing row-level ever joins; no broadcast assumption — the
+    * pk side may be the largest table in the lake.
+    */
+  def p38IndAudit(spark: SparkSession, dir: String): DataFrame =
+    indAuditOf(Seq(
+      ("lineitem", Tables.lineitem(spark, dir), "l_orderkey",
+        "orders", Tables.orders(spark, dir), "o_orderkey"),
+      ("orders", Tables.orders(spark, dir), "o_custkey",
+        "customer", Tables.customer(spark, dir), "c_custkey"),
+      ("customer", Tables.customer(spark, dir), "c_nationkey",
+        "nation", Tables.nation(spark, dir), "n_nationkey"),
+      ("lineitem", Tables.lineitem(spark, dir), "l_partkey",
+        "part", Tables.part(spark, dir), "p_partkey"),
+      ("events", Tables.events(spark, dir), "user_id",
+        "customer", Tables.customer(spark, dir), "c_custkey"),
+      ("embeddings", Tables.embeddings(spark, dir), "vec_id",
+        "documents", Tables.documents(spark, dir), "doc_id"),
+      ("orders", Tables.orders(spark, dir), "o_orderkey",
+        "lineitem", Tables.lineitem(spark, dir), "l_orderkey")))
+
+  /** p38's body over any (fk_table, fk frame, fk_column, pk_table,
+    * pk frame, pk_column) registry — exposed for the planted-IND spec.
+    * Values cast to string so heterogeneous key types union into the
+    * shared aggregation (injective on each leg, so distinct/orphan
+    * counts are unchanged); registry 4-tuples must be distinct (they
+    * are the group key).
+    */
+  private[graft] def indAuditOf(
+      cands: Seq[(String, DataFrame, String, String, DataFrame, String)])
+      : DataFrame = {
+    val tags = Seq("fk_table", "fk_column", "pk_table", "pk_column")
+    def leg(df: DataFrame, valueCol: String, t: (String, String, String,
+        String)): DataFrame =
+      df.select(lit(t._1).as("fk_table"), lit(t._2).as("fk_column"),
+        lit(t._3).as("pk_table"), lit(t._4).as("pk_column"),
+        col(valueCol).cast("string").as("v"))
+    val fk = cands.map { case (ft, fdf, fc, pt, _, pc) =>
+      leg(fdf, fc, (ft, fc, pt, pc))
+    }.reduce(_.unionAll(_))
+    val pk = cands.map { case (ft, _, fc, pt, pdf, pc) =>
+      leg(pdf, pc, (ft, fc, pt, pc))
+    }.reduce(_.unionAll(_))
+      .filter(col("v").isNotNull).distinct()
+      .withColumn("in_pk", lit(1L))
+    // null fk values form their own group here and never match the pk
+    // side (plain equality join) — they land in n_fk_null, not orphans
+    val perValue = fk.groupBy((tags :+ "v").map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val orphan = col("v").isNotNull && col("in_pk").isNull
+    perValue.join(pk, tags :+ "v", "left")
+      .groupBy(tags.map(col): _*)
+      .agg(
+        sum(when(col("v").isNotNull, col("n_rows")).otherwise(0L))
+          .as("n_fk_rows"),
+        sum(when(col("v").isNull, col("n_rows")).otherwise(0L))
+          .as("n_fk_null"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_fk_distinct"),
+        sum(when(orphan, 1L).otherwise(0L)).as("n_orphan_values"),
+        sum(when(orphan, col("n_rows")).otherwise(0L)).as("n_orphan_rows"))
+      .select(col("fk_table"), col("fk_column"), col("pk_table"),
+        col("pk_column"), col("n_fk_rows"), col("n_fk_null"),
+        col("n_fk_distinct"), col("n_orphan_values"), col("n_orphan_rows"),
+        when(col("n_orphan_values") === 0L, 1L).otherwise(0L)
+          .as("ind_holds"))
+      .orderBy(tags.map(col): _*)
+  }
+
   def p36ReleaseSignoff(spark: SparkSession, dir: String): DataFrame =
     releaseSignoffFrom(
       Tables.documents(spark, dir).select("doc_id", "source", "text"),
@@ -1859,6 +1952,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p38_ind_audit" -> (p38IndAudit _),
     "p37_fd_audit" -> (p37FdAudit _),
     "p36_release_signoff" -> (p36ReleaseSignoff _),
     "p34_release_decontam" -> (p34ReleaseDecontam _),
@@ -2014,6 +2108,89 @@ object PipelineOps {
           "(SELECT * FROM documents WHERE doc_id % 10 <> 7),\n")
 
   val oracle: Map[String, String] = Map(
+    // p38: candidate INDs — fk legs collapse to per-value row counts,
+    // pk legs to distinct values, one left join probes membership;
+    // sums cast back from DuckDB's HUGEINT
+    "p38_ind_audit" ->
+      """WITH fk AS (
+        |  SELECT 'lineitem' AS fk_table, 'l_orderkey' AS fk_column,
+        |    'orders' AS pk_table, 'o_orderkey' AS pk_column,
+        |    CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'customer', 'c_custkey',
+        |    CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', 'nation', 'n_nationkey',
+        |    CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_partkey', 'part', 'p_partkey',
+        |    CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', 'customer', 'c_custkey',
+        |    CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'embeddings', 'vec_id', 'documents', 'doc_id',
+        |    CAST(vec_id AS VARCHAR) FROM embeddings
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey', 'lineitem', 'l_orderkey',
+        |    CAST(o_orderkey AS VARCHAR) FROM orders
+        |),
+        |pk AS (
+        |  SELECT DISTINCT 'lineitem' AS fk_table,
+        |    'l_orderkey' AS fk_column, 'orders' AS pk_table,
+        |    'o_orderkey' AS pk_column, CAST(o_orderkey AS VARCHAR) AS v
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'orders', 'o_custkey', 'customer', 'c_custkey',
+        |    CAST(c_custkey AS VARCHAR)
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'customer', 'c_nationkey', 'nation',
+        |    'n_nationkey', CAST(n_nationkey AS VARCHAR)
+        |  FROM nation WHERE n_nationkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'lineitem', 'l_partkey', 'part', 'p_partkey',
+        |    CAST(p_partkey AS VARCHAR)
+        |  FROM part WHERE p_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'events', 'user_id', 'customer', 'c_custkey',
+        |    CAST(c_custkey AS VARCHAR)
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'embeddings', 'vec_id', 'documents', 'doc_id',
+        |    CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'orders', 'o_orderkey', 'lineitem',
+        |    'l_orderkey', CAST(l_orderkey AS VARCHAR)
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |),
+        |pv AS (
+        |  SELECT fk_table, fk_column, pk_table, pk_column, v,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM fk GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT pv.fk_table, pv.fk_column, pv.pk_table, pv.pk_column,
+        |  CAST(SUM(CASE WHEN pv.v IS NOT NULL THEN pv.n_rows ELSE 0 END)
+        |    AS BIGINT) AS n_fk_rows,
+        |  CAST(SUM(CASE WHEN pv.v IS NULL THEN pv.n_rows ELSE 0 END)
+        |    AS BIGINT) AS n_fk_null,
+        |  CAST(SUM(CASE WHEN pv.v IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fk_distinct,
+        |  CAST(SUM(CASE WHEN pv.v IS NOT NULL AND pk.v IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_values,
+        |  CAST(SUM(CASE WHEN pv.v IS NOT NULL AND pk.v IS NULL
+        |    THEN pv.n_rows ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+        |  CAST(CASE WHEN SUM(CASE WHEN pv.v IS NOT NULL AND pk.v IS NULL
+        |    THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS ind_holds
+        |FROM pv LEFT JOIN pk
+        |  ON pv.fk_table = pk.fk_table AND pv.fk_column = pk.fk_column
+        |  AND pv.pk_table = pk.pk_table AND pv.pk_column = pk.pk_column
+        |  AND pv.v = pk.v
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
     // p37: candidate FDs unioned into ONE two-level agg (the Spark
     // side's exact shape); determinant/dependent stringified so
     // heterogeneous types share the aggregation
