@@ -1886,8 +1886,19 @@ object PipelineOps {
     // side (plain equality join) — they land in n_fk_null, not orphans
     val perValue = fk.groupBy((tags :+ "v").map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
+    indFoldOf(perValue.join(pk, tags :+ "v", "left"))
+  }
+
+  /** p38's fold from per-value membership rows (fk_table, fk_column,
+    * pk_table, pk_column, v, n_rows, in_pk with null = absent) —
+    * shared with the streaming twin's board (E258), whose update table
+    * collapses to exactly these rows via monotone maxes (n_rows only
+    * grows; pk membership flips 0→1 once).
+    */
+  private[graft] def indFoldOf(joined: DataFrame): DataFrame = {
+    val tags = Seq("fk_table", "fk_column", "pk_table", "pk_column")
     val orphan = col("v").isNotNull && col("in_pk").isNull
-    perValue.join(pk, tags :+ "v", "left")
+    joined
       .groupBy(tags.map(col): _*)
       .agg(
         sum(when(col("v").isNotNull, col("n_rows")).otherwise(0L))

@@ -1662,3 +1662,105 @@ class FdProcessor extends StatefulProcessor[String, FdEvent, FdUpdate] {
     }
   }
 }
+
+/** Streaming inclusion-dependency drift (E258) — p38's
+  * continual-ingest twin for its events registry entry
+  * (events.user_id ⊆ customer.c_custkey): the LATE-ARRIVING-DIMENSION
+  * monitor. A fact batch that lands before its dimension rows shows up
+  * here as live orphan keys, and un-orphans as the dimension catches
+  * up — batch p38 only ever sees the final snapshot. Input is one
+  * tagged stream (side ∈ {fk, pk}, value) — in production the fact and
+  * dimension ingest topics union into it. Keyed by the VALUE; state =
+  * the fk row count (ValueState) + the pk-membership flag (ValueState).
+  * Both are MONOTONE (a count only grows; membership flips 0→1 once),
+  * so the accumulated update table folds with plain maxes — the
+  * E254/E256 shape. A batch emits one row per value whose count grew
+  * or whose membership flipped, and only once the value has fk rows
+  * (pk-only values keep silent state: the batch audit is fk-driven and
+  * never reports them).
+  *
+  * Null values are filtered before the stateful op: a null fk never
+  * violates and a null pk satisfies nothing (p38's SQL FK semantics);
+  * the board's n_fk_null is therefore 0 — count nulls statelessly
+  * upstream if the feed can carry them.
+  *
+  * 100 TB posture: state is two longs per distinct key value on
+  * either side; update volume is bounded by NEW (value, fact-count)
+  * growth per batch, not events. Same checkpointed-sink caveat as
+  * [[PrivacyJobs.privacyBoard]].
+  */
+object IndJobs {
+  /** Per-value (fk row count, pk membership) updates for p38's events
+    * IND. Strings for the value — p38's own normalization, so the
+    * board's fold is value-identical to batch.
+    */
+  def indTws(tagged: DataFrame): Dataset[IndUpdate] = {
+    import tagged.sparkSession.implicits._
+    tagged.select(col("side").cast("string").as("side"),
+        col("v").cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .as[IndEvent]
+      .groupByKey(_.v)
+      .transformWithState(new IndProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to p38's exact row for the
+    * events IND: latest count and membership per value = monotone
+    * maxes, then `PipelineOps.indFoldOf` — shared code, not a
+    * restatement (the spec pins value identity). in_pk maps 1 → 1 and
+    * 0 → null because the batch fold reads absence as a null join
+    * miss.
+    */
+  def indBoard(updates: DataFrame): DataFrame =
+    graft.ops.PipelineOps.indFoldOf(updates
+      .groupBy("v").agg(max(col("n_rows")).as("n_rows"),
+        max(col("in_pk")).as("in_pk_max"))
+      .select(lit("events").as("fk_table"),
+        lit("user_id").as("fk_column"),
+        lit("customer").as("pk_table"),
+        lit("c_custkey").as("pk_column"),
+        col("v"), col("n_rows"),
+        when(col("in_pk_max") === 1L, 1L).otherwise(lit(null)
+          .cast("long")).as("in_pk")))
+}
+
+/** Input/update rows for the streaming IND twin (E258). */
+case class IndEvent(side: String, v: String)
+case class IndUpdate(v: String, n_rows: Long, in_pk: Long)
+
+/** StatefulProcessor for [[IndJobs.indTws]]: keyed by the key value;
+  * emits only when the fk row count grows or pk membership flips, and
+  * never before the value has fk rows.
+  */
+class IndProcessor extends StatefulProcessor[String, IndEvent, IndUpdate] {
+  @transient private var nRows: ValueState[Long] = _
+  @transient private var inPk: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nRows = getHandle.getValueState[Long]("n_rows",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    inPk = getHandle.getValueState[Boolean]("in_pk",
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[IndEvent],
+      timerValues: TimerValues): Iterator[IndUpdate] = {
+    var fkAdded = 0L
+    var sawPk = false
+    rows.foreach { r =>
+      if (r.side == "fk") fkAdded += 1 else sawPk = true
+    }
+    val hadPk = inPk.exists() && inPk.get()
+    val oldN = if (nRows.exists()) nRows.get() else 0L
+    val newPk = hadPk || sawPk
+    val newN = oldN + fkAdded
+    if (newPk && !hadPk) inPk.update(true)
+    if (fkAdded > 0) nRows.update(newN)
+    if (newN > 0 && (fkAdded > 0 || (newPk && !hadPk)))
+      Iterator.single(IndUpdate(key, newN, if (newPk) 1L else 0L))
+    else Iterator.empty
+  }
+}
