@@ -1148,6 +1148,91 @@ object RelOps {
       .orderBy("hr", "vb")
   }
 
+  /** Event-time disorder audit (E259) — the watermark-delay
+    * calibrator: per registered stream (a table read as ingest order =
+    * its sequence column, event time = its timestamp column), how many
+    * rows arrived AFTER a later-timestamped row already had, and by
+    * how much? `n_late` is exactly the row count a watermark of zero
+    * delay would drop from a windowed aggregate; `max_late_us` is the
+    * smallest `withWatermark` delay that drops nothing — the number a
+    * streaming deployment of T4/T5 reads BEFORE picking its delay
+    * (blind delays either drop events or hold state open for hours).
+    * The registry exercises both verdicts on real data: the events
+    * stream is perfectly in-order (n_late = 0 — the audit proves the
+    * fixture's ingest order is trustworthy), while orders read as a
+    * CDC stream in o_orderkey order is ~99.6% disordered with ~2,400
+    * DAYS of lateness — the audit correctly reports that o_orderkey is
+    * NOT an arrival order anyone can watermark on. Lateness is exact
+    * integer microseconds (unix_micros/epoch_us — the w30 convention);
+    * late_share is the one IEEE division of exact longs.
+    *
+    * 100 TB posture: the running max over ingest order is NOT one
+    * global window (a per-stream sort in ONE task): the m08/p15
+    * two-phase form — contiguous seq ranges bucket each stream, a
+    * bucket-count-sized prefix-max window computes what each bucket
+    * inherits, and the in-bucket exclusive running max runs
+    * partition-parallel; identical to the global statement because
+    * buckets partition the seq order. The oracle states the single
+    * declarative window. Offsets ride a broadcast; the fold is one
+    * |streams|-row agg.
+    */
+  def w54OutOfOrder(spark: SparkSession, dir: String): DataFrame =
+    outOfOrderOf(Seq(
+      ("events", "event_id", "ts",
+        Tables.events(spark, dir).select(
+          col("event_id").cast("long").as("seq"),
+          unix_micros(col("ts")).as("tus"))),
+      ("orders", "o_orderkey", "o_orderdate",
+        Tables.orders(spark, dir).select(
+          col("o_orderkey").cast("long").as("seq"),
+          // o_orderdate is TIMESTAMP_NTZ: the cast reads it in the
+          // session zone (pinned UTC), matching DuckDB's naive-as-UTC
+          // epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("tus")))))
+
+  /** w54's body over any (stream, seq_column, ts_column, frame with
+    * (seq, tus)) registry — exposed for the planted-disorder spec.
+    * `seq` must be unique per stream (it IS the ingest order).
+    */
+  private[graft] def outOfOrderOf(
+      streams: Seq[(String, String, String, DataFrame)]): DataFrame = {
+    val s = streams.map { case (st, sc, tc, df) =>
+      df.select(lit(st).as("stream"), lit(sc).as("seq_column"),
+        lit(tc).as("ts_column"), col("seq"), col("tus"))
+    }.reduce(_.unionAll(_))
+      .withColumn("bucket", expr("seq div 4096"))
+    // phase 1: per-bucket max, then what each bucket inherits from all
+    // earlier buckets (bucket-count-sized frame, keyed by stream)
+    val wOff = Window.partitionBy(col("stream")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = s.groupBy("stream", "bucket")
+      .agg(max(col("tus")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wOff))
+      .select("stream", "bucket", "pmax")
+    // phase 2: in-bucket EXCLUSIVE running max, partition-parallel;
+    // greatest() skips nulls (first row of the first bucket has no
+    // predecessor on either side)
+    val wIn = Window.partitionBy(col("stream"), col("bucket"))
+      .orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = col("prev_max") > col("tus")
+    s.join(broadcast(offsets), Seq("stream", "bucket"))
+      .withColumn("prev_max",
+        greatest(max(col("tus")).over(wIn), col("pmax")))
+      .groupBy("stream", "seq_column", "ts_column")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(late, col("prev_max") - col("tus"))), lit(0L))
+          .as("max_late_us"))
+      .select(col("stream"), col("seq_column"), col("ts_column"),
+        col("n_events"), col("n_late"),
+        (col("n_late").cast("double") / col("n_events"))
+          .as("late_share"),
+        col("max_late_us"))
+      .orderBy("stream")
+  }
+
   /** Churn hazard table (E240) — the Kaplan-Meier INPUT table over
     * user lifetimes (churn = last observed activity, the
     * product-analytics convention): per observed lifetime t (days
@@ -2392,6 +2477,7 @@ object RelOps {
     "w28_transition_matrix" -> (w28TransitionMatrix _),
     "w52_l_diversity" -> (w52LDiversity _),
     "w53_t_closeness" -> (w53TCloseness _),
+    "w54_out_of_order" -> (w54OutOfOrder _),
     "w51_k_anonymity" -> (w51KAnonymity _),
     "w50_churn_hazard" -> (w50ChurnHazard _),
     "w27_retention_cohorts" -> (w27RetentionCohorts _),
@@ -3288,6 +3374,39 @@ object RelOps {
     // multiplication (the d27 discipline — no per-term float sums).
     // Products/sum in HUGEINT mirroring Spark's DECIMAL(38,0) widen;
     // tvd_num published as DECIMAL(38,0) on both engines.
+    // w54: disorder audit — the oracle states the ONE declarative
+    // exclusive running-max window the engine computes in two phases;
+    // epoch_us/unix_micros exact in both engines (the w30 convention)
+    "w54_out_of_order" ->
+      """WITH s AS (
+        |  SELECT 'events' AS stream, 'event_id' AS seq_column,
+        |    'ts' AS ts_column, CAST(event_id AS BIGINT) AS seq,
+        |    epoch_us(ts) AS tus
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey', 'o_orderdate',
+        |    CAST(o_orderkey AS BIGINT), epoch_us(o_orderdate)
+        |  FROM orders
+        |),
+        |o AS (
+        |  SELECT stream, seq_column, ts_column, tus,
+        |    max(tus) OVER (PARTITION BY stream ORDER BY seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM s
+        |)
+        |SELECT stream, seq_column, ts_column,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN prev_max > tus THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN prev_max > tus THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS late_share,
+        |  CAST(COALESCE(MAX(CASE WHEN prev_max > tus
+        |    THEN prev_max - tus END), 0) AS BIGINT) AS max_late_us
+        |FROM o
+        |GROUP BY 1, 2, 3
+        |ORDER BY stream""".stripMargin,
+
     "w53_t_closeness" ->
       """WITH ev AS (
         |  SELECT event_type,
