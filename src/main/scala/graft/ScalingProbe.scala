@@ -212,6 +212,46 @@ object ScalingProbe {
     * star contraction (rounds + per-round cost on a hub-skew + deep-
     * chain topology, complementing the pure-path `stars` probe).
     */
+  /** w54 shape: event-time disorder audit over a planted stream of n
+    * rows — seq = 0..n-1, tus salted-md5 pseudo-random in ~[0, 1.1e12)
+    * so nearly every row is late against the running max. Claimed
+    * posture: the two-phase running max (div-4096 seq buckets +
+    * bucket-count prefix window + partition-parallel in-bucket
+    * windows) never sorts the stream in one task, so 10x rows should
+    * be near-linear wall-clock; the naive single global window pays a
+    * one-task sort+scan of the entire stream, the exact trap the
+    * two-phase form exists to avoid.
+    */
+  private def disorderProbe(spark: SparkSession, n: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark.range(n.toLong).select(col("id").as("seq"),
+      expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 10), 16, 10)" +
+        " AS BIGINT)").as("tus")).persist()
+    s.count()
+    val folded = graft.ops.RelOps.outOfOrderOf(Seq(("x", "seq", "tus", s)))
+      .collect()(0)
+    println(s"w54_disorder n=$n n_late=${folded.getLong(4)} " +
+      s"max_late=${folded.getLong(6)}")
+    time("w54_two_phase", n) {
+      val r = graft.ops.RelOps.outOfOrderOf(Seq(("x", "seq", "tus", s)))
+        .collect()(0)
+      r.getLong(4)
+    }
+    time("w54_naive_global_window", n) {
+      val w = Window.orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = s.withColumn("prev_max", max(col("tus")).over(w))
+        .groupBy()
+        .agg(sum(when(col("prev_max") > col("tus"), 1L).otherwise(0L))
+          .as("n_late"),
+          max(when(col("prev_max") > col("tus"),
+            col("prev_max") - col("tus"))).as("max_late"))
+        .collect()(0)
+      r.getLong(0)
+    }
+    s.unpersist()
+  }
+
   private def wedgesProbe(spark: SparkSession, n: Int): Unit = {
     val pairs = plantedGraph(spark, n).persist()
     val m = pairs.count()
@@ -1119,6 +1159,11 @@ object ScalingProbe {
     }
     if (args.headOption.contains("fingerprint")) {
       fingerprintProbe(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("disorder")) {
+      disorderProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
       spark.stop()
       return
     }

@@ -1197,9 +1197,16 @@ object RelOps {
     */
   private[graft] def outOfOrderOf(
       streams: Seq[(String, String, String, DataFrame)]): DataFrame = {
-    val s = streams.map { case (st, sc, tc, df) =>
-      df.select(lit(st).as("stream"), lit(sc).as("seq_column"),
-        lit(tc).as("ts_column"), col("seq"), col("tus"))
+    val spark = streams.head._4.sparkSession
+    import spark.implicits._
+    // the column-name labels join back onto the |streams|-row fold —
+    // carrying them as per-row literals through the bucket shuffle
+    // widens every shuffled row for nothing (measured in the 50M
+    // disorder probe)
+    val names = streams.map { case (st, sc, tc, _) => (st, sc, tc) }
+      .toDF("stream", "seq_column", "ts_column")
+    val s = streams.map { case (st, _, _, df) =>
+      df.select(lit(st).as("stream"), col("seq"), col("tus"))
     }.reduce(_.unionAll(_))
       .withColumn("bucket", expr("seq div 4096"))
     // phase 1: per-bucket max, then what each bucket inherits from all
@@ -1217,21 +1224,32 @@ object RelOps {
       .orderBy(col("seq"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val late = col("prev_max") > col("tus")
-    s.join(broadcast(offsets), Seq("stream", "bucket"))
-      .withColumn("prev_max",
-        greatest(max(col("tus")).over(wIn), col("pmax")))
-      .groupBy("stream", "seq_column", "ts_column")
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(late, 1L).otherwise(0L)).as("n_late"),
-        coalesce(max(when(late, col("prev_max") - col("tus"))), lit(0L))
-          .as("max_late_us"))
+    disorderFinish(
+      s.join(broadcast(offsets), Seq("stream", "bucket"))
+        .withColumn("prev_max",
+          greatest(max(col("tus")).over(wIn), col("pmax")))
+        .groupBy("stream")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(late, 1L).otherwise(0L)).as("n_late"),
+          coalesce(max(when(late, col("prev_max") - col("tus"))),
+            lit(0L)).as("max_late_us")),
+      names)
+  }
+
+  /** w54's finisher from per-stream totals (stream, n_events, n_late,
+    * max_late_us) plus the |streams|-row label frame — shared with the
+    * streaming twin's board (E260), whose update table collapses to
+    * exactly these totals via monotone maxes.
+    */
+  private[graft] def disorderFinish(totals: DataFrame,
+      names: DataFrame): DataFrame =
+    totals.join(broadcast(names), Seq("stream"))
       .select(col("stream"), col("seq_column"), col("ts_column"),
         col("n_events"), col("n_late"),
         (col("n_late").cast("double") / col("n_events"))
           .as("late_share"),
         col("max_late_us"))
       .orderBy("stream")
-  }
 
   /** Churn hazard table (E240) — the Kaplan-Meier INPUT table over
     * user lifetimes (churn = last observed activity, the
