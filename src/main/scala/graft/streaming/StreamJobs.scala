@@ -1764,3 +1764,103 @@ class IndProcessor extends StatefulProcessor[String, IndEvent, IndUpdate] {
     else Iterator.empty
   }
 }
+
+/** Streaming event-time disorder (E260) — w54's continual-ingest
+  * twin: the watermark-delay calibrator run WHERE the stream arrives,
+  * before any `withWatermark` is deployed (batch w54 reads a lakehouse
+  * table after the fact; this reads the live feed it would calibrate).
+  * Keyed by the stream name; state = four longs (events seen, late
+  * rows, max lateness, running max event time). Arrival order IS the
+  * ingest order a watermark would see, so the statistic is inherently
+  * sequential per stream: rows are folded in seq order within each
+  * micro-batch (the E201 in-batch-sort contract; cross-batch in-order
+  * arrival per stream is the documented streaming-ingest assumption).
+  * A batch emits ONE summary row per touched stream carrying the
+  * POST-BATCH running totals — all monotone, so the accumulated update
+  * table folds with plain maxes (the E254/E256/E258 shape) straight
+  * into w54's own finisher.
+  *
+  * 100 TB posture — the honest caveat: a per-stream total-order
+  * statistic funnels each stream through one state partition, so the
+  * stateful op parallelizes ACROSS streams, not within one; that is
+  * the cost of reading the number at ingest. Batch w54's two-phase
+  * bucket form is the shape that parallelizes WITHIN a stream (its
+  * buckets are the shard-merge), and the spec pins the two equal.
+  * Update volume is one row per (stream, batch).
+  */
+object DisorderJobs {
+  /** Per-stream running disorder totals over a (stream, seq, tus)
+    * feed. Longs throughout — w54's own normalization, so the board's
+    * fold is value-identical to batch.
+    */
+  def disorderTws(rows: DataFrame): Dataset[DisorderUpdate] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("stream").cast("string").as("stream"),
+        col("seq").cast("long").as("seq"),
+        col("tus").cast("long").as("tus"))
+      .as[DisorderEvent]
+      .groupByKey(_.stream)
+      .transformWithState(new DisorderProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold the accumulated update table to w54's exact row shape:
+    * latest totals per stream = monotone maxes, then
+    * `RelOps.disorderFinish` — shared code, not a restatement (the
+    * spec pins value identity). `names` is the |streams|-row
+    * (stream, seq_column, ts_column) label frame the batch registry
+    * carries. Same sink-read caveat as [[PrivacyJobs.privacyBoard]].
+    */
+  def disorderBoard(updates: DataFrame,
+      names: DataFrame): DataFrame =
+    graft.ops.RelOps.disorderFinish(updates
+      .groupBy("stream").agg(max(col("n_events")).as("n_events"),
+        max(col("n_late")).as("n_late"),
+        max(col("max_late_us")).as("max_late_us")),
+      names)
+}
+
+/** Input/update rows for the streaming disorder twin (E260). */
+case class DisorderEvent(stream: String, seq: Long, tus: Long)
+case class DisorderUpdate(stream: String, n_events: Long, n_late: Long,
+    max_late_us: Long)
+
+/** StatefulProcessor for [[DisorderJobs.disorderTws]]: folds each
+  * micro-batch's rows in seq order against the carried running max.
+  */
+class DisorderProcessor
+    extends StatefulProcessor[String, DisorderEvent, DisorderUpdate] {
+  @transient private var st: ValueState[DisorderUpdate] = _
+  @transient private var runMax: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[DisorderUpdate]("totals",
+      org.apache.spark.sql.Encoders.product[DisorderUpdate],
+      TTLConfig.NONE)
+    runMax = getHandle.getValueState[Long]("run_max",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[DisorderEvent],
+      timerValues: TimerValues): Iterator[DisorderUpdate] = {
+    val batch = rows.toSeq.sortBy(_.seq)
+    if (batch.isEmpty) Iterator.empty
+    else {
+      var t = if (st.exists()) st.get()
+        else DisorderUpdate(key, 0L, 0L, 0L)
+      var m = if (runMax.exists()) runMax.get() else Long.MinValue
+      batch.foreach { r =>
+        val late = m > r.tus
+        t = DisorderUpdate(key, t.n_events + 1,
+          t.n_late + (if (late) 1L else 0L),
+          if (late) math.max(t.max_late_us, m - r.tus) else t.max_late_us)
+        if (r.tus > m) m = r.tus
+      }
+      st.update(t)
+      runMax.update(m)
+      Iterator.single(t)
+    }
+  }
+}
