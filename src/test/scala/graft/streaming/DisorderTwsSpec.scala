@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
 import graft.{SparkTestBase, Tables}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -29,6 +32,17 @@ class DisorderTwsSpec extends SparkTestBase {
 
   private val names = Seq(("orders", "o_orderkey", "o_orderdate"))
     .toDF("stream", "seq_column", "ts_column")
+
+  private def withTempDir(body: Path => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft_disorder_tws")
+    try body(dir)
+    finally {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 
   test("disorderTws: two micro-batches in ingest order fold to the " +
       "exact batch w54 orders row; totals are strictly monotone") {
@@ -96,5 +110,67 @@ class DisorderTwsSpec extends SparkTestBase {
       assert(b == Seq(("x", "seq", "tus", 3L, 2L, 2.0 / 3.0, 50L)),
         s"got $b")
     }
+  }
+
+  test("disorderTws: RocksDB state survives a checkpointed restart — " +
+      "a fresh query resumes the running max and totals, and the " +
+      "board equals batch w54") {
+    // reset state would zero BOTH the running max (post-restart rows
+    // late only against pre-restart maxes stop counting) and the
+    // totals (n_events restarts from the batch size) — either alone
+    // breaks board == batch; orders' heavy disorder guarantees
+    // cut-straddling lateness
+    withRocksDb { withTempDir { tmp =>
+      import org.apache.spark.sql.streaming.Trigger
+      val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+      val incoming = Tables.orders(spark, sf0001)
+        .select(col("o_orderkey").cast("long"),
+          unix_micros(col("o_orderdate").cast("timestamp")))
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .map { case (s, t) => DisorderEvent("orders", s, t) }
+      val cut = incoming.length / 2
+      val sch = implicitly[org.apache.spark.sql.Encoder[DisorderEvent]]
+        .schema
+      def feed(rows: Seq[DisorderEvent]): Unit =
+        spark.createDataset(rows.toIndexedSeq).toDF()
+          .coalesce(1).write.mode("append").parquet(in)
+      def drain(): Unit = {
+        val q = DisorderJobs
+          .disorderTws(spark.readStream.schema(sch).parquet(in))
+          .writeStream
+          .foreachBatch(
+            (b: org.apache.spark.sql.Dataset[DisorderUpdate],
+                _: Long) => {
+              b.write.mode("append").parquet(out); ()
+            })
+          .outputMode("update")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      feed(incoming.take(cut)); drain()   // query instance 1
+      feed(incoming.drop(cut)); drain()   // FRESH instance, same cp
+      val updates = spark.read.parquet(out)
+      // totals strictly grew across the restart: the largest
+      // post-restart n_events must exceed anything instance 1 emitted
+      assert(updates.agg(max(col("n_events"))).collect()(0).getLong(0)
+        == incoming.length.toLong,
+        "final totals must cover BOTH instances' rows")
+      assert(updates.groupBy("stream", "n_events").count()
+        .filter(col("count") > 1).count() == 0L,
+        "duplicate totals emitted across instances")
+      val board = DisorderJobs.disorderBoard(updates, names)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.RelOps.outOfOrderOf(Seq(
+          ("orders", "o_orderkey", "o_orderdate",
+            Tables.orders(spark, sf0001).select(
+              col("o_orderkey").cast("long").as("seq"),
+              unix_micros(col("o_orderdate").cast("timestamp"))
+                .as("tus")))))
+        .collect().map(_.toSeq).toSeq
+      assert(board == batch,
+        s"post-restart board != batch w54 ($board vs $batch)")
+    } }
   }
 }
