@@ -69,7 +69,8 @@ object Bench {
       def num(f: String) = Option(root.path(f)).filter(_.isNumber)
       BenchHistory(num("cpus").map(_.asInt()),
         num("calibration_drift").map(_.asDouble()), outliers, norms.result())
-    } catch { case _: Throwable => BenchHistory(None, None, 0, Map.empty) }
+    } catch { case scala.util.control.NonFatal(_) =>
+      BenchHistory(None, None, 0, Map.empty) }
 
   /** A history artifact is quiet enough to adjudicate against iff its
     * sweep-wide drift stayed under this (a contaminated row implies a
@@ -131,10 +132,13 @@ object Bench {
     // (first run, renamed query) — never fails the bench.
     val histPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_FULL.json")
+    // NonFatal only (ADVICE r14): the fail-open contract covers parse/IO
+    // failures, not OutOfMemoryError/InterruptedException.
     val hist: BenchHistory =
       try parseHistory(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(histPath)), "UTF-8"))
-      catch { case _: Throwable => BenchHistory(None, None, 0, Map.empty) }
+      catch { case scala.util.control.NonFatal(_) =>
+        BenchHistory(None, None, 0, Map.empty) }
     // Config-aware gate (VERDICT r13 item 1): adjudicate only against a
     // quiet history recorded at THIS run's core count — otherwise the
     // norms aren't comparable and the 3x gate mis-fires or misses.

@@ -954,12 +954,14 @@ object TextOps {
         sum(col("tf")).as("n_tokens"),
         sum((col("tf") * (col("tf") - 1)).cast(DecimalType(38, 0)))
           .as("rp"))
-      // repeat_pairs publishes AS DECIMAL(38,0) (the w53 convention): a
-      // 1e10-occurrence token alone contributes ~1e20 pairs, where the
-      // old cast-back-to-long would throw under ANSI at exactly the
-      // corpus sizes the statistic exists for
+      // repeat_pairs PUBLISHES as DOUBLE: a 1e10-occurrence token alone
+      // contributes ~1e20 pairs, where a cast-back-to-long would throw
+      // under ANSI at exactly the corpus sizes the statistic exists
+      // for, and a published DECIMAL fails the driver's row hash
+      // (VERDICT r14) — double is exact below 2^53, correctly rounded
+      // beyond, and never throws
       .select(col("source"), col("vocab"), col("n_tokens"),
-        col("rp").as("repeat_pairs"),
+        col("rp").cast("double").as("repeat_pairs"),
         when(col("n_tokens") >= 2,
           col("rp").cast("double") / nn1.cast("double")).as("simpson"),
         when(col("rp") > 0,
@@ -1445,7 +1447,7 @@ object TextOps {
         |SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS vocab,
         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS DECIMAL(38,0))
+        |  CAST(SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS DOUBLE)
         |    AS repeat_pairs,
         |  CASE WHEN SUM(tf) >= 2 THEN
         |    CAST(SUM(CAST(tf AS HUGEINT) * (tf - 1)) AS DOUBLE)

@@ -1598,11 +1598,24 @@ object FdJobs {
   /** Per-determinant distinct-dependent updates for p37's events FD
     * (user_id → event_type). Strings for both sides — p37's own
     * normalization, so the board's fold is value-identical to batch.
+    *
+    * Nulls are filtered BEFORE the stateful op (ADVICE r14, mirroring
+    * [[IndJobs.indTws]]): batch p37's countDistinct(dep) ignores null
+    * dependents and its fold clamps all-null groups, while a null
+    * reaching MapState.containsKey would either throw in the state
+    * store or inflate n_dep — breaking the pinned value-identical-to-
+    * batch contract. A null det keys a group batch p37 also counts
+    * (groupBy keeps nulls), but its dep-distinct set obeys the same
+    * null-dep rule, so only `dep` needs the isNotNull gate; `det` gets
+    * one too because a null state-store grouping key is undefined
+    * behavior — the divergence from batch (batch counts the null-det
+    * group, the twin drops it) is deliberate and documented here.
     */
   def fdTws(events: DataFrame): Dataset[FdUpdate] = {
     import events.sparkSession.implicits._
     events.select(col("user_id").cast("string").as("det"),
         col("event_type").cast("string").as("dep"))
+      .filter(col("det").isNotNull && col("dep").isNotNull)
       .as[FdEvent]
       .groupByKey(_.det)
       .transformWithState(new FdProcessor,
@@ -1827,6 +1840,14 @@ case class DisorderUpdate(stream: String, n_events: Long, n_late: Long,
 
 /** StatefulProcessor for [[DisorderJobs.disorderTws]]: folds each
   * micro-batch's rows in seq order against the carried running max.
+  *
+  * Buffering bound (ADVICE r14): the in-batch seq sort materializes the
+  * whole per-stream micro-batch in executor memory (`rows.toSeq`) —
+  * UPDATE volume is bounded (one row per stream per batch), but INPUT
+  * buffering is not. A hot stream must cap micro-batch size at the
+  * source (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) in any
+  * deployment of this job; the state store itself is never the problem
+  * (four longs per stream).
   */
 class DisorderProcessor
     extends StatefulProcessor[String, DisorderEvent, DisorderUpdate] {

@@ -38,8 +38,7 @@ class ChangepointSpec extends SparkTestBase {
     assert(v.getAs[Long]("n_hours") == 20L && v.getAs[Long]("total") == 60L)
     assert(v.getAs[Timestamp]("cp_hour") ==
       Timestamp.valueOf("2024-08-01 09:00:00"))
-    assert(BigDecimal(v.getAs[java.math.BigDecimal]("cp_score")) ==
-      BigDecimal(400))
+    assert(v.getAs[Double]("cp_score") == 400.0)
     assert(v.getAs[Long]("direction") == -1L)
     // the click spine zero-fills the 18 empty hours
     assert(m("click").getAs[Long]("n_hours") == 20L)
@@ -50,8 +49,7 @@ class ChangepointSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("event_type")).distinct.length ==
       rows.length)
     rows.foreach { r =>
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("cp_score")) >
-        BigDecimal(0))
+      assert(r.getAs[Double]("cp_score") > 0.0)
       assert(Set(-1L, 1L).contains(r.getAs[Long]("direction")))
     }
   }

@@ -54,6 +54,24 @@ class OutOfOrderSpec extends SparkTestBase {
     graft.Caches.unpersistAll()
   }
 
+  test("w54: the statistic is bucket-width-invariant — a prime width " +
+      "set via graft.w54.bucketWidth reproduces the default's rows") {
+    // ADVICE r14: the width is the deployment's broadcast-size lever,
+    // so it must never change the answer. Prime width 7 forces many
+    // boundary crossings on the same boundary-straddling stream.
+    val data = Seq((0L, 100L), (10L, 40L), (5000L, 50L), (9000L, 60L),
+      (13000L, 200L), (13001L, 150L))
+    def run() = RelOps.outOfOrderOf(Seq(
+        ("x", "seq", "tus", data.toDF("seq", "tus"))))
+      .as[(String, String, String, Long, Long, Double, Long)]
+      .collect().toSeq
+    val byDefault = run()
+    spark.conf.set("graft.w54.bucketWidth", "7")
+    try assert(run() == byDefault, "prime width diverged from default")
+    finally spark.conf.unset("graft.w54.bucketWidth")
+    graft.Caches.unpersistAll()
+  }
+
   test("w54 sf fixture: events are in-order (the audit proves the " +
       "ingest order), orders-as-CDC matches a naive recompute") {
     val out = RelOps.w54OutOfOrder(spark, sf0001).collect()

@@ -34,13 +34,11 @@ class SimpsonDiversitySpec extends SparkTestBase {
     assert(a.getAs[String]("source") == "srcA")
     assert(a.getAs[Long]("vocab") == 2L)
     assert(a.getAs[Long]("n_tokens") == 4L)
-    assert(BigDecimal(a.getAs[java.math.BigDecimal]("repeat_pairs")) ==
-      BigDecimal(6))
+    assert(a.getAs[Double]("repeat_pairs") == 6.0)
     assert(a.getAs[Double]("simpson") == 0.5)
     assert(a.getAs[Double]("inv_simpson") == 2.0)
     val b = rows(1)
-    assert(BigDecimal(b.getAs[java.math.BigDecimal]("repeat_pairs")) ==
-      BigDecimal(0))
+    assert(b.getAs[Double]("repeat_pairs") == 0.0)
     assert(b.getAs[Double]("simpson") == 0.0)
     assert(b.isNullAt(b.fieldIndex("inv_simpson")))
     val c = rows(2)

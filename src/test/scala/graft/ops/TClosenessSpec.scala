@@ -34,8 +34,7 @@ class TClosenessSpec extends SparkTestBase {
       val r = out(key)
       assert(r.getAs[Long]("n_events") == ng, s"$key n_events")
       assert(r.getAs[Long]("n_types") == cnt.size.toLong, s"$key n_types")
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("tvd_num")) ==
-        BigDecimal(num), s"$key tvd_num")
+      assert(r.getAs[Double]("tvd_num") == num.toDouble, s"$key tvd_num")
       assert(r.getAs[Double]("tvd") ==
         num.toDouble / (2L * ng * n).toDouble, s"$key tvd")
       assert(r.getAs[Long]("t_fail") ==
@@ -60,11 +59,11 @@ class TClosenessSpec extends SparkTestBase {
       Seq.fill(8)("A").map(t => (t, 3L, 0L))
     val rows = RelOps.tClosenessOf(
         ev.toDF("event_type", "hr", "vb"))
-      .as[(Long, Long, Long, Long, BigDecimal, Double, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, Double, Double, Long)].collect().toSeq
     assert(rows == Seq(
-      (1L, 0L, 8L, 2L, BigDecimal(64), 0.1, 0L),
-      (2L, 0L, 24L, 2L, BigDecimal(192), 0.1, 0L),
-      (3L, 0L, 8L, 1L, BigDecimal(256), 0.4, 1L)), s"got $rows")
+      (1L, 0L, 8L, 2L, 64.0, 0.1, 0L),
+      (2L, 0L, 24L, 2L, 192.0, 0.1, 0L),
+      (3L, 0L, 8L, 1L, 256.0, 0.4, 1L)), s"got $rows")
     graft.Caches.unpersistAll()
   }
 
@@ -80,12 +79,16 @@ class TClosenessSpec extends SparkTestBase {
     val cells = Seq(("X", 1L, 0L, c), ("Y", 2L, 0L, c))
       .toDF("event_type", "hr", "vb", "n_gt")
     val rows = RelOps.tClosenessFromCells(cells)
-      .as[(Long, Long, Long, Long, BigDecimal, Double, Long)].collect().toSeq
-    val num = BigDecimal(BigInt("18000000000000000000"))
+      .as[(Long, Long, Long, Long, Double, Double, Long)].collect().toSeq
+    // the internal decimal is the exact 1.8e19; the published double is
+    // its correctly-rounded image (exact here: 1.8e19 = 2^18 * 5^18 * 18
+    // has < 53 significant bits), and tvd = 0.5 exactly — the wrapped
+    // long path would have produced a NEGATIVE numerator
+    val num = BigInt("18000000000000000000")
     assert(rows == Seq(
-      (1L, 0L, c, 1L, num, 0.5, 1L),
-      (2L, 0L, c, 1L, num, 0.5, 1L)), s"got $rows")
-    assert(num > BigDecimal(Long.MaxValue), "the probe must actually overflow")
+      (1L, 0L, c, 1L, num.toDouble, 0.5, 1L),
+      (2L, 0L, c, 1L, num.toDouble, 0.5, 1L)), s"got $rows")
+    assert(num > BigInt(Long.MaxValue), "the probe must actually overflow")
     graft.Caches.unpersistAll()
   }
 }

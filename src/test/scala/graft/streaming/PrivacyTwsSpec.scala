@@ -156,7 +156,7 @@ class PrivacyTwsSpec extends SparkTestBase {
         .filter(col("count") > 1).count() == 0L)
       def decode(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          BigDecimal(r.getAs[java.math.BigDecimal](4)), r.getDouble(5),
+          r.getDouble(4), r.getDouble(5),
           r.getLong(6))
       val board = PrivacyJobs.tClosenessBoard(updates).collect()
         .map(decode).toSeq
@@ -300,7 +300,7 @@ class PrivacyTwsSpec extends SparkTestBase {
         "duplicate (group, type, n_gt) emissions across the restart")
       def decode(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          BigDecimal(r.getAs[java.math.BigDecimal](4)), r.getDouble(5),
+          r.getDouble(4), r.getDouble(5),
           r.getLong(6))
       val board = PrivacyJobs.tClosenessBoard(updates).collect()
         .map(decode).toSeq

@@ -23,6 +23,38 @@ def canon(df):
     return df
 
 
+# The driver's row-hash canonicalization is only proven for these
+# published types (VERDICT r14: a published DECIMAL(38,0) column failed
+# the driver hash while BOTH local checkers passed, because both engines
+# agreed on the decimal — the local harness cannot see the driver's
+# canonicalization). Decimal/HUGEINT arithmetic is fine INTERNALLY; it
+# must be cast to a proven type before publication.
+ALLOWED_TYPE_PREFIXES = (
+    "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+    "BOOLEAN")
+
+
+def published_type_violations(con, query):
+    """DESCRIBE the published surface and flag any column type outside
+    the driver-proven allowlist (DECIMAL, FLOAT, HUGEINT, BLOB, MAP...).
+    List/struct types are unwrapped to their leaf element types."""
+    bad = []
+    for row in con.sql(f"DESCRIBE {query}").fetchall():
+        col, typ = row[0], row[1]
+        leaf = typ
+        while leaf.endswith("[]"):
+            leaf = leaf[:-2]
+        if leaf.startswith("STRUCT(") or leaf.startswith("MAP("):
+            inner = leaf
+            if any(t in inner for t in ("DECIMAL", "HUGEINT", "FLOAT",
+                                        "BLOB", "UBIGINT")):
+                bad.append((col, typ))
+            continue
+        if not leaf.upper().startswith(ALLOWED_TYPE_PREFIXES):
+            bad.append((col, typ))
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -37,6 +69,13 @@ def main(sf_dir, out_dir):
             exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        bad_types = published_type_violations(
+            con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        if bad_types:
+            print(f"FAIL {name}: published type outside the driver-proven "
+                  f"allowlist: {bad_types}")
             n_bad += 1
             continue
         if list(got.columns) != list(exp.columns):
