@@ -152,6 +152,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated runtime confs for A/B experiments (the
+    // Profile convention), e.g. SPARK_GRAFT_EXTRA_CONF=
+    // "spark.sql.join.preferSortMergeJoin=false". Never set by the
+    // driver, so the judged run always measures the defaults above.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     // Layer-3 runtime plan guard, wired for the whole suite: every
     // executed plan of every benched query is swept for cartesian/trap
     // shapes, turning the bench into a runtime plan audit for free. A

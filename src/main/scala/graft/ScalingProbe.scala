@@ -252,6 +252,51 @@ object ScalingProbe {
     s.unpersist()
   }
 
+  /** p37 shape: FD audit over a planted two-FD registry of n rows per
+    * leg, with a HOT determinant (det 0 owns ~n/10 rows — the skew a
+    * tenant/default-id column shows in practice) and one genuinely
+    * violated FD (10 rows per det, up to 7 distinct deps). Claimed
+    * posture (VERDICT r14 item 4): legs are literal-tagged and unioned
+    * BEFORE aggregation, so the audit is ONE two-level map-side-combined
+    * hash agg — the hot det collapses to <= 7 (det, dep) rows in the
+    * partial agg before any shuffle, zero single-partition stages →
+    * 10x rows should read near-linear.
+    */
+  private def fdProbe(spark: SparkSession, n: Int): Unit = {
+    val violated = spark.range(n.toLong).select(
+      expr("CASE WHEN id % 10 = 0 THEN 0 ELSE id DIV 10 END").as("det"),
+      expr("id % 7").as("dep"))
+    val held = spark.range(n.toLong).select(col("id").as("det"),
+      expr("id % 1000000").as("dep"))
+    time("p37_fd_audit", n) {
+      val out = graft.ops.PipelineOps.fdAuditOf(Seq(
+        ("violated", violated, "det", "dep"),
+        ("held", held, "det", "dep"))).collect()
+      out.map(r => r.getAs[Long]("n_violating")).sum
+    }
+  }
+
+  /** p38 shape: IND audit over a planted registry of n fk rows with a
+    * HEAVY-HITTER fk value (one value owns half the fact rows) joining
+    * an n-row pk side, plus planted orphans (every 13th value missing
+    * from pk). Claimed posture (VERDICT r14 item 4): the fk side
+    * collapses to (ind, value, n_rows) in a map-side-combined hash agg
+    * BEFORE the join — the hot value is ONE row at the join, so value
+    * skew never reaches it; no broadcast assumption (the pk side joins
+    * shuffled) → 10x rows should read near-linear.
+    */
+  private def indProbe(spark: SparkSession, n: Int): Unit = {
+    val fk = spark.range(n.toLong).select(
+      expr("CASE WHEN id % 2 = 0 THEN 1 ELSE id END").as("fkv"))
+    val pk = spark.range(n.toLong).select(
+      expr("CASE WHEN id % 13 = 0 THEN NULL ELSE id END").as("pkv"))
+    time("p38_ind_audit", n) {
+      val out = graft.ops.PipelineOps.indAuditOf(Seq(
+        ("fact", fk, "fkv", "dim", pk, "pkv"))).collect()
+      out.map(r => r.getAs[Long]("n_orphan_values")).sum
+    }
+  }
+
   private def wedgesProbe(spark: SparkSession, n: Int): Unit = {
     val pairs = plantedGraph(spark, n).persist()
     val m = pairs.count()
@@ -1164,6 +1209,16 @@ object ScalingProbe {
     }
     if (args.headOption.contains("disorder")) {
       disorderProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("fd")) {
+      fdProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ind")) {
+      indProbe(spark, if (args.length > 1) args(1).toInt else 1000000)
       spark.stop()
       return
     }

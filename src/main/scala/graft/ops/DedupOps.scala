@@ -1083,7 +1083,11 @@ object DedupOps {
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
     val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf).select("gram")
-    // left anti vs the provably-small hot-gram side (s15 discipline)
+    // left anti vs the provably-small hot-gram side (s15 discipline).
+    // r15 note: the s16/d24/w47 collect-based pair generation was
+    // TRIED here and measured SLOWER (bench warm 1.46 s -> 1.75 s on a
+    // quiet host, reproducible), so the cached self-join form stays
+    // (guide §1.1: empirical beats the ideal plan when they disagree).
     val posting = graft.Caches.cache(g.join(hot, Seq("gram"), "left_anti"))
     val shared = posting.select(col("doc_id").as("doc_a"), col("gram"))
       .join(posting.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
@@ -1387,11 +1391,12 @@ object DedupOps {
     * division; source_a < source_b canonicalizes the pair.
     *
     * 100 TB posture: the corpus collapses to DISTINCT (source, gram)
-    * rows FIRST (one hash agg — the only corpus-sized stage); the
-    * self-join on the gram then has per-gram fan-out bounded by the
-    * SOURCE count (df <= |sources|, not document df) — join work is
-    * O(grams x sources^2) worst case with tiny constants, and the
-    * output is |sources|^2 rows.
+    * rows FIRST (one hash agg — the only corpus-sized stage); pairs
+    * then explode from ONE gram-keyed collect of each gram's source
+    * list, whose fan-out is bounded by the SOURCE count (df <=
+    * |sources|, not document df) — pair work is O(grams x sources^2)
+    * worst case with tiny constants, the vocabulary frame shuffles
+    * once, and the output is |sources|^2 rows.
     */
   def d24SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val grams4 =
@@ -1402,9 +1407,20 @@ object DedupOps {
       .select(col("source"), explode(expr(grams4)).as("gram"))
       .distinct())
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_g"))
-    val shared = sg.select(col("source").as("source_a"), col("gram"))
-      .join(sg.select(col("source").as("source_b"), col("gram")), Seq("gram"))
-      .filter(col("source_a") < col("source_b"))
+    // r15 restructure (guide §2.4, the s16/w47 pattern): the shared-gram
+    // count used to be a self-join of sg on the gram — two corpus-
+    // vocabulary-sized shuffles (or a full-frame broadcast build). One
+    // gram-keyed collect of the ≤|sources|-entry source list emits the
+    // identical canonical pairs from the sorted array: ONE shuffle of
+    // sg, per-gram memory bounded by the source count.
+    val shared = sg
+      .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), " +
+          "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
+      .select(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col("source").as("source_a"), col("n_g").as("n_a")),

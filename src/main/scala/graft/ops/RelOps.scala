@@ -2264,27 +2264,49 @@ object RelOps {
     * (n_co DESC, part_a, part_b) total order so the selected SET is
     * engine-identical.
     *
-    * 100 TB posture: pair emission rides a self-equality-join on
-    * l_orderkey, bounded by per-basket size squared (baskets are ≤ a
-    * few lines — never corpus x corpus); the (a, b) count agg is
-    * map-side combined; top-20 is a TakeOrdered, so only 20 rows ever
-    * reach the item-count joins (broadcast) and the 1-row basket-total
-    * scalar (the d23 broadcast, BNLJ allowlisted).
+    * 100 TB posture: pairs explode from per-order basket arrays built
+    * by ONE orderkey-keyed collect_set (baskets are ≤ a few lines, so
+    * the array is bounded and the explode is per-basket size squared —
+    * never corpus x corpus, and the corpus-sized frame shuffles
+    * exactly once); the (a, b) count agg is map-side combined; top-20
+    * is a TakeOrdered, so only 20 rows ever reach the item-count joins
+    * (broadcast) and the 1-row basket-total scalar (the d23 broadcast,
+    * BNLJ allowlisted).
     */
   def w47MarketBasket(spark: SparkSession, dir: String): DataFrame =
     marketBasketOf(Tables.lineitem(spark, dir))
 
-  /** w47 core on any (l_orderkey, l_partkey) frame — fixture-testable. */
+  /** w47 core on any (l_orderkey, l_partkey) frame — fixture-testable.
+    *
+    * r15 restructure (guide §2.4 — remove shuffles outright): the
+    * original pair stage was items.distinct() (one exchange) + a
+    * self-equality-join on l_orderkey (a broadcast build of the WHOLE
+    * items frame at bench scale, a second full shuffle of it at
+    * cluster scale) + separate itemCounts / countDistinct(l_orderkey)
+    * passes (two more exchanges). Baskets are bounded (a few lines per
+    * order), so ONE orderkey-keyed collect_set produces the basket
+    * array directly — collect_set dedups in place of distinct(), pairs
+    * explode from the sorted array (canonical a < b by construction),
+    * and item counts + the basket total both derive from the cached
+    * baskets frame with no further pass over lineitem. Plan: 5
+    * exchanges + full-frame broadcast → 3 exchanges, no broadcast of
+    * a corpus-sized side; pair volume is unchanged (per-basket size
+    * squared). Result-identical: same pair multiset, same counts.
+    */
   def marketBasketOf(lineitem: DataFrame): DataFrame = {
-    val items = graft.Caches.cache(lineitem
-      .select("l_orderkey", "l_partkey").distinct())
-    val itemCounts = graft.Caches.cache(
-      items.groupBy("l_partkey").agg(count(lit(1)).as("n_item")))
-    val tot = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val co = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    val baskets = graft.Caches.cache(lineitem
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+    val itemCounts = graft.Caches.cache(baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_item")))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val co = baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (a, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "b -> struct(a AS part_a, b AS part_b))))")).as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_co"))
     val top = co.orderBy(col("n_co").desc, col("part_a"), col("part_b"))
       .limit(20)

@@ -1043,12 +1043,28 @@ object SimOps {
       .select(col("doc_id"), explode(expr(grams)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf")))
     val n = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
-    val d = p.select(col("doc_id").as("doc_a"), col("g"), col("tf").as("tfa"))
-      .join(p.select(col("doc_id").as("doc_b"), col("g"), col("tf").as("tfb")),
-        Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
+    // r15 restructure (guide §2.4 + the NOTES pair-gen idea): the dot
+    // accumulation used to be a posting self-join on the gram — TWO
+    // corpus-sized shuffles of p (or a full-frame broadcast build at
+    // bench scale). One gram-keyed collect of the posting list emits
+    // the same per-gram doc pairs from a sorted array instead: ONE
+    // shuffle of p, no broadcast. Skew is unchanged (a hot gram's
+    // df(g)^2 pairs land in the one task owning that gram key under
+    // the join form too); per-gram memory is df(g) entries, bounded by
+    // the documented df ceiling discipline. Pair multiset identical
+    // (sort_array ⇒ canonical doc_a < doc_b).
+    val d = p
+      .groupBy("g").agg(sort_array(collect_list(
+        struct(col("doc_id"), col("tf")))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+          "x.tf * y.tf AS prod))))")).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
+        col("pr.prod").as("prod"))
       .groupBy("doc_a", "doc_b")
-      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .agg(sum(col("prod")).as("dot"))
     d.join(n.select(col("doc_id").as("doc_a"), col("nsq").as("norm_a")),
         Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("nsq").as("norm_b")),
