@@ -289,7 +289,16 @@ object DedupOps {
     * same signature; at scale, grouping on the signature (or signature
     * bands) is a pure hash shuffle.
     */
-  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(spark, dir).orderBy("doc_id")
+
+  /** d04's body WITHOUT the output sort — d06 aggregates it, and a
+    * reused orderBy under graft_topk survives planning (Catalyst can't
+    * prove a custom imperative aggregate order-insensitive, so
+    * EliminateSorts keeps the range exchange + sort — measured as a
+    * full corpus-sized extra shuffle in d06's r15 before-plan).
+    */
+  private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     // per-token digests computed ONCE into a column; the 16 bit
     // expressions below only fold over it
     def bit(j: Int): String =
@@ -301,7 +310,6 @@ object DedupOps {
       .withColumn("th", expr("transform(split(text, ' '), t -> md5(t))"))
       .select(col("doc_id"), expr(sig).as("simhash"),
         size(col("th")).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Capped member preview per cluster. */
@@ -320,7 +328,9 @@ object DedupOps {
     */
   def d06SimhashClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    d04Simhash(spark, dir)
+    // simhashFrame, NOT d04Simhash: the r15 plan audit caught d04's
+    // output orderBy surviving under this aggregation (see simhashFrame)
+    simhashFrame(spark, dir)
       .groupBy(col("simhash"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -626,14 +636,21 @@ object DedupOps {
     * so declaratively with a recursive CTE), in O(log n) rounds instead
     * of O(diameter).
     */
-  def d17StarComponents(spark: SparkSession, dir: String): DataFrame = {
+  def d17StarComponents(spark: SparkSession, dir: String): DataFrame =
+    starComponentLabels(spark, dir).orderBy("doc_id")
+
+  /** d17's labels WITHOUT the output sort — d22 caches and aggregates
+    * them, and materializing through the orderBy pays a pointless
+    * range exchange + global sort (the d04/d06 lesson, r15).
+    */
+  private def starComponentLabels(
+      spark: SparkSession, dir: String): DataFrame = {
     val pairs = pairGraph(spark, dir)
       .select(col("doc_b").as("hi"), col("doc_a").as("lo"))
     val (stars, _) = starContract(pairs)
     stars.select(col("hi").as("doc_id"), col("lo").as("component"))
       .union(stars.select(col("lo").as("doc_id"), col("lo").as("component")))
       .distinct()
-      .orderBy("doc_id")
   }
 
   /** Quality-aware keeper selection per near-dup family: production
@@ -766,32 +783,41 @@ object DedupOps {
     * 2*n_dup >= n_grams. n_grams >= 1 by the greatest(..., 1) clamp —
     * the division is never 0/0.
     *
-    * 100 TB posture: ONE cached distinct-gram explode feeds both the
-    * gram-df hash agg (map-side combinable) and the score join; the
-    * join back is equality on gram — the exchange the df agg already
-    * produced, the d05/d20 posting shape — and the per-doc fold is a
-    * second map-side-combinable agg. Never all-pairs; the df frame is
-    * gram-vocabulary-sized, not corpus-pair-sized.
+    * 100 TB posture: one explode + ONE gram-keyed hash agg (map-side
+    * combinable). r15 restructure (guide §2.4, the t16 trick): the old
+    * plan joined the corpus-sized posting back onto the gram-df table
+    * (a second corpus-sized shuffle) just to count df>=2 grams per doc
+    * — but grams are distinct per doc, so a df=1 gram has exactly ONE
+    * owner (its min doc_id, available in the SAME agg), and
+    * n_dup_grams = n_grams - n_uniq with n_grams = size(gs) straight
+    * off the per-doc array. The df frame stays gram-vocabulary-sized;
+    * never all-pairs; the join-back is gone and the cache holds the
+    * pre-explode (doc_id, gs) arrays (one row per doc) read by both
+    * the explode and the n_grams projection.
     */
   def d30DupGramShare(spark: SparkSession, dir: String): DataFrame =
     dupGramShare(Tables.documents(spark, dir).select("doc_id", "text"))
 
   /** d30's body over any (doc_id, text) frame (spec-shared). */
-  private[graft] def dupGramShare(docs: DataFrame): DataFrame = {
+  private[graft] def dupGramShare(docs0: DataFrame): DataFrame = {
     // projected-toks form (TextOps.t06): a lambda re-stating
     // split(text) evaluates it per ELEMENT — O(tokens^2) per doc
     val grams =
       "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
         " i -> array_join(slice(toks, i, 4), ' ')))"
-    // cached: the df agg and the score join both read this explode
-    val g = graft.Caches.cache(docs
+    val docs = graft.Caches.cache(docs0
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(grams)).as("gram")))
-    val gdf = g.groupBy("gram").agg(count(lit(1)).as("df"))
-    g.join(gdf, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), expr(grams).as("gs")))
+    // df=1 grams keyed by their unique owner; n_dup = n_grams - n_uniq
+    val uniq = docs.select(col("doc_id"), explode(col("gs")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    docs.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams",
+        col("n_grams") - coalesce(col("n_uniq"), lit(0L)))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
         (col("n_dup_grams").cast("double") / col("n_grams"))
           .as("dup_share"),
@@ -1267,31 +1293,37 @@ object DedupOps {
     * min-selection concentrates on globally-small hashes, so a pair
     * join here would measure vocabulary artifacts, not the algorithm.
     *
-    * 100 TB posture: zero joins — one codegen'd linear pass per doc
-    * (graft_pos_hashes: the SQL per-position substring form re-walks
-    * bytes from offset 0, O(chars^2) per doc) + ONE doc-keyed window
-    * shuffle; output is ~2/(W+1) of gram positions per doc.
+    * 100 TB posture: zero joins and zero corpus-sized shuffles — one
+    * codegen'd linear pass per doc (graft_pos_hashes: the SQL
+    * per-position substring form re-walks bytes from offset 0,
+    * O(chars^2) per doc), with the window-min selection AND the
+    * distinct both computed inside the per-doc array (the gram stream
+    * never leaves its row): r15 restructure (guide §2.4) — the old
+    * form posexploded every gram position and shuffled the whole
+    * stream through a doc-keyed window sort + a global distinct; now
+    * only the winnowed ~2/(W+1) fraction is ever exploded, and the
+    * single remaining exchange is the output orderBy. array_min over
+    * slice(vs, i, W) is the identical clamped window (slice truncates
+    * at the array end exactly like ROWS BETWEEN at the partition end;
+    * pos <= greatest(m-W+1, 1) is the sequence bound); array_distinct
+    * on the selected strings is the (doc_id, pos, fp) distinct because
+    * the padded string encodes (fp, pos) bijectively.
     */
   def d21Winnowing(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val W = 4
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        posexplode(expr("graft_pos_hashes(text, 8)")).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"),
-        concat(lpad(col("h").cast("string"), 10, "0"), lit("-"),
-          lpad((col("p0") + 1).cast("string"), 8, "0")).as("v"))
-    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, W - 1)
-    val wCnt = Window.partitionBy(col("doc_id"))
-    grams
-      .withColumn("sel", min(col("v")).over(wSel))
-      .withColumn("m", count(lit(1)).over(wCnt))
-      .filter(col("pos") <= greatest(col("m") - (W - 1), lit(1)))
+    val vs = "transform(graft_pos_hashes(text, 8), (h, i) -> " +
+      "concat(lpad(cast(h AS string), 10, '0'), '-', " +
+      "lpad(cast(i + 1 AS string), 8, '0')))"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(vs).as("vs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(" +
+          s"sequence(1, greatest(size(vs) - ${W - 1}, 1)), " +
+          s"i -> array_min(slice(vs, i, $W))))")).as("sel"))
       .select(col("doc_id"),
         substring(col("sel"), 12, 8).cast("long").as("pos"),
         substring(col("sel"), 1, 10).cast("long").as("fp"))
-      .distinct()
       .orderBy("doc_id", "pos")
   }
 
@@ -1313,7 +1345,7 @@ object DedupOps {
     * exact integers.
     */
   def d22FamilyShape(spark: SparkSession, dir: String): DataFrame =
-    familyShapeOf(graft.Caches.cache(d17StarComponents(spark, dir)),
+    familyShapeOf(graft.Caches.cache(starComponentLabels(spark, dir)),
       pairGraph(spark, dir).select("doc_a", "doc_b"))
 
   /** d22's body over any (doc_id, component) labeling and canonical

@@ -584,26 +584,37 @@ object TextOps {
     * Counts exact integers; novelty_rate is the one shared IEEE
     * division.
     *
-    * 100 TB posture: explode + two hash aggs + one gram-keyed join —
-    * the running-set formulation (each doc against a growing "seen"
+    * 100 TB posture: one explode + ONE gram-keyed hash agg — the
+    * running-set formulation (each doc against a growing "seen"
     * state) is inherently sequential and cannot distribute; min-per-key
-    * is its exact parallel form.
+    * is its exact parallel form. r15 restructure (guide §2.4): the old
+    * plan joined the corpus-sized posting back onto the gram->min table
+    * (a second corpus-sized shuffle) just to COUNT matches per doc —
+    * but n_grams is size(gs) straight off the per-doc array, and
+    * n_novel is a group-count of the gram->min table by its min holder
+    * (a gram is novel exactly for its minimum doc_id), so the join-back
+    * disappears and the only corpus-sized exchange left is the gram
+    * agg. The cache holds the pre-explode (doc_id, gs) arrays — the
+    * same bytes as the old exploded posting, one row per doc — because
+    * both the explode and the n_grams projection read it.
     */
   def t16Novelty(spark: SparkSession, dir: String): DataFrame = {
     val grams4 =
       "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
         " i -> array_join(slice(toks, i, 4), ' ')))"
-    val g = graft.Caches.cache(Tables.documents(spark, dir)
+    val docs = graft.Caches.cache(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(grams4)).as("gram")))
-    val firsts = g.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-    g.join(firsts, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams")).as("novelty_rate"))
+      .select(col("doc_id"), expr(grams4).as("gs")))
+    val novel = docs.select(col("doc_id"), explode(col("gs")).as("gram"))
+      .groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty_rate"))
       .orderBy("doc_id")
   }
 
@@ -1122,12 +1133,19 @@ object TextOps {
     * (n_windows * min(W, n)) is the ONE IEEE division, matching the
     * oracle's arithmetic step-for-step.
     *
-    * 100 TB posture: one posexplode scan; the lag window's shuffle key
-    * is (doc_id, token) — the instance frame's natural key, skew-free
-    * (a document's instances split across its types, and no window
-    * partition outgrows a single document); the per-doc fold is a
-    * map-side-combinable hash agg. Nothing corpus-sized sorts
-    * globally; output is one row per document.
+    * 100 TB posture: ZERO pre-output shuffles — every term of the
+    * exact-integer formulation is a function of one document alone, so
+    * the whole statistic computes inside the row (r15 restructure,
+    * guide §2.4: the old plan posexploded every token instance and
+    * shuffled the corpus-sized instance frame through a
+    * (doc_id, token) lag-window sort plus a per-doc hash agg; now the
+    * instances sort per-doc in array land — array_sort by (token, pos)
+    * makes same-type instances adjacent, adjacency gives each
+    * instance's prev, and one aggregate() fold sums the identical
+    * interval contributions — and the only exchange left is the output
+    * orderBy). vocab is size(array_distinct(toks)) — the same count
+    * the prev=0 indicator summed. Per-doc work is the same
+    * O(n log n) the engine sort paid, minus the shuffle.
     */
   def t29Mattr(spark: SparkSession, dir: String): DataFrame =
     mattrFrom(Tables.documents(spark, dir))
@@ -1135,30 +1153,35 @@ object TextOps {
   /** t29's body over any documents frame (spec-shared). */
   private[graft] def mattrFrom(docs: DataFrame): DataFrame = {
     val W = 20
-    val nWin = greatest(lit(1L), col("n") - (W - 1))
-    val toks = docs
+    // instances sorted (token, pos): struct array_sort orders by field
+    // — equal tokens contiguous, positions ascending within a token
+    val ps = "array_sort(transform(toks, (t, j) -> " +
+      "struct(t AS tok, j + 1 AS p)))"
+    // Σ per-instance interval [lo, hi] sizes — the window-start range
+    // seeing THIS instance as the first of its type (exact longs; the
+    // CASE guards the k=1 subscript, prev=0 at a type's first instance)
+    val sumExpr =
+      s"""aggregate(sequence(1, size(ps)), 0L, (acc, k) -> acc +
+         | greatest(0L,
+         |  least(CAST(ps[k-1].p AS BIGINT), nwin) -
+         |  greatest(greatest(1L, CAST(ps[k-1].p AS BIGINT) - ${W - 1}),
+         |    (CASE WHEN k = 1 OR ps[k-2].tok <> ps[k-1].tok THEN 0L
+         |          ELSE CAST(ps[k-2].p AS BIGINT) END) + 1L) + 1L))"""
+        .stripMargin
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n"),
-        posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), col("n"),
-        (col("pos") + 1).cast("long").as("p"), col("col").as("token"))
-    val wPrev = Window.partitionBy("doc_id", "token").orderBy("p")
-    // interval [lo, hi] of window starts that see THIS instance as the
-    // first of its type — all exact long arithmetic
-    val hi = least(col("p"), nWin)
-    val lo = greatest(greatest(lit(1L), col("p") - (W - 1)),
-      col("prev") + 1)
-    toks
-      .withColumn("prev",
-        coalesce(lag(col("p"), 1).over(wPrev), lit(0L)))
-      .withColumn("contrib", greatest(lit(0L), hi - lo + 1))
-      .groupBy("doc_id", "n")
-      .agg(sum(when(col("prev") === 0, 1L).otherwise(0L)).as("vocab"),
-        sum(col("contrib")).as("sum_distinct"))
+        size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("vocab"),
+        expr(ps).as("ps"))
+      .withColumn("nwin", greatest(lit(1L), col("n") - (W - 1)))
       .select(col("doc_id"), col("n").as("n_tokens"),
-        nWin.as("n_windows"), col("vocab"), col("sum_distinct"),
+        col("nwin").as("n_windows"), col("vocab"),
+        expr(sumExpr).as("sum_distinct"), col("nwin"), col("n"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("vocab"), col("sum_distinct"),
         (col("sum_distinct").cast("double") /
-          (nWin * least(lit(W.toLong), col("n"))).cast("double"))
+          (col("nwin") * least(lit(W.toLong), col("n"))).cast("double"))
           .as("mattr"))
       .orderBy("doc_id")
   }
