@@ -25,30 +25,52 @@ object GraftHash {
   val NumHashes = 15
   val ShingleLen = 8
 
+  /** Code-point start offsets of UTF-8 `bytes`: offs(i) = byte offset
+    * of code point i, offs(total) = bytes.length. One linear pass,
+    * shared by the three shingle kernels below so every shingle is
+    * hashed/emitted as the RAW byte slice [offs(i), offs(i+len)) —
+    * the UTF-8 encoding of a code-point substring IS that byte slice,
+    * so md5 inputs and emitted strings are byte-identical to the old
+    * per-shingle `new String(codepoints, ...)` + re-encode round-trip
+    * while skipping two allocations/copies per position (r15, guide
+    * per-task-work tier; the kernels dominate d21/d02-family compute).
+    * Code-POINT counting is preserved exactly: a UTF-8 sequence start
+    * byte begins each code point (numBytesForFirstByte), matching
+    * Spark's and DuckDB's substring semantics on non-BMP text — the
+    * FunctionsSpec/WinnowingSpec supplementary-plane fixtures pin it.
+    */
+  private def cpOffsets(bytes: Array[Byte]): (Array[Int], Int) = {
+    val nb = bytes.length
+    val offs = new Array[Int](nb + 1)
+    var total = 0
+    var off = 0
+    while (off < nb) {
+      offs(total) = off
+      total += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    offs(total) = nb // clamps a truncated final sequence, too
+    (offs, total)
+  }
+
   /** MinHash signature over ShingleLen-char shingles of `text`:
     * element j = min over shingles of ((37+61j)*x + (91+53j)) mod P,
     * x = first 15 hex chars of md5(shingle) mod P. Equivalent to the
     * array_min(transform(...)) chain in DedupOps' oracle SQL (multiset
-    * min == set min, so no distinct pass is needed).
+    * min == set min, so no distinct pass is needed). Shingles by CODE
+    * POINTS via the shared byte-offset walk (see [[cpOffsets]]).
     */
   def signature(text: UTF8String): ArrayData = {
-    val s = text.toString
-    // iterate by CODE POINTS, not UTF-16 code units: Spark's
-    // substring(text, i, n) and DuckDB's substring both count code
-    // points, so shingling by java.lang.String.substring would diverge
-    // on non-BMP text (emoji, rare CJK) and break the bit-identical
-    // cross-engine guarantee. Identical to the old code-unit path for
-    // ASCII/BMP input.
-    val cps = s.codePoints().toArray
-    val len = cps.length
+    val bytes = text.getBytes
+    val (offs, len) = cpOffsets(bytes)
     val n = math.max(len - (ShingleLen - 1), 1)
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      val sh = new String(cps, i, math.min(ShingleLen, len - i))
-      md.reset()
-      val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val end = offs(math.min(i + ShingleLen, len))
+      md.update(bytes, offs(i), end - offs(i))
+      val d = md.digest() // digest() also resets for the next round
       // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
       var x = 0L
       var k = 0
@@ -155,21 +177,25 @@ object GraftHash {
     * as `signature` above.
     */
   def shingleSet(text: UTF8String, len: Int): ArrayData = {
-    val cps = text.toString.codePoints().toArray
-    val total = cps.length
+    val bytes = text.getBytes
+    val (offs, total) = cpOffsets(bytes)
     val n = math.max(total - (len - 1), 1)
     // LinkedHashSet: distinct with first-occurrence order, matching
-    // array_distinct over the transform output
-    val seen = new java.util.LinkedHashSet[String](math.min(n, 1 << 16))
+    // array_distinct over the transform output. Keys are UTF8String
+    // (byte-wise equals/hashCode == String equality on valid UTF-8),
+    // which doubles as the output element — no decode/re-encode.
+    val seen = new java.util.LinkedHashSet[UTF8String](math.min(n, 1 << 16))
     var i = 0
     while (i < n) {
-      seen.add(new String(cps, i, math.min(len, total - i)))
+      val end = offs(math.min(i + len, total))
+      seen.add(UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, offs(i), end)))
       i += 1
     }
     val out = new Array[AnyRef](seen.size)
     val it = seen.iterator()
     var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
 
@@ -185,16 +211,16 @@ object GraftHash {
     * substring re-walks bytes from offset 0 (O(chars^2) per doc).
     */
   def posHashes(text: UTF8String, len: Int): ArrayData = {
-    val cps = text.toString.codePoints().toArray
-    val total = cps.length
+    val bytes = text.getBytes
+    val (offs, total) = cpOffsets(bytes)
     val n = math.max(total - (len - 1), 1)
     val out = new Array[Long](n)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      val sh = new String(cps, i, math.min(len, total - i))
-      md.reset()
-      val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val end = offs(math.min(i + len, total))
+      md.update(bytes, offs(i), end - offs(i))
+      val d = md.digest() // digest() also resets for the next round
       var x = 0L
       var k = 0
       while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
