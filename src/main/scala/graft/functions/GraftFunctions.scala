@@ -25,6 +25,93 @@ object GraftHash {
   val NumHashes = 15
   val ShingleLen = 8
 
+  // RFC 1321 round constants (floor(abs(sin(i+1)) * 2^32)) and per-round
+  // left-rotation amounts — the reference MD5 schedule, verified
+  // bit-identical to java.security MessageDigest by Md5KernelSpec.
+  private val MdK: Array[Int] = Array(
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391)
+  private val MdS: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  private val mdFallback =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 60 bits (15 hex chars) of md5(bytes[off, off+len)) as a
+    * non-negative long — bit-identical to MessageDigest md5 + the
+    * 15-hex-char prefix parse the dedup family uses, but for the
+    * messages the shingle kernels actually hash (<= 55 bytes = one
+    * padded block) it is a single hand-rolled compression from the
+    * fixed IV: no engine state, no padding buffer bookkeeping, no
+    * 16-byte result allocation per call (r15 guide per-task-work tier;
+    * the kernels call this once per shingle POSITION). Longer messages
+    * take the MessageDigest path (thread-local, executors call from
+    * many task threads). Md5KernelSpec pins equivalence on random
+    * inputs across the block boundary.
+    */
+  def md5Head60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 55) {
+      val md = mdFallback.get()
+      md.update(bytes, off, len)
+      val d = md.digest() // digest() also resets for the next round
+      var x = 0L
+      var k = 0
+      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+      return (x << 4) | ((d(7) & 0xf0L) >> 4)
+    }
+    // one 64-byte block: message bytes (little-endian words), 0x80
+    // terminator, zero padding, bit length in word 14 (word 15 = 0)
+    val m = new Array[Int](16)
+    var i = 0
+    while (i < len) {
+      m(i >> 2) |= (bytes(off + i) & 0xff) << ((i & 3) << 3)
+      i += 1
+    }
+    m(len >> 2) |= 0x80 << ((len & 3) << 3)
+    m(14) = len << 3
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    var r = 0
+    while (r < 64) {
+      val (f, g) =
+        if (r < 16) ((b & c) | (~b & d), r)
+        else if (r < 32) ((d & b) | (~d & c), (5 * r + 1) & 15)
+        else if (r < 48) (b ^ c ^ d, (3 * r + 5) & 15)
+        else (c ^ (b | ~d), (7 * r) & 15)
+      val rot = Integer.rotateLeft(a + f + MdK(r) + m(g), MdS(r)) + b
+      a = d; d = c; c = b; b = rot
+      r += 1
+    }
+    // digest bytes 0..7 are (IV.a + a) then (IV.b + b), little-endian;
+    // reverseBytes turns each into its hex-string byte order, so the
+    // 64-bit big-endian concat >>> 4 IS the 15-hex-char prefix value
+    val hi = Integer.reverseBytes(a + 0x67452301)
+    val lo = Integer.reverseBytes(b + 0xefcdab89)
+    (((hi.toLong) << 32) | (lo & 0xffffffffL)) >>> 4
+  }
+
   /** Code-point start offsets of UTF-8 `bytes`: offs(i) = byte offset
     * of code point i, offs(total) = bytes.length. One linear pass,
     * shared by the three shingle kernels below so every shingle is
@@ -65,17 +152,11 @@ object GraftHash {
     val (offs, len) = cpOffsets(bytes)
     val n = math.max(len - (ShingleLen - 1), 1)
     val mins = Array.fill(NumHashes)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       val end = offs(math.min(i + ShingleLen, len))
-      md.update(bytes, offs(i), end - offs(i))
-      val d = md.digest() // digest() also resets for the next round
-      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
-      var x = 0L
-      var k = 0
-      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
-      x = ((x << 4) | ((d(7) & 0xf0L) >> 4)) % P
+      // first 15 hex chars of md5(shingle), mod P
+      val x = md5Head60(bytes, offs(i), end - offs(i)) % P
       var j = 0
       while (j < NumHashes) {
         val g = ((37L + 61L * j) * x + (91L + 53L * j)) % P
@@ -215,19 +296,81 @@ object GraftHash {
     val (offs, total) = cpOffsets(bytes)
     val n = math.max(total - (len - 1), 1)
     val out = new Array[Long](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       val end = offs(math.min(i + len, total))
-      md.update(bytes, offs(i), end - offs(i))
-      val d = md.digest() // digest() also resets for the next round
-      var x = 0L
-      var k = 0
-      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
-      out(i) = ((x << 4) | ((d(7) & 0xf0L) >> 4)) % P
+      out(i) = md5Head60(bytes, offs(i), end - offs(i)) % P
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Positions encode into 8 decimal digits in the winnowing string
+    * tie-break (`lpad(pos, 8, '0')`); the fused kernel reuses the same
+    * bound as its hash*Enc+pos packing modulus.
+    */
+  val WinnowPosEnc = 100000000L
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken), fused:
+    * per-position md5-prefix hashes of `len`-code-point shingles, then
+    * every width-`w` window's minimum under (hash, pos) lexicographic
+    * order (ties break to the smaller position), distinct selections in
+    * selection order, each encoded as `hash * WinnowPosEnc + pos` (pos
+    * 1-based). Bit-identical to d21's declarative chain
+    *   array_distinct(transform(sequence(1, greatest(m - w + 1, 1)),
+    *     i -> array_min(slice(vs, i, w))))
+    * over vs = lpad(hash,10,'0')||'-'||lpad(pos,8,'0'), because (a) the
+    * padded-string min IS the (hash, pos) lexicographic min, (b) slice
+    * clamps at the array end exactly like this kernel's `end` bound (one
+    * clamped window for m < w), and (c) a position re-selected by a
+    * later window is re-selected by every window between (any separating
+    * smaller element would have beaten it in one of the endpoints), so
+    * consecutive dedup == global distinct. WinnowKernelSpec pins the
+    * equivalence on random and adversarial corpora.
+    *
+    * One linear pass, O(m) total via a monotonic index deque — replaces
+    * the per-position string allocation, the per-window slice allocation
+    * + w string compares, and the array_distinct hash set of the SQL
+    * form (the measured 1.4s of d21's 1.9s compute at sf0.1).
+    */
+  def winnow(text: UTF8String, len: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, total) = cpOffsets(bytes)
+    val n = math.max(total - (len - 1), 1)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val end = offs(math.min(i + len, total))
+      hs(i) = md5Head60(bytes, offs(i), end - offs(i)) % P
+      i += 1
+    }
+    val nw = math.max(n - w + 1, 1)
+    // monotonic deque of positions with strictly increasing hash values;
+    // equal hashes keep the earlier position (the tie-break), so pops
+    // are strict-greater only
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](nw)
+    var nOut = 0
+    var p = 0
+    var s = 0
+    while (s < nw) {
+      val wEnd = math.min(s + w - 1, n - 1)
+      while (p <= wEnd) {
+        while (tail > head && hs(dq(tail - 1)) > hs(p)) tail -= 1
+        dq(tail) = p
+        tail += 1
+        p += 1
+      }
+      while (dq(head) < s) head += 1
+      val sel = dq(head)
+      val enc = hs(sel) * WinnowPosEnc + (sel + 1)
+      if (nOut == 0 || out(nOut - 1) != enc) { out(nOut) = enc; nOut += 1 }
+      s += 1
+    }
+    new GenericArrayData(
+      if (nOut == nw) out else java.util.Arrays.copyOf(out, nOut))
   }
 
   /** |intersection| of two SORTED string arrays (sort_array order ==
@@ -380,6 +523,28 @@ case class PosHashes(child: Expression, len: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_winnow(text, len, w) -> array<bigint> of distinct winnowing
+  * selections `hash * 100000000 + pos` in selection order; len and w
+  * must be positive integer literals.
+  */
+case class Winnow(child: Expression, len: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && len > 0 && w > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow needs a string argument and positive literal " +
+        s"shingle/window lengths, got (${child.dataType}, $len, $w)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.winnow(input.asInstanceOf[UTF8String], len, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.winnow($c, $len, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** graft_sorted_common(array<string>, array<string>) -> bigint;
   * both inputs MUST be sorted (sort_array).
   */
@@ -428,6 +593,8 @@ object GraftFunctions {
       ShingleSet(es(0), literalK(es(1)))),
     "graft_pos_hashes" -> ((es: Seq[Expression]) =>
       PosHashes(es(0), literalK(es(1)))),
+    "graft_winnow" -> ((es: Seq[Expression]) =>
+      Winnow(es(0), literalK(es(1)), literalK(es(2)))),
     "graft_topk" -> ((es: Seq[Expression]) =>
       TopKAgg(es(0), es(1), literalK(es(2)))),
     "graft_heavy_keys" -> ((es: Seq[Expression]) =>

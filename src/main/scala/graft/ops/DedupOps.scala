@@ -1293,37 +1293,31 @@ object DedupOps {
     * min-selection concentrates on globally-small hashes, so a pair
     * join here would measure vocabulary artifacts, not the algorithm.
     *
-    * 100 TB posture: zero joins and zero corpus-sized shuffles — one
-    * codegen'd linear pass per doc (graft_pos_hashes: the SQL
-    * per-position substring form re-walks bytes from offset 0,
-    * O(chars^2) per doc), with the window-min selection AND the
-    * distinct both computed inside the per-doc array (the gram stream
-    * never leaves its row): r15 restructure (guide §2.4) — the old
-    * form posexploded every gram position and shuffled the whole
-    * stream through a doc-keyed window sort + a global distinct; now
-    * only the winnowed ~2/(W+1) fraction is ever exploded, and the
-    * single remaining exchange is the output orderBy. array_min over
-    * slice(vs, i, W) is the identical clamped window (slice truncates
-    * at the array end exactly like ROWS BETWEEN at the partition end;
-    * pos <= greatest(m-W+1, 1) is the sequence bound); array_distinct
-    * on the selected strings is the (doc_id, pos, fp) distinct because
-    * the padded string encodes (fp, pos) bijectively.
+    * 100 TB posture: zero joins and zero corpus-sized shuffles — the
+    * whole hash-window-select-distinct chain is ONE codegen'd linear
+    * pass per doc (graft_winnow: a monotonic-deque window minimum over
+    * the in-row hash stream; the gram stream never leaves its row), so
+    * only the winnowed ~2/(W+1) fraction is ever exploded and the
+    * single exchange is the output orderBy. r15 history: the r12 form
+    * posexploded every gram position through a doc-keyed window sort +
+    * global distinct; the first r15 restructure moved selection into
+    * array land (array_min over slice(vs, i, W) + array_distinct) but
+    * still allocated a padded tie-break string per position and a
+    * W-slice per window — the fused kernel computes the identical
+    * (hash, pos)-lexicographic clamped-window minima (slice truncates
+    * at the array end exactly like this kernel's end bound; short docs
+    * keep their single clamped window) with zero per-position
+    * allocations. WinnowKernelSpec pins kernel == declarative chain;
+    * WinnowingSpec pins the match/density guarantees.
     */
   def d21Winnowing(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val W = 4
-    val vs = "transform(graft_pos_hashes(text, 8), (h, i) -> " +
-      "concat(lpad(cast(h AS string), 10, '0'), '-', " +
-      "lpad(cast(i + 1 AS string), 8, '0')))"
+    val enc = graft.functions.GraftHash.WinnowPosEnc
     Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(vs).as("vs"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(" +
-          s"sequence(1, greatest(size(vs) - ${W - 1}, 1)), " +
-          s"i -> array_min(slice(vs, i, $W))))")).as("sel"))
+      .select(col("doc_id"), explode(expr("graft_winnow(text, 8, 4)")).as("sel"))
       .select(col("doc_id"),
-        substring(col("sel"), 12, 8).cast("long").as("pos"),
-        substring(col("sel"), 1, 10).cast("long").as("fp"))
+        pmod(col("sel"), lit(enc)).as("pos"),
+        expr(s"sel div ${enc}L").as("fp"))
       .orderBy("doc_id", "pos")
   }
 
