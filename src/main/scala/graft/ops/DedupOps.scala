@@ -1097,6 +1097,7 @@ object DedupOps {
     * single IEEE divisions of exact integers.
     */
   def d19Containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val MaxDf = 50
     val grams4 =
       "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
@@ -1107,6 +1108,9 @@ object DedupOps {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(grams4)).as("gram")))
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+    // the df CAP stays string-keyed: a hash-merged df could push a cool
+    // gram over the cap and silently DROP true shares — the one step of
+    // this operator where hashing is not a superset move.
     val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf).select("gram")
     // left anti vs the provably-small hot-gram side (s15 discipline).
@@ -1114,16 +1118,37 @@ object DedupOps {
     // TRIED here and measured SLOWER (bench warm 1.46 s -> 1.75 s on a
     // quiet host, reproducible), so the cached self-join form stays
     // (guide §1.1: empirical beats the ideal plan when they disagree).
+    // r15 second pass (guide §2.3 — shuffle keys, not payloads): the
+    // pair self-join and pair-count agg now run on xxhash64(gram)
+    // longs, not ~25-char gram strings. A collision can only INFLATE a
+    // pair's hash-count (extra matched rows), never deflate it, so the
+    // 0.6 gate keeps a SUPERSET of the true survivors; the survivors'
+    // published n_shared is then recounted EXACTLY as a linear sorted
+    // merge of the two docs' capped gram arrays (pair-bounded work),
+    // and the gate re-applied on the exact count. Output identical to
+    // the all-string form; the corpus-sized shuffles carry 8 bytes.
     val posting = graft.Caches.cache(g.join(hot, Seq("gram"), "left_anti"))
-    val shared = posting.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(posting.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+    val hashed = posting.select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val sharedH = hashed.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-    shared
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_h"))
+    val capped = graft.Caches.cache(posting.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("grams")))
+    sharedH
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_g").as("n_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_g").as("n_b")),
         Seq("doc_b"))
+      .filter(col("n_shared_h").cast("double") /
+        least(col("n_a"), col("n_b")) >= 0.6)
+      .join(capped.select(col("doc_id").as("doc_a"),
+        col("grams").as("grams_a")), Seq("doc_a"))
+      .join(capped.select(col("doc_id").as("doc_b"),
+        col("grams").as("grams_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_common(grams_a, grams_b)").as("n_shared"),
+        col("n_a"), col("n_b"))
       .filter(col("n_shared").cast("double") /
         least(col("n_a"), col("n_b")) >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
@@ -1218,33 +1243,51 @@ object DedupOps {
     */
   private[graft] def prefixJoinPairsAt(
       g: DataFrame, num: Int, den: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(g.sparkSession)
+    // The candidate machinery runs on xxhash64(gram) LONGS, never the
+    // gram strings (r15, guide §2.3 "narrower types"/"shuffle keys
+    // instead of payloads"): the posting-sized df agg + join-back +
+    // per-doc window and the prefix self-join all shuffle 8-byte keys
+    // instead of ~20-char grams. Losslessness is order-independent:
+    // the prefix-filter guarantee holds for ANY consistent global gram
+    // order — here (df_by_hash, hash), a total preorder whose
+    // collision classes behave like one merged gram: for a qualifying
+    // pair, the per-doc minimal common-class rows sit in both prefixes
+    // (or the counting bound kills J >= t), and the hash join matches
+    // them even when the class members differ textually. A collision
+    // can only ADD candidates (false matches verify away below); it
+    // can never drop one, because dropping needs a common gram ranked
+    // outside a prefix, which the per-doc counting argument already
+    // forbids. The exact verify makes the OUTPUT identical to the
+    // all-pairs oracle regardless of candidate order.
     val posting = g.select(col("doc_id"), col("n_g"),
-      explode(col("ng")).as("gram"))
-    val dfreq = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+        explode(col("ng")).as("gram"))
+      .select(col("doc_id"), col("n_g"), xxhash64(col("gram")).as("gh"))
+    val dfreq = posting.groupBy("gh").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("gram"))
+      .orderBy(col("df"), col("gh"))
     // prefix length n - ceil(t*n) + 1; ceil(num*n/den) integer-exact
     // cached: both sides of the candidate self-join read this frame —
     // uncached, the posting+df-join+window subtree executes twice
-    val prefix = graft.Caches.cache(posting.join(dfreq, Seq("gram"))
+    val prefix = graft.Caches.cache(posting.join(dfreq, Seq("gh"))
       .withColumn("rnk", row_number().over(wOrd))
       .filter(col("rnk") <=
         col("n_g") - expr(s"($num*n_g+${den - 1}) div $den") + 1)
-      .select(col("doc_id"), col("gram"), col("rnk"), col("n_g")))
+      .select(col("doc_id"), col("gh"), col("rnk"), col("n_g")))
     // PPJoin's positional + length filters run at the MATCH level,
-    // before the arrays ever ship. Positional: at the pair's FIRST
-    // shared prefix gram (in the global (df, gram) order) every common
-    // gram sits at rank >= rnk_a in A and >= rnk_b in B, so overlap <=
-    // min(n_a-rnk_a, n_b-rnk_b) + 1; a J >= t pair needs overlap >=
-    // ceil(t/(1+t)*(n_a+n_b)) = ceil(num*(n_a+n_b)/(num+den)). Keeping
-    // pairs where ANY match passes is lossless (the first match passes
-    // for true pairs); measured at sf0.1/t=0.6 it cuts candidates
+    // before the arrays ever ship. Positional: at the pair's matched
+    // minimal common rank pair every common gram sits at rank >= rnk_a
+    // in A and >= rnk_b in B, so overlap <= min(n_a-rnk_a, n_b-rnk_b)
+    // + 1; a J >= t pair needs overlap >= ceil(t/(1+t)*(n_a+n_b)) =
+    // ceil(num*(n_a+n_b)/(num+den)). Keeping pairs where ANY match
+    // passes is lossless (the per-doc-minimal common match passes for
+    // true pairs); measured at sf0.1/t=0.6 it cuts candidates
     // 299k -> 69k. Length: J >= t forces den*min >= num*max. All
     // exact-integer cross-multiplications.
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"),
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("gh"),
         col("rnk").as("rnk_a"), col("n_g").as("n_a"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
-        col("rnk").as("rnk_b"), col("n_g").as("n_b")), Seq("gram"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gh"),
+        col("rnk").as("rnk_b"), col("n_g").as("n_b")), Seq("gh"))
       .filter(col("doc_a") < col("doc_b") &&
         // ubound >= ceil(num*(na+nb)/(num+den)) <=>
         //   (num+den)*ubound >= num*(na+nb)
@@ -1253,14 +1296,19 @@ object DedupOps {
         least(col("n_a"), col("n_b")) * den >=
           greatest(col("n_a"), col("n_b")) * num)
       .select("doc_a", "doc_b").distinct()
+    // exact verify on SORTED gram arrays: graft_sorted_common is one
+    // allocation-free linear merge per pair, vs array_intersect's
+    // per-pair hash set build over ~n_g strings (r15 per-task-work
+    // tier; values identical — both count the distinct intersection)
+    val gs = g.select(col("doc_id"), sort_array(col("ng")).as("ngs"),
+      col("n_g"))
     cand
-      .join(g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"),
+      .join(gs.select(col("doc_id").as("doc_a"), col("ngs").as("ng_a"),
         col("n_g").as("n_a")), Seq("doc_a"))
-      .join(g.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"),
+      .join(gs.select(col("doc_id").as("doc_b"), col("ngs").as("ng_b"),
         col("n_g").as("n_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ng_a"), col("ng_b"))).cast("long")
-          .as("n_common"),
+        expr("graft_sorted_common(ng_a, ng_b)").as("n_common"),
         col("n_a"), col("n_b"))
       .filter(col("n_common") * den >=
         (col("n_a") + col("n_b") - col("n_common")) * num)

@@ -292,27 +292,32 @@ object TextOps {
     * digit counts as t08 (no transcendentals; every output double is one
     * division of exact integers).
     *
-    * Plan at scale: one explode into (w1, bigram) instances, one hash
-    * agg per frequency table (map-side partial, output O(vocab) /
-    * O(distinct bigrams)), the unigram table folded into the bigram
-    * table on the frequency-table side (w1 is determined by the bigram,
-    * so that join is vocab x vocab, never corpus-sized), then exactly
-    * ONE corpus-sized shuffle join — instances against the merged
-    * per-bigram score table on the bigram key they already grouped by —
-    * and one per-doc hash agg. Nothing collected, nothing global.
+    * Plan at scale: one explode into (doc_id, bigram) instances —
+    * hash-partitioned by bigram ONCE and cached that way, so the bigram
+    * frequency agg AND the scoring join both run exchange-free on top
+    * of it (r15, guide §2.4: two operations keyed the same way share
+    * one exchange) — one hash agg per frequency table (map-side
+    * partial, output O(vocab) / O(distinct bigrams)), the unigram table
+    * folded into the bigram table on the frequency-table side (w1 is
+    * the bigram's prefix before the first space — recovered there with
+    * substring_index, so the instance rows never carry it and that join
+    * is vocab x vocab, never corpus-sized), then the scoring join and
+    * one per-doc hash agg. Nothing collected, nothing global.
     */
   def t10BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    // projected-toks form (see t06): split once per row, not per element
+    // projected-toks form (see t06): split once per row, not per element;
+    // concat of the two elements == array_join(slice(toks, i, 2), ' ')
+    // without the per-position slice allocation
     val pairs = "transform(sequence(1, size(toks) - 1)," +
-      " i -> struct(element_at(toks, i) AS w1," +
-      " array_join(slice(toks, i, 2), ' ') AS bigram))"
-    // Cached: both the bigram frequency table and the scoring join read
-    // it — uncached, the explode runs twice.
+      " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    // Cached PARTITIONED BY THE JOIN KEY: the frequency agg and the
+    // scoring join both consume this exchange (uncached, the explode
+    // runs twice; unpartitioned, agg and join each re-shuffle it).
     val inst = graft.Caches.cache(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(pairs)).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram")))
+      .select(col("doc_id"), explode(expr(pairs)).as("bigram"))
+      .repartition(col("bigram")))
     def bits(c: Column): Column =
       (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
     // bits() is string work (decimal -> binary digits) — computed ONCE
@@ -322,12 +327,11 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cfu"))
       .select(col("w1"), bits(col("cfu")).as("bits_u"))
-    // w1 is the bigram's first word — functionally determined — so the
-    // unigram join lands on the O(distinct bigrams) frequency table, not
-    // on the corpus-sized instance table: the two frequency tables merge
-    // first (vocab-sized join), and instances shuffle exactly ONCE, on
-    // the bigram key they already grouped by.
-    val cfb = inst.groupBy("w1", "bigram").agg(count(lit(1)).as("cfb"))
+    // w1 never contains a space (tokens are the split atoms), so the
+    // bigram's first word is exactly substring_index(bigram, ' ', 1) —
+    // including empty-token edge cases from repeated separators.
+    val cfb = inst.groupBy("bigram").agg(count(lit(1)).as("cfb"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(cfu, Seq("w1"))
       .select(col("bigram"), bits(col("cfb")).as("bits_b"), col("bits_u"),
         when(col("cfb") === 1, 1L).otherwise(0L).as("novel"))
