@@ -69,15 +69,23 @@ object GraftHash {
     * many task threads). Md5KernelSpec pins equivalence on random
     * inputs across the block boundary.
     */
-  def md5Head60(bytes: Array[Byte], off: Int, len: Int): Long = {
+  def md5Head60(bytes: Array[Byte], off: Int, len: Int): Long =
+    md5Head64(bytes, off, len) >>> 4
+
+  /** First 8 digest bytes (16 hex chars) of md5(bytes[off, off+len)) as
+    * a big-endian long — the shared one-block core behind
+    * [[md5Head60]] and the simhash kernel (which needs all 16 nibble
+    * positions, one more than the 15-hex-char prefix parse).
+    */
+  def md5Head64(bytes: Array[Byte], off: Int, len: Int): Long = {
     if (len > 55) {
       val md = mdFallback.get()
       md.update(bytes, off, len)
       val d = md.digest() // digest() also resets for the next round
       var x = 0L
       var k = 0
-      while (k < 7) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
-      return (x << 4) | ((d(7) & 0xf0L) >> 4)
+      while (k < 8) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+      return x
     }
     // one 64-byte block: message bytes (little-endian words), 0x80
     // terminator, zero padding, bit length in word 14 (word 15 = 0)
@@ -106,10 +114,55 @@ object GraftHash {
     }
     // digest bytes 0..7 are (IV.a + a) then (IV.b + b), little-endian;
     // reverseBytes turns each into its hex-string byte order, so the
-    // 64-bit big-endian concat >>> 4 IS the 15-hex-char prefix value
+    // 64-bit big-endian concat IS the 16-hex-char prefix value
     val hi = Integer.reverseBytes(a + 0x67452301)
     val lo = Integer.reverseBytes(b + 0xefcdab89)
-    (((hi.toLong) << 32) | (lo & 0xffffffffL)) >>> 4
+    ((hi.toLong) << 32) | (lo & 0xffffffffL)
+  }
+
+  /** SimHash over single-space-delimited tokens: for hex position j
+    * (1..16) of each token's md5, sum the nibble values across ALL
+    * tokens (multiset — split semantics keep empty tokens, including
+    * the [""] of an empty text) and emit '1' iff 2*sum > 15*n_tokens.
+    * Bit-identical to the d04 SQL chain
+    *   concat_{j=1..16}(CASE WHEN 2 * aggregate(th, 0L, (acc, h) ->
+    *     acc + (instr('0123456789abcdef', substring(h, j, 1)) - 1)) >
+    *     15 * size(th) THEN '1' ELSE '0' END)
+    * over th = transform(split(text, ' '), t -> md5(t)) — but ONE pass
+    * over the text bytes with one one-block md5 per token, instead of
+    * 16 interpreted ArrayAggregate folds over materialized hex strings
+    * (' ' is a single UTF-8 byte, so the byte scan splits exactly like
+    * split's code-point walk). Returns (simhash, n_tokens) — the two
+    * values d04/d06 publish. SimhashKernelSpec pins the equivalence.
+    */
+  def simhash16(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    val sums = new Array[Long](16)
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == ' ') {
+        val h = md5Head64(bytes, start, i - start)
+        var j = 0
+        while (j < 16) {
+          sums(j) += (h >>> (60 - 4 * j)) & 0xfL
+          j += 1
+        }
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val sb = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      sb(j) = if (2L * sums(j) > 15L * n) '1' else '0'
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(sb), n))
   }
 
   /** Code-point start offsets of UTF-8 `bytes`: offs(i) = byte offset
@@ -545,6 +598,29 @@ case class Winnow(child: Expression, len: Int, w: Int)
     copy(child = newChild)
 }
 
+/** graft_simhash(text) -> struct<simhash: string, n_tokens: bigint>:
+  * the 16-bit token-md5 majority fingerprint plus the token count.
+  */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash needs a string argument, got ${child.dataType}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("simhash", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens", LongType,
+        nullable = false)))
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.simhash16(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
 /** graft_sorted_common(array<string>, array<string>) -> bigint;
   * both inputs MUST be sorted (sort_array).
   */
@@ -595,6 +671,7 @@ object GraftFunctions {
       PosHashes(es(0), literalK(es(1)))),
     "graft_winnow" -> ((es: Seq[Expression]) =>
       Winnow(es(0), literalK(es(1)), literalK(es(2)))),
+    "graft_simhash" -> ((es: Seq[Expression]) => Simhash16(es.head)),
     "graft_topk" -> ((es: Seq[Expression]) =>
       TopKAgg(es(0), es(1), literalK(es(2)))),
     "graft_heavy_keys" -> ((es: Seq[Expression]) =>

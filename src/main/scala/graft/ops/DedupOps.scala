@@ -299,17 +299,15 @@ object DedupOps {
     * full corpus-sized extra shuffle in d06's r15 before-plan).
     */
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
-    // per-token digests computed ONCE into a column; the 16 bit
-    // expressions below only fold over it
-    def bit(j: Int): String =
-      s"CASE WHEN 2 * aggregate(th, 0L, (acc, h) -> acc + " +
-        s"(instr('0123456789abcdef', substring(h, $j, 1)) - 1)) > " +
-        s"15 * size(th) THEN '1' ELSE '0' END"
-    val sig = (1 to 16).map(bit).mkString("concat(", ", ", ")")
+    // graft_simhash fuses the whole chain — one byte pass per doc, one
+    // one-block md5 per token — where the SQL form materialized a hex
+    // string per token and ran 16 interpreted ArrayAggregate folds over
+    // it (r15 per-task-work tier; SimhashKernelSpec pins bit-equality)
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("th", expr("transform(split(text, ' '), t -> md5(t))"))
-      .select(col("doc_id"), expr(sig).as("simhash"),
-        size(col("th")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), expr("graft_simhash(text)").as("s"))
+      .select(col("doc_id"), col("s.simhash").as("simhash"),
+        col("s.n_tokens").as("n_tokens"))
   }
 
   /** Capped member preview per cluster. */
@@ -959,13 +957,20 @@ object DedupOps {
     * lifted-paragraph / mirrored-page signal set-similarity dilutes away
     * on long documents.
     *
-    * Plan at scale: grams explode per-row; the gram groupBy and the
-    * gram join share one hash partitioning (single exchange, reused).
-    * Pair generation is STAR-SHAPED — every doc pairs only with the
-    * minimum doc_id holding that gram — so a gram shared by k docs
-    * emits k-1 rows, never C(k,2): boilerplate grams ("all rights
-    * reserved ...") stay linear instead of quadratic. The pair agg is
-    * one more shuffle on (doc_a, doc_b), output O(true dup pairs).
+    * Plan at scale: grams explode per-row into ONE gram-keyed
+    * aggregation that collects each gram's sorted holder list; pair
+    * generation is STAR-SHAPED — every doc pairs only with the minimum
+    * doc_id holding that gram, i.e. the holder array's head — so a
+    * gram shared by k docs emits k-1 rows, never C(k,2): boilerplate
+    * grams ("all rights reserved ...") stay linear instead of
+    * quadratic, and the holder array is k longs, linear memory. The
+    * pair agg is one more shuffle on (doc_a, doc_b), output O(true dup
+    * pairs). r15 restructure (guide §2.4): the previous form computed
+    * rep = per-gram min separately and sort-merge-joined the exploded
+    * posting back against it — two corpus-sized sort+merge sides and a
+    * cache to feed them; exploding the tail of the collected holder
+    * array against its head emits the identical (doc_a, doc_b, gram)
+    * multiset with no join and no cache (the posting is scanned once).
     */
   def d13SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringPairs(Tables.documents(spark, dir))
@@ -979,31 +984,23 @@ object DedupOps {
     // projected-toks form (TextOps.t06): split once per row
     val grams = "array_distinct(transform(sequence(1, size(toks)-7)," +
       " i -> array_join(slice(toks, i, 8), ' ')))"
-    // Cached: the representative agg and the pair join both scan it.
-    val g = graft.Caches.cache(docs
+    val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(grams)).as("gram")))
-    // merge hint: `rep` is GRAM-CARDINALITY-sized (one row per distinct
-    // gram — ~corpus-sized), so it must never broadcast; the post-agg
-    // stats under-estimate it and Catalyst would otherwise collect the
-    // whole gram table to the driver (measured: the 500k-doc
-    // ScalingProbe run died on a >1 GiB broadcast, and a shuffled hash
-    // join OOM'd building per-partition maps). Sort-merge on the gram
-    // partitioning the groupBy already produced is the spill-safe plan
-    // for two corpus-sized sides.
-    val rep = g.groupBy("gram").agg(min(col("doc_id")).as("doc_a"))
-      .hint("merge")
-    // count, not countDistinct: (doc_id, gram) rows are already distinct
-    // (array_distinct before the explode) and rep has one row per gram,
-    // so joined (doc_a, doc_b, gram) rows are unique — a plain count
+      .select(col("doc_id"), explode(expr(grams)).as("gram"))
+    // (doc_id, gram) rows are already distinct (array_distinct before
+    // the explode), so each holder appears once per gram and the tail
+    // explode emits unique (doc_a, doc_b, gram) rows — a plain count
     // keeps the pair agg a hash agg instead of the sort-based
     // distinct-aggregate machinery. The oracle states COUNT(DISTINCT)
     // for the set semantics; the values are identical.
-    val pairs = g.join(rep, Seq("gram"))
-      .filter(col("doc_id") > col("doc_a"))
+    val pairs = g.groupBy("gram")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("gram"), col("ds").getItem(0).as("doc_a"),
+        explode(expr("slice(ds, 2, size(ds) - 1)")).as("doc_b"))
     pairs
-      .groupBy(col("doc_a"), col("doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(col("gram")).as("n_shared_grams"),
         min(col("gram")).as("sample_gram"))
       .orderBy("doc_a", "doc_b")
