@@ -571,9 +571,16 @@ object SimOps {
     */
   private val absMax8 =
     "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+  // the scale is a separate per-row column (sc8), NOT inlined into the
+  // quantize lambda: inlined, the 64-element array_max fold re-ran
+  // inside EVERY element's lambda (twice, through the CASE) — O(d^2)
+  // interpreted work per row (r15, guide §4 expression tier). Values
+  // are bit-identical; the column is dropped after use.
+  private val scale8 =
+    s"CASE WHEN $absMax8 = 0 THEN CAST(1 AS DOUBLE) ELSE $absMax8 END"
   private val quantize8 =
-    s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / " +
-      s"(CASE WHEN $absMax8 = 0 THEN CAST(1 AS DOUBLE) ELSE $absMax8 END)) AS BIGINT))"
+    "transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 127 / sc8) AS BIGINT))"
 
   /** Quantize-then-rescore KNN (the SQ8 recipe): the corpus-wide scan
     * ranks candidates by INT8 cosine (per-query top-20 via the map-side
@@ -602,7 +609,9 @@ object SimOps {
       prepared: DataFrame, isQuery: Column, poolK: Int, k: Int): DataFrame = {
     val v = graft.Caches.cache(
       prepared
+        .withColumn("sc8", expr(scale8))
         .withColumn("q8", expr(quantize8))
+        .drop("sc8")
         .withColumn("n8", expr(dotSq("q8", "q8"))))
     val q = v.filter(isQuery).select(
       col("vec_id").as("qid"), col("q8").as("qemb8"), col("n8").as("qn8"),
