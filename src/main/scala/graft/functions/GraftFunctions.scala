@@ -25,99 +25,36 @@ object GraftHash {
   val NumHashes = 15
   val ShingleLen = 8
 
-  // RFC 1321 round constants (floor(abs(sin(i+1)) * 2^32)) and per-round
-  // left-rotation amounts — the reference MD5 schedule, verified
-  // bit-identical to java.security MessageDigest by Md5KernelSpec.
-  private val MdK: Array[Int] = Array(
-    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
-    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
-    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
-    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
-    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
-    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
-    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
-    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
-    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
-    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
-    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
-    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
-    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
-    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
-    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
-    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391)
-  private val MdS: Array[Int] = Array(
-    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
-    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
-    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
-    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
-
-  private val mdFallback =
+  private val mdLocal =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
 
   /** First 60 bits (15 hex chars) of md5(bytes[off, off+len)) as a
-    * non-negative long — bit-identical to MessageDigest md5 + the
-    * 15-hex-char prefix parse the dedup family uses, but for the
-    * messages the shingle kernels actually hash (<= 55 bytes = one
-    * padded block) it is a single hand-rolled compression from the
-    * fixed IV: no engine state, no padding buffer bookkeeping, no
-    * 16-byte result allocation per call (r15 guide per-task-work tier;
-    * the kernels call this once per shingle POSITION). Longer messages
-    * take the MessageDigest path (thread-local, executors call from
-    * many task threads). Md5KernelSpec pins equivalence on random
-    * inputs across the block boundary.
+    * non-negative long — the prefix parse the dedup family publishes.
     */
   def md5Head60(bytes: Array[Byte], off: Int, len: Int): Long =
     md5Head64(bytes, off, len) >>> 4
 
-  /** First 8 digest bytes (16 hex chars) of md5(bytes[off, off+len)) as
-    * a big-endian long — the shared one-block core behind
-    * [[md5Head60]] and the simhash kernel (which needs all 16 nibble
-    * positions, one more than the 15-hex-char prefix parse).
+  /** First 8 digest bytes (16 hex chars) of md5(bytes[off, off+len))
+    * as a big-endian long, via a THREAD-LOCAL MessageDigest (executors
+    * call from many task threads; getInstance per call was the old
+    * per-row cost). r15 note: a hand-rolled one-block MD5 compression
+    * was tried here and measured ~1.5x SLOWER than MessageDigest on
+    * this JVM — HotSpot intrinsifies MD5 (md5_implCompress, JDK 16+),
+    * so the library call IS the fast path; do not re-inline it.
+    * Md5KernelSpec pins the 60-bit prefix against an independent
+    * hex-string parse.
     */
   def md5Head64(bytes: Array[Byte], off: Int, len: Int): Long = {
-    if (len > 55) {
-      val md = mdFallback.get()
-      md.update(bytes, off, len)
-      val d = md.digest() // digest() also resets for the next round
-      var x = 0L
-      var k = 0
-      while (k < 8) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
-      return x
-    }
-    // one 64-byte block: message bytes (little-endian words), 0x80
-    // terminator, zero padding, bit length in word 14 (word 15 = 0)
-    val m = new Array[Int](16)
-    var i = 0
-    while (i < len) {
-      m(i >> 2) |= (bytes(off + i) & 0xff) << ((i & 3) << 3)
-      i += 1
-    }
-    m(len >> 2) |= 0x80 << ((len & 3) << 3)
-    m(14) = len << 3
-    var a = 0x67452301
-    var b = 0xefcdab89
-    var c = 0x98badcfe
-    var d = 0x10325476
-    var r = 0
-    while (r < 64) {
-      val (f, g) =
-        if (r < 16) ((b & c) | (~b & d), r)
-        else if (r < 32) ((d & b) | (~d & c), (5 * r + 1) & 15)
-        else if (r < 48) (b ^ c ^ d, (3 * r + 5) & 15)
-        else (c ^ (b | ~d), (7 * r) & 15)
-      val rot = Integer.rotateLeft(a + f + MdK(r) + m(g), MdS(r)) + b
-      a = d; d = c; c = b; b = rot
-      r += 1
-    }
-    // digest bytes 0..7 are (IV.a + a) then (IV.b + b), little-endian;
-    // reverseBytes turns each into its hex-string byte order, so the
-    // 64-bit big-endian concat IS the 16-hex-char prefix value
-    val hi = Integer.reverseBytes(a + 0x67452301)
-    val lo = Integer.reverseBytes(b + 0xefcdab89)
-    ((hi.toLong) << 32) | (lo & 0xffffffffL)
+    val md = mdLocal.get()
+    md.update(bytes, off, len)
+    val d = md.digest() // digest() also resets for the next round
+    var x = 0L
+    var k = 0
+    while (k < 8) { x = (x << 8) | (d(k) & 0xffL); k += 1 }
+    x
   }
 
   /** SimHash over single-space-delimited tokens: for hex position j

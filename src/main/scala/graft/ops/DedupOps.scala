@@ -1093,8 +1093,14 @@ object DedupOps {
     * max(c_a, c_b) = shared/min(n_a, n_b) >= 0.6 are kept; ratios are
     * single IEEE divisions of exact integers.
     */
+  // r15 note: a hash-keyed pair join (+ exact sorted-merge recount of
+  // survivors) was tried here and measured SLOWER on a same-host-phase
+  // solo A/B (1.96 s vs 1.72 s min-of-5 at sf0.1): the extra recount
+  // stages cost more than the 8-byte join keys save at bench scale, and
+  // the string df agg dominates either form. Reverted per guide s1.1
+  // (empirical over ideal); the grouped-array pair generation was also
+  // tried earlier and measured slower (see scaladoc below).
   def d19Containment(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val MaxDf = 50
     val grams4 =
       "array_distinct(transform(sequence(1, greatest(size(toks)-3, 1))," +
@@ -1105,9 +1111,6 @@ object DedupOps {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(grams4)).as("gram")))
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
-    // the df CAP stays string-keyed: a hash-merged df could push a cool
-    // gram over the cap and silently DROP true shares — the one step of
-    // this operator where hashing is not a superset move.
     val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf).select("gram")
     // left anti vs the provably-small hot-gram side (s15 discipline).
@@ -1115,37 +1118,16 @@ object DedupOps {
     // TRIED here and measured SLOWER (bench warm 1.46 s -> 1.75 s on a
     // quiet host, reproducible), so the cached self-join form stays
     // (guide §1.1: empirical beats the ideal plan when they disagree).
-    // r15 second pass (guide §2.3 — shuffle keys, not payloads): the
-    // pair self-join and pair-count agg now run on xxhash64(gram)
-    // longs, not ~25-char gram strings. A collision can only INFLATE a
-    // pair's hash-count (extra matched rows), never deflate it, so the
-    // 0.6 gate keeps a SUPERSET of the true survivors; the survivors'
-    // published n_shared is then recounted EXACTLY as a linear sorted
-    // merge of the two docs' capped gram arrays (pair-bounded work),
-    // and the gate re-applied on the exact count. Output identical to
-    // the all-string form; the corpus-sized shuffles carry 8 bytes.
     val posting = graft.Caches.cache(g.join(hot, Seq("gram"), "left_anti"))
-    val hashed = posting.select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-    val sharedH = hashed.select(col("doc_id").as("doc_a"), col("gh"))
-      .join(hashed.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+    val shared = posting.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_h"))
-    val capped = graft.Caches.cache(posting.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("gram"))).as("grams")))
-    sharedH
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_g").as("n_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_g").as("n_b")),
         Seq("doc_b"))
-      .filter(col("n_shared_h").cast("double") /
-        least(col("n_a"), col("n_b")) >= 0.6)
-      .join(capped.select(col("doc_id").as("doc_a"),
-        col("grams").as("grams_a")), Seq("doc_a"))
-      .join(capped.select(col("doc_id").as("doc_b"),
-        col("grams").as("grams_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("graft_sorted_common(grams_a, grams_b)").as("n_shared"),
-        col("n_a"), col("n_b"))
       .filter(col("n_shared").cast("double") /
         least(col("n_a"), col("n_b")) >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),

@@ -310,63 +310,46 @@ object PipelineOps {
   /** p25's body over (doc_id) + (doc_id, component) frames —
     * spec-shared (the spec recomputes the rings independently).
     */
+  // r15 note: a lead()-window neighbor form (candidates and family
+  // labels riding the one bucket window, wrap-around via a broadcast of
+  // bucket heads) was tried here and won a dummy-fam noop A/B (0.99 ->
+  // 0.66 s) but LOST the real-query same-host-phase solo A/B (2.02 s vs
+  // 1.58 s min-of-5): the heads agg/broadcast and the second window
+  // frame cost more than the positional self-join they replace at this
+  // scale. Reverted per guide s1.1; results were cross-checked equal
+  // row-for-row before discarding.
   private[graft] def negativePairsOf(docs: DataFrame, fam: DataFrame)
       : DataFrame = {
     val k = 2; val j = 5; val b = 64
-    // r15 restructure (guide §2.4): the ring's next-J neighbors are
-    // lead() rows of the SAME bucket ordering the position window
-    // already established — so the j candidate neighbors ride the one
-    // bucket-keyed window pass as lead(struct(doc, component), d)
-    // instead of a corpus-sized positional self-join, and the family
-    // labels join onto the ring ONCE (corpus-sized but single) instead
-    // of twice onto the j-times-larger candidate frame. Wrap-around
-    // neighbors (the last j rows of each bucket reach back to its
-    // head) come from a bucket-head frame of b*j rows that BROADCASTS;
-    // the per-anchor top-k then runs in array land on the <= j
-    // candidates already sitting in the row — zero additional
-    // shuffles. Ring positions, candidate multiset, family filter and
-    // the (dist-ordered, k-capped) ranks are value-identical to the
-    // self-join form; the oracle states the positional-join form.
     val ring = docs.select(col("doc_id"))
       .withColumn("h", expr(saltedHashExpr("neg")))
       .withColumn("bucket", pmod(col("h"), lit(b.toLong)))
-      .join(fam, Seq("doc_id"), "left")
-    val wB = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
-    val pos = ring
-      .withColumn("pos", (row_number().over(wB) - 1).cast("long"))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
-      .withColumn("nbr", array((1 to j).map(d =>
-        lead(struct(col("doc_id").as("nid"), col("component").as("nfam"),
-          lit(d.toLong).as("dist")), d).over(wB)): _*))
-    // wrap-around: anchor at pos p >= bn - d reaches (p + d) - bn, one
-    // of the first j ring rows of its bucket — a b*j-row broadcast side
-    val heads = pos.filter(col("pos") < j)
-      .select(col("bucket"), col("pos").as("hpos"),
-        col("doc_id").as("hid"), col("component").as("hfam"))
-      .groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("hpos"), col("hid"),
-        col("hfam")))).as("heads"))
-    // candidates = in-window leads (dist < bn - pos) plus wrapped heads
-    // (dist >= bn - pos, dist < bn); same-family pairs drop, then the
-    // dist-ascending first k survive — all inside the row's array
-    val sel = pos.join(broadcast(heads), Seq("bucket"))
-      .withColumn("cand", expr(
-        s"""filter(transform(sequence(1, $j), d -> CASE
-              WHEN d < bn - pos THEN struct(
-                nbr[d - 1].nid AS nid, nbr[d - 1].nfam AS nfam,
-                CAST(d AS BIGINT) AS dist)
-              WHEN d < bn THEN struct(
-                heads[int(pos + d - bn)].hid AS nid,
-                heads[int(pos + d - bn)].hfam AS nfam,
-                CAST(d AS BIGINT) AS dist)
-              ELSE NULL END),
-            c -> c IS NOT NULL AND (component IS NULL OR c.nfam IS NULL
-              OR c.nfam != component))"""))
-      .select(col("doc_id"),
-        posexplode(expr(s"slice(cand, 1, $k)")).as(Seq("r0", "c")))
-    sel.select(col("doc_id"), col("c.nid").as("neg_doc_id"),
-        col("c.dist").as("ring_distance"),
-        (col("r0") + 1).cast("long").as("rank"))
+    val pos = ring.withColumn("pos",
+      (row_number().over(Window.partitionBy("bucket")
+        .orderBy(col("h"), col("doc_id"))) - 1).cast("long"))
+    val sizes = pos.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val ringS = graft.Caches.cache(pos.join(sizes, "bucket"))
+    val cand = ringS
+      .select(col("bucket"), col("doc_id"), col("pos"), col("bn"),
+        explode(expr(s"sequence(1, $j)")).as("dist"))
+      .filter(col("dist") < col("bn")) // a full wrap would reach itself
+      .withColumn("npos", pmod(col("pos") + col("dist"), col("bn")))
+    val joined = cand.join(
+      ringS.select(col("bucket"), col("pos").as("npos"),
+        col("doc_id").as("neg_doc_id")),
+      Seq("bucket", "npos"))
+    val filtered = joined
+      .join(fam.select(col("doc_id"), col("component").as("fam_a")),
+        Seq("doc_id"), "left")
+      .join(fam.select(col("doc_id").as("neg_doc_id"),
+        col("component").as("fam_b")), Seq("neg_doc_id"), "left")
+      .filter(col("fam_a").isNull || col("fam_b").isNull ||
+        col("fam_a") =!= col("fam_b"))
+    val w = Window.partitionBy("doc_id").orderBy("dist")
+    filtered.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("neg_doc_id"),
+        col("dist").cast("long").as("ring_distance"), col("rank"))
       .orderBy("doc_id", "rank")
   }
 
